@@ -1,0 +1,590 @@
+"""RDF term kernel: canonical N-Triples encoding, parsing, skolemization,
+XSD canonicalization.
+
+Pure Python/regex — no Ray dependency. Used inside `map_batches` UDFs.
+
+Terms are represented as canonical N-Triples lexical strings (the same trick
+the reference uses between distributed jobs — elephas text line formats and
+tdbloader2's sorted text rows, apache-jena/bin/tdbloader2index:270):
+
+- IRI:      ``<http://example.org/x>``
+- bnode:    ``_:label`` (skolemized: 32 lower-hex chars, murmur3-128)
+- literal:  ``"lex"``, ``"lex"@lang``, ``"lex"^^<datatype-iri>``
+
+Reference semantics reproduced here (file:line cites into /root/reference):
+
+- escaping: jena-base/src/main/java/org/apache/jena/atlas/lib/EscapeStr.java:32-110
+  (single-line UTF-8 mode: escape ``\\ \" \n \t \r \f`` only)
+- term formatting: jena-arq/.../riot/out/NodeFormatterNT.java:44-83 (RDF 1.1:
+  xsd:string datatype is not written)
+- N-Triples/N-Quads grammar: jena-arq/.../riot/lang/LangNTuple.java:87-156 and
+  the W3C N-Triples grammar (tokens IRIREF, BLANK_NODE_LABEL,
+  STRING_LITERAL_QUOTE, LANGTAG, UCHAR/ECHAR)
+- skolemization: jena-arq/.../riot/lang/BlankNodeAllocatorHash.java:97-151
+  (murmur3-128x64 with Apache-Commons seed 104729 over seed-bytes ++ label
+  bytes, hex output low-byte-first per 64-bit half, lower case)
+- XSD canonicalization: jena-arq/.../riot/process/normalize/NormalizeValue.java:54-175
+  (integer/decimal/double/boolean/dateTime canonical lexical forms)
+- lang-tag canonical case: riot/process/normalize/StreamCanonicalLangTag.java
+  (RFC 5646 conventional case: 2-letter region upper, 4-letter script title)
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from decimal import Decimal
+
+# --------------------------------------------------------------------------
+# murmur3 128 x64 (public algorithm, Austin Appleby; seed matches Apache
+# Commons Codec default 104729 used by Jena's BlankNodeAllocatorHash)
+# --------------------------------------------------------------------------
+
+_M = 0xFFFFFFFFFFFFFFFF
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+JENA_MURMUR_SEED = 104729  # BlankNodeAllocatorHash.java:146 (DEFAULT_SEED)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M
+    k ^= k >> 33
+    return k
+
+
+def murmur3_128(data: bytes, seed: int = JENA_MURMUR_SEED) -> tuple[int, int]:
+    """MurmurHash3 x64 128-bit. Returns (h1, h2) as unsigned 64-bit ints."""
+    length = len(data)
+    nblocks = length // 16
+    h1 = seed
+    h2 = seed
+
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * _C1) & _M
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * _C2) & _M
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+
+    tail = data[nblocks * 16 :]
+    k1 = 0
+    k2 = 0
+    tl = len(tail)
+    if tl > 8:
+        for i in range(tl - 1, 7, -1):
+            k2 = (k2 << 8) | tail[i]
+        k2 = (k2 * _C2) & _M
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M
+        h2 ^= k2
+    if tl > 0:
+        for i in range(min(tl, 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[i]
+        k1 = (k1 * _C1) & _M
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+def _long_hex_lc_low_first(v: int) -> str:
+    # BlankNodeAllocatorHash.longAsHexLC: low byte of the long printed first.
+    return struct.pack("<Q", v).hex()
+
+
+def skolem_label(seed: bytes, label: str | bytes) -> str:
+    """Deterministic blank-node label: murmur3-128(seed ++ label) lower hex.
+
+    Byte layout per BlankNodeAllocatorHash.alloc (.java:117-151): the two
+    64-bit halves are each emitted low-byte-first, lower case — 32 hex chars.
+    `seed` is any fixed byte string (job seed + document scope); Jena uses a
+    16-byte UUID (fixed for BlankNodeAllocatorFixedSeedHash).
+    """
+    lb = label.encode("utf-8") if isinstance(label, str) else label
+    h1, h2 = murmur3_128(seed + lb)
+    return _long_hex_lc_low_first(h1) + _long_hex_lc_low_first(h2)
+
+
+def bnode_seed(job_seed: str, scope: str) -> bytes:
+    """Per-document skolem seed: depends only on (job seed, scope=url), never
+    on shard/order, so labels are stable under repartitioning and resume
+    (SURVEY.md §2.9; BlankNodeAllocatorFixedSeedHash semantics)."""
+    h1, h2 = murmur3_128((job_seed + "\x00" + scope).encode("utf-8"))
+    return struct.pack("<QQ", h1, h2)
+
+
+# --------------------------------------------------------------------------
+# N-Triples string escaping (EscapeStr.java:32-110, single-line UTF-8 space)
+# --------------------------------------------------------------------------
+
+_ESC_MAP = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\t": "\\t",
+    "\r": "\\r",
+    "\f": "\\f",
+}
+_ESC_RE = re.compile(r'[\\"\n\t\r\f]')
+
+
+def string_esc(s: str) -> str:
+    """Escape a literal lexical form for N-Triples output (UTF-8 char space:
+    only backslash, quote, \\n \\t \\r \\f are escaped — EscapeStr.stringEsc
+    single-line branch; control chars and non-ASCII pass through)."""
+    return _ESC_RE.sub(lambda m: _ESC_MAP[m.group()], s)
+
+
+_UNESC_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))", re.S)
+_ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+
+
+class TermError(ValueError):
+    """Raised on malformed terms / syntax errors (Checker.java / LangNTuple)."""
+
+
+def _unesc_one(m: re.Match, allow_echar: bool) -> str:
+    u4, u8, ch = m.group(1), m.group(2), m.group(3)
+    if u4 is not None:
+        cp = int(u4, 16)
+    elif u8 is not None:
+        cp = int(u8, 16)
+        if cp > 0x10FFFF:
+            raise TermError(f"\\U escape out of range: {m.group()}")
+    else:
+        if not allow_echar:
+            raise TermError(f"illegal escape in IRI: \\{ch}")
+        if ch not in _ECHAR:
+            raise TermError(f"illegal escape: \\{ch}")
+        return _ECHAR[ch]
+    if 0xD800 <= cp <= 0xDFFF:
+        raise TermError(f"surrogate code point in escape: {m.group()}")
+    return chr(cp)
+
+
+def unescape_string(s: str) -> str:
+    """Resolve ECHAR + UCHAR escapes in a quoted-string body."""
+    return _UNESC_RE.sub(lambda m: _unesc_one(m, allow_echar=True), s)
+
+
+def unescape_iri(s: str) -> str:
+    """Resolve UCHAR escapes only (ECHAR is illegal in IRIREF)."""
+    return _UNESC_RE.sub(lambda m: _unesc_one(m, allow_echar=False), s)
+
+
+# --------------------------------------------------------------------------
+# N-Triples / N-Quads grammar (W3C; LangNTuple.java:87-156 checks)
+# --------------------------------------------------------------------------
+
+# IRIREF ::= '<' ([^#x00-#x20<>"{}|^`\] | UCHAR)* '>'
+_IRI_BODY = r'(?:[^\x00-\x20<>"{}|^`\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*'
+IRIREF = rf"<({_IRI_BODY})>"
+
+# PN_CHARS_BASE — W3C production, full unicode ranges
+_PN_CHARS_BASE = (
+    "A-Za-z"
+    "À-ÖØ-öø-˿Ͱ-ͽͿ-῿"
+    "‌-‍⁰-↏Ⰰ-⿯、-퟿豈-﷏"
+    "ﷰ-�\U00010000-\U000EFFFF"
+)
+# BLANK_NODE_LABEL uses PN_CHARS_U = PN_CHARS_BASE | '_' ( ':' is Turtle-only)
+_PN_CHARS_U = _PN_CHARS_BASE + "_"
+_PN_CHARS = _PN_CHARS_U + "0-9·̀-ͯ‿-⁀\\-"
+# BLANK_NODE_LABEL ::= '_:' (PN_CHARS_U|[0-9]) ((PN_CHARS|'.')* PN_CHARS)?
+BNODE_LABEL = rf"_:([{_PN_CHARS_U}0-9](?:(?:[{_PN_CHARS}.])*[{_PN_CHARS}])?)"
+
+# STRING_LITERAL_QUOTE ::= '"' ([^"\\\n\r] | ECHAR | UCHAR)* '"'
+_STR_BODY = r'(?:[^"\\\n\r]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[tbnrf"\'\\])*'
+STRING_LIT = rf'"({_STR_BODY})"'
+
+# LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)*
+LANGTAG = r"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)"
+
+_SUBJ = rf"(?:{IRIREF}|{BNODE_LABEL})"
+_PRED = IRIREF
+_OBJ = rf"(?:{IRIREF}|{BNODE_LABEL}|{STRING_LIT}(?:\^\^{IRIREF}|{LANGTAG})?)"
+
+# groups: 1 s_iri, 2 s_bnode, 3 p_iri, 4 o_iri, 5 o_bnode, 6 o_lex, 7 o_dt, 8 o_lang
+_TRIPLE_RE = re.compile(rf"^[ \t]*{_SUBJ}[ \t]*{_PRED}[ \t]*{_OBJ}[ \t]*\.[ \t]*(?:#.*)?$")
+# quad: optional 4th term (IRI or bnode) before '.'  (LangNQuads)
+_GRAPH = rf"(?:{IRIREF}|{BNODE_LABEL})"
+_QUAD_RE = re.compile(
+    rf"^[ \t]*{_SUBJ}[ \t]*{_PRED}[ \t]*{_OBJ}[ \t]*(?:{_GRAPH}[ \t]*)?\.[ \t]*(?:#.*)?$"
+)
+
+_BLANK_RE = re.compile(r"^[ \t]*(?:#.*)?$")
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_STRING = XSD + "string"
+RDF_LANGSTRING = RDF_NS + "langString"
+
+
+def check_iri(iri: str, strict: bool = True) -> str:
+    """Validate + finalize an IRI string (post-unescape).
+
+    Mirrors Checker.checkIRI / IRIResolver strict mode for the properties the
+    N-Triples conformance suite exercises: absolute IRI (has a scheme), no
+    whitespace/control chars, no relative forms. (riot/system/Checker.java:28,
+    ParserProfileStd.java:157-164.)
+    """
+    if strict:
+        if not _SCHEME_RE.match(iri):
+            raise TermError(f"relative IRI (no scheme): <{iri}>")
+        for ch in iri:
+            o = ord(ch)
+            if o <= 0x20 or ch in '<>"{}|^`\\':
+                raise TermError(f"illegal character U+{o:04X} in IRI: <{iri}>")
+    return iri
+
+
+def fmt_iri(iri: str) -> str:
+    return f"<{iri}>"
+
+
+def fmt_bnode(label: str) -> str:
+    return f"_:{label}"
+
+
+def fmt_literal(lex: str, lang: str | None = None, datatype: str | None = None) -> str:
+    """Canonical N-Triples literal (NodeFormatterNT.java:44-83; RDF 1.1 —
+    xsd:string datatype is implicit and not written)."""
+    body = f'"{string_esc(lex)}"'
+    if lang:
+        return f"{body}@{lang}"
+    if datatype and datatype != XSD_STRING:
+        return f"{body}^^<{datatype}>"
+    return body
+
+
+# --------------------------------------------------------------------------
+# lang tag canonical case (StreamCanonicalLangTag / LangTag formatting)
+# --------------------------------------------------------------------------
+
+
+def canonical_langtag(tag: str) -> str:
+    """RFC 5646 conventional case: primary subtag lower, 2-letter region
+    UPPER, 4-letter script Titlecase, others lower — e.g. en-gb → en-GB."""
+    parts = tag.split("-")
+    out = [parts[0].lower()]
+    for p in parts[1:]:
+        if len(p) == 2 and p.isalpha():
+            out.append(p.upper())
+        elif len(p) == 4 and p.isalpha():
+            out.append(p[0].upper() + p[1:].lower())
+        else:
+            out.append(p.lower())
+    return "-".join(out)
+
+
+# --------------------------------------------------------------------------
+# XSD literal canonicalization (NormalizeValue.java:54-175)
+# --------------------------------------------------------------------------
+
+_INTEGER_TYPES = {
+    XSD + t
+    for t in (
+        "integer int long short byte nonPositiveInteger negativeInteger "
+        "nonNegativeInteger positiveInteger unsignedLong unsignedInt "
+        "unsignedShort unsignedByte"
+    ).split()
+}
+_DATETIME_TYPES = {
+    XSD + t for t in "dateTime dateTimeStamp time date gYear gYearMonth gMonth gMonthDay gDay".split()
+}
+
+_DT_SECOND_RE = re.compile(r"(\d{2}:\d{2}:)(\d{2}\.\d+)")
+
+
+def _canon_integer(lex: str) -> str:
+    try:
+        return str(int(lex))
+    except ValueError:
+        return lex  # illegal lexical form: pass through (NormalizeValue returns node)
+
+
+def _canon_decimal(lex: str) -> str:
+    # BigDecimal.stripTrailingZeros().toPlainString() + ensure '.' present
+    # (NormalizeValue.java:139-155: Turtle short form needs ".0")
+    try:
+        d = Decimal(lex)
+    except Exception:
+        return lex
+    d = d.normalize()
+    s = format(d, "f")
+    if "." not in s:
+        s += ".0"
+    return s
+
+
+def _canon_double(lex: str) -> str:
+    # XSD canonical double: single nonzero digit left of '.', >=1 digit right,
+    # exponent 'E' with no '+'/leading zeros; zero is 0.0E0
+    # (NormalizeValue.java:160-175, DecimalFormat "0.0#################E0").
+    try:
+        d = float(lex)
+    except ValueError:
+        return lex
+    if d != d:  # NaN
+        return "NaN"
+    if d == float("inf"):
+        return "INF"
+    if d == float("-inf"):
+        return "-INF"
+    if d == 0.0:
+        return "-0.0E0" if str(d)[0] == "-" else "0.0E0"
+    # shortest round-trip digits via repr → Decimal gives (sign, digits, exp)
+    sign, digits, exp = Decimal(repr(d)).as_tuple()
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    e10 = exp + (len(digits) - len(ds))  # value = int(ds) * 10^e10
+    e_out = e10 + len(ds) - 1  # normalized: one digit left of the point
+    frac = ds[1:] or "0"
+    return f"{'-' if sign else ''}{ds[0]}.{frac}E{e_out}"
+
+
+def _canon_boolean(lex: str) -> str:
+    # dtBoolean (NormalizeValue.java:54-58): only "1"/"0" are rewritten.
+    if lex == "1":
+        return "true"
+    if lex == "0":
+        return "false"
+    return lex
+
+
+def _canon_datetime(lex: str) -> str:
+    # dtAnyDateTime (NormalizeValue.java:59-105): canonicalize fractional
+    # seconds only — strip trailing zeros; drop '.' if all-zero fraction.
+    if "." not in lex:
+        return lex
+
+    def fix(m: re.Match) -> str:
+        head, sec = m.group(1), m.group(2)
+        sec = sec.rstrip("0")
+        if sec.endswith("."):
+            sec = sec[:-1]
+        return head + sec
+
+    return _DT_SECOND_RE.sub(fix, lex, count=1)
+
+
+def canonical_lexical(lex: str, datatype: str) -> str:
+    """Canonical lexical form for a typed literal (CanonicalizeLiteral.java:34-46
+    dispatch over NormalizeValue handlers). Unknown datatypes pass through
+    unchanged (BaseDatatype semantics — lexical form is authoritative)."""
+    if datatype in _INTEGER_TYPES:
+        return _canon_integer(lex)
+    if datatype == XSD + "decimal":
+        return _canon_decimal(lex)
+    if datatype in (XSD + "double", XSD + "float"):
+        return _canon_double(lex)
+    if datatype == XSD + "boolean":
+        return _canon_boolean(lex)
+    if datatype in _DATETIME_TYPES:
+        return _canon_datetime(lex)
+    return lex
+
+
+# --------------------------------------------------------------------------
+# N-Triples / N-Quads line parser (LangNTriples/LangNQuads semantics)
+# --------------------------------------------------------------------------
+
+
+def _finish_terms(
+    m: re.Match, bnode_prefix: str
+) -> tuple[str, str, str]:
+    s_iri, s_bn, p_iri, o_iri, o_bn, o_lex, o_dt, o_lang = m.groups()[:8]
+    if s_iri is not None:
+        subj = fmt_iri(check_iri(unescape_iri(s_iri)))
+    else:
+        subj = fmt_bnode(bnode_prefix + s_bn)
+    pred = fmt_iri(check_iri(unescape_iri(p_iri)))
+    if o_iri is not None:
+        obj = fmt_iri(check_iri(unescape_iri(o_iri)))
+    elif o_bn is not None:
+        obj = fmt_bnode(bnode_prefix + o_bn)
+    else:
+        lex = unescape_string(o_lex)
+        if o_dt is not None:
+            obj = fmt_literal(lex, datatype=check_iri(unescape_iri(o_dt)))
+        elif o_lang is not None:
+            obj = fmt_literal(lex, lang=o_lang)
+        else:
+            obj = fmt_literal(lex)
+    return subj, pred, obj
+
+
+def parse_ntriples(
+    text: str,
+    *,
+    skolem_seed: bytes | None = None,
+    strict: bool = True,
+) -> list[tuple[str, str, str]]:
+    """Parse an N-Triples document into canonical (subj, pred, obj) strings.
+
+    Grammar/checks per LangNTriples.java:51-70 + LangNTuple.java:127-156
+    (subject: IRI or bnode; predicate: IRI; object: any term) with `riot`
+    default strict checking (CmdLangParse.java:256-261).
+
+    If `skolem_seed` is given, blank-node labels are skolemized with
+    murmur3-128(seed ++ label) (BlankNodeAllocatorHash); otherwise labels are
+    kept as given (LabelToNode 'labels as given' mode).
+    """
+    out: list[tuple[str, str, str]] = []
+    labels: dict[str, str] = {}
+    for lineno, line in enumerate(text.split("\n"), 1):
+        if _BLANK_RE.match(line):
+            continue
+        m = _TRIPLE_RE.match(line)
+        if not m:
+            if strict:
+                raise TermError(f"line {lineno}: not a valid N-Triples line: {line[:100]!r}")
+            continue
+        try:
+            subj, pred, obj = _finish_terms(m, "")
+        except TermError as e:
+            if strict:
+                raise TermError(f"line {lineno}: {e}") from None
+            continue
+        out.append((subj, pred, obj))
+    if skolem_seed is not None:
+        def sk(t: str) -> str:
+            if t.startswith("_:"):
+                lbl = t[2:]
+                if lbl not in labels:
+                    labels[lbl] = skolem_label(skolem_seed, lbl)
+                return "_:" + labels[lbl]
+            return t
+        out = [(sk(s), p, sk(o)) for s, p, o in out]
+    return out
+
+
+def parse_nquads(
+    text: str,
+    *,
+    skolem_seed: bytes | None = None,
+    strict: bool = True,
+    default_graph: str = "urn:x-arq:DefaultGraph",
+) -> list[tuple[str, str, str, str]]:
+    """Parse N-Quads → canonical (graph, subj, pred, obj). Triples in the
+    default graph get `urn:x-arq:DefaultGraph` (Quad.java:37)."""
+    out: list[tuple[str, str, str, str]] = []
+    labels: dict[str, str] = {}
+    for lineno, line in enumerate(text.split("\n"), 1):
+        if _BLANK_RE.match(line):
+            continue
+        m = _QUAD_RE.match(line)
+        if not m:
+            if strict:
+                raise TermError(f"line {lineno}: not a valid N-Quads line: {line[:100]!r}")
+            continue
+        try:
+            subj, pred, obj = _finish_terms(m, "")
+            g_iri, g_bn = m.groups()[8:10]
+            if g_iri is not None:
+                graph = fmt_iri(check_iri(unescape_iri(g_iri)))
+            elif g_bn is not None:
+                graph = fmt_bnode(g_bn)
+            else:
+                graph = fmt_iri(default_graph)
+        except TermError as e:
+            if strict:
+                raise TermError(f"line {lineno}: {e}") from None
+            continue
+        out.append((graph, subj, pred, obj))
+    if skolem_seed is not None:
+        def sk(t: str) -> str:
+            if t.startswith("_:"):
+                lbl = t[2:]
+                if lbl not in labels:
+                    labels[lbl] = skolem_label(skolem_seed, lbl)
+                return "_:" + labels[lbl]
+            return t
+        out = [(sk(g), sk(s), p, sk(o)) for g, s, p, o in out]
+    return out
+
+
+# --------------------------------------------------------------------------
+# term inspection helpers (for stats jobs and writers)
+# --------------------------------------------------------------------------
+
+_LIT_RE = re.compile(rf'^"({_STR_BODY})"(?:\^\^<({_IRI_BODY})>|{LANGTAG})?$')
+
+
+def term_kind(term: str) -> str:
+    """'iri' | 'bnode' | 'literal' for a canonical term string."""
+    c = term[0] if term else ""
+    if c == "<":
+        return "iri"
+    if c == "_":
+        return "bnode"
+    return "literal"
+
+
+def iri_value(term: str) -> str:
+    return term[1:-1]
+
+
+def split_literal(term: str) -> tuple[str, str | None, str | None]:
+    """Canonical literal term → (lexical form, lang, datatype IRI)."""
+    m = _LIT_RE.match(term)
+    if not m:
+        raise TermError(f"not a literal term: {term!r}")
+    lex = unescape_string(m.group(1))
+    dt = m.group(2)
+    lang = m.group(3)
+    return lex, lang, dt
+
+
+def namespace_of(term: str) -> str | None:
+    """Namespace of an IRI term (split at last '#' or '/'), for the elephas
+    namespace-count job (TripleNamespaceCountMapper semantics)."""
+    if not term.startswith("<"):
+        return None
+    iri = term[1:-1]
+    for sep in ("#", "/"):
+        idx = iri.rfind(sep)
+        if idx > len("http://") - 1:
+            return iri[: idx + 1]
+    return iri
+
+
+def canonicalize_term(term: str) -> str:
+    """Canonicalize one term string: XSD canonical lexical forms for typed
+    literals + canonical lang-tag case. IRIs/bnodes pass through. This is the
+    opt-in canonicalization stage (CanonicalizeLiteral wrapper), applied in
+    the KG pipeline's canonicalize stage."""
+    if not term.startswith('"'):
+        return term
+    lex, lang, dt = split_literal(term)
+    if lang:
+        return fmt_literal(lex, lang=canonical_langtag(lang))
+    if dt:
+        return fmt_literal(canonical_lexical(lex, dt), datatype=dt)
+    return fmt_literal(lex)

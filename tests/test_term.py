@@ -1,0 +1,175 @@
+"""Unit tests for the term kernel (jena_ray.term).
+
+Semantics under test cite the reference: EscapeStr.java escaping,
+NormalizeValue.java canonical forms, BlankNodeAllocatorHash.java skolem
+labels, LangNTuple.java N-Triples grammar checks.
+"""
+
+import struct
+
+import pytest
+
+from jena_ray import term as T
+
+
+class TestMurmur3:
+    def test_known_vectors(self):
+        # published x64_128 vectors (seed 0)
+        h1, h2 = T.murmur3_128(b"foo", seed=0)
+        assert h1 + (h2 << 64) == 168394135621993849475852668931176482145
+        h1, h2 = T.murmur3_128(b"The quick brown fox jumps over the lazy dog", seed=0)
+        hexs = struct.pack("<Q", h1).hex() + struct.pack("<Q", h2).hex()
+        assert hexs == "6c1b07bc7bbc4be347939ac4a93c437a"
+        assert T.murmur3_128(b"", seed=0) == (0, 0)
+
+    def test_skolem_deterministic_and_scoped(self):
+        seed_a = T.bnode_seed("job1", "http://e/doc1")
+        seed_b = T.bnode_seed("job1", "http://e/doc2")
+        assert T.skolem_label(seed_a, "b0") == T.skolem_label(seed_a, "b0")
+        assert T.skolem_label(seed_a, "b0") != T.skolem_label(seed_a, "b1")
+        # per-document scope: same local label, different doc → different node
+        assert T.skolem_label(seed_a, "b0") != T.skolem_label(seed_b, "b0")
+        lbl = T.skolem_label(seed_a, "b0")
+        assert len(lbl) == 32 and lbl == lbl.lower()
+
+
+class TestEscaping:
+    def test_string_esc(self):
+        # EscapeStr single-line UTF-8: \\ \" \n \t \r \f only
+        assert T.string_esc('a"b\\c\nd\te\rf\fg') == 'a\\"b\\\\c\\nd\\te\\rf\\fg'
+        assert T.string_esc("héllo\x01") == "héllo\x01"  # control/non-ascii pass
+
+    def test_roundtrip(self):
+        s = 'x "quoted" \\ tab\t nl\n é ☃'
+        assert T.unescape_string(T.string_esc(s)) == s
+
+    def test_unescape_uchar(self):
+        assert T.unescape_string("\\u0041\\U00000042") == "AB"
+        with pytest.raises(T.TermError):
+            T.unescape_string("\\z")
+        with pytest.raises(T.TermError):
+            T.unescape_iri("\\n")  # ECHAR illegal in IRIs
+
+
+class TestCanonicalForms:
+    def test_integer(self):
+        assert T.canonical_lexical("+042", T.XSD + "integer") == "42"
+        assert T.canonical_lexical("-0", T.XSD + "int") == "0"
+        assert T.canonical_lexical("9" * 40, T.XSD + "integer") == "9" * 40
+
+    def test_decimal(self):
+        assert T.canonical_lexical("+001.10", T.XSD + "decimal") == "1.1"
+        assert T.canonical_lexical("5", T.XSD + "decimal") == "5.0"
+        assert T.canonical_lexical("-0.50", T.XSD + "decimal") == "-0.5"
+
+    def test_double(self):
+        # XSD canonical: 0.0E0 form (NormalizeValue.java:160-175)
+        assert T.canonical_lexical("0", T.XSD + "double") == "0.0E0"
+        assert T.canonical_lexical("1", T.XSD + "double") == "1.0E0"
+        assert T.canonical_lexical("0.1", T.XSD + "double") == "1.0E-1"
+        assert T.canonical_lexical("123.45", T.XSD + "double") == "1.2345E2"
+        assert T.canonical_lexical("-1e6", T.XSD + "double") == "-1.0E6"
+        assert T.canonical_lexical("INF", T.XSD + "double") == "INF"
+
+    def test_boolean(self):
+        assert T.canonical_lexical("1", T.XSD + "boolean") == "true"
+        assert T.canonical_lexical("0", T.XSD + "boolean") == "false"
+        assert T.canonical_lexical("true", T.XSD + "boolean") == "true"
+
+    def test_datetime_fractional_seconds(self):
+        dt = T.XSD + "dateTime"
+        assert (
+            T.canonical_lexical("2020-01-01T10:00:00.500Z", dt) == "2020-01-01T10:00:00.5Z"
+        )
+        assert (
+            T.canonical_lexical("2020-01-01T10:00:00.000Z", dt) == "2020-01-01T10:00:00Z"
+        )
+        assert (
+            T.canonical_lexical("2020-01-01T10:00:00Z", dt) == "2020-01-01T10:00:00Z"
+        )
+
+    def test_langtag(self):
+        assert T.canonical_langtag("EN-gb") == "en-GB"
+        assert T.canonical_langtag("zh-hant-tw") == "zh-Hant-TW"
+        assert T.canonical_langtag("en") == "en"
+
+    def test_canonicalize_term(self):
+        assert (
+            T.canonicalize_term('"01"^^<http://www.w3.org/2001/XMLSchema#integer>')
+            == '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        )
+        assert T.canonicalize_term('"x"@EN-us') == '"x"@en-US'
+        assert T.canonicalize_term("<http://e/a>") == "<http://e/a>"
+
+
+class TestNTriplesParser:
+    def test_basic(self):
+        ts = T.parse_ntriples(
+            '<http://a/s> <http://a/p> "x" .\n'
+            "<http://a/s> <http://a/p> <http://a/o> . # trailing comment\n"
+            "# full comment line\n"
+            "\n"
+            '_:b1 <http://a/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+        )
+        assert len(ts) == 3
+        assert ts[0] == ("<http://a/s>", "<http://a/p>", '"x"')
+        assert ts[2][0] == "_:b1"
+
+    def test_minimal_whitespace(self):
+        ts = T.parse_ntriples("<http://a/s><http://a/p><http://a/o>.")
+        assert ts == [("<http://a/s>", "<http://a/p>", "<http://a/o>")]
+
+    def test_lang_literal(self):
+        ts = T.parse_ntriples('<http://a/s> <http://a/p> "chat"@fr .')
+        assert ts[0][2] == '"chat"@fr'
+
+    def test_xsd_string_dropped(self):
+        # RDF 1.1: explicit xsd:string == simple literal (NodeFormatterNT)
+        ts = T.parse_ntriples(
+            '<http://a/s> <http://a/p> "x"^^<http://www.w3.org/2001/XMLSchema#string> .'
+        )
+        assert ts[0][2] == '"x"'
+
+    def test_uchar_in_iri(self):
+        ts = T.parse_ntriples("<http://a/\\u0041> <http://a/p> <http://a/o> .")
+        assert ts[0][0] == "<http://a/A>"
+
+    def test_rejects_relative_iri(self):
+        with pytest.raises(T.TermError):
+            T.parse_ntriples("<s> <http://a/p> <http://a/o> .")
+
+    def test_rejects_literal_subject(self):
+        with pytest.raises(T.TermError):
+            T.parse_ntriples('"lit" <http://a/p> <http://a/o> .')
+
+    def test_rejects_bad_escape(self):
+        with pytest.raises(T.TermError):
+            T.parse_ntriples('<http://a/s> <http://a/p> "a\\zb" .')
+
+    def test_rejects_missing_dot(self):
+        with pytest.raises(T.TermError):
+            T.parse_ntriples("<http://a/s> <http://a/p> <http://a/o>")
+
+    def test_skolemization(self):
+        seed = T.bnode_seed("j", "doc")
+        ts = T.parse_ntriples("_:x <http://a/p> _:y .", skolem_seed=seed)
+        s, _, o = ts[0]
+        assert s.startswith("_:") and len(s) == 34 and s != "_:x"
+        assert o != s
+
+    def test_nquads(self):
+        qs = T.parse_nquads(
+            "<http://a/s> <http://a/p> <http://a/o> <http://g> .\n"
+            "<http://a/s> <http://a/p> <http://a/o> ."
+        )
+        assert qs[0][0] == "<http://g>"
+        assert qs[1][0] == "<urn:x-arq:DefaultGraph>"  # Quad.java:37
+
+    def test_term_helpers(self):
+        assert T.term_kind("<http://a/s>") == "iri"
+        assert T.term_kind("_:b") == "bnode"
+        assert T.term_kind('"x"@en') == "literal"
+        assert T.split_literal('"a\\"b"@en') == ('a"b', "en", None)
+        assert T.split_literal('"1"^^<http://t>') == ("1", None, "http://t")
+        assert T.namespace_of("<http://a/b#c>") == "http://a/b#"
+        assert T.namespace_of("<http://a/b/c>") == "http://a/b/"
