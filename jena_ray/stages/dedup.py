@@ -1,0 +1,126 @@
+"""Exact deduplication and pre-aggregated counting (the wide shuffles).
+
+Graph semantics are set semantics — ``Graph.add`` is idempotent
+(jena-core graph/Graph.java; SURVEY.md §2.7) — so the triple table must be
+globally exact-deduped. At 10^12-document scale the triple stream is massively
+duplicated on hub entities (a handful of distinct relation triples repeated
+across billions of pages), which makes a naive ``groupby(s,p,o)`` the skew
+bottleneck.
+
+Strategy (two-phase, combiner-first):
+
+1. **Local dedup** inside ``map_batches`` — each block drops its own
+   duplicates with a vectorized Arrow group-by. For hub-heavy predicates this
+   collapses each block to at most |distinct| rows, so the all-to-all shuffle
+   that follows moves ~|distinct| × num_blocks rows instead of the full
+   stream. This is the salting/combiner step: hot keys are spread across
+   blocks, and each block contributes one representative.
+2. **Global dedup** — hash-shuffle ``groupby`` on the key columns, keep the
+   first row per group.
+
+The same pattern (partial per-block aggregation → small global groupby)
+backs ``pre_aggregated_count``, replacing the reference's map-side combine in
+elephas count jobs (NodeCountReducer, jena-elephas .../count/*.java).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyarrow as pa
+
+
+def dedup_batch(batch: pa.Table, cols: Sequence[str]) -> pa.Table:
+    """Vectorized within-block dedup: keep the first row per key.
+
+    First-occurrence indices come from dictionary-encoding the concatenated
+    key (pyarrow kernels only — no Python row loop).
+    """
+    if batch.num_rows == 0:
+        return batch
+    import numpy as np
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
+    )
+    d = pc.dictionary_encode(joined)
+    codes = d.combine_chunks().indices if isinstance(d, pa.ChunkedArray) else d.indices
+    codes_np = codes.to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(codes_np, return_index=True)
+    if len(first_idx) == batch.num_rows:
+        return batch
+    return batch.take(pa.array(np.sort(first_idx)))
+
+
+def _key_hash(batch: pa.Table, cols: Sequence[str]):
+    """Deterministic vectorized 64-bit hash of the concatenated key columns
+    (pandas siphash with its fixed default key — stable across processes)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
+    )
+    return pd.util.hash_pandas_object(joined.to_pandas(), index=False).to_numpy()
+
+
+def add_bucket(batch: pa.Table, cols: Sequence[str], num_buckets: int) -> pa.Table:
+    h = _key_hash(batch, cols) % num_buckets
+    return batch.append_column("_bucket", pa.array(h.astype("int64")))
+
+
+def dedup_exact(
+    ds,
+    cols: Sequence[str] = ("subj", "pred", "obj"),
+    keep_cols: Sequence[str] | None = None,
+    num_buckets: int = 64,
+):
+    """Global exact dedup of a Dataset on `cols`.
+
+    Two-phase: (1) per-block vectorized dedup — the combiner that collapses
+    hub-key repetition before anything moves (hot keys appear once per block
+    after this, so the shuffle is skew-free by construction); (2) hash-bucket
+    shuffle — rows move to `num_buckets` groups by key hash, and each bucket
+    is deduped with ONE vectorized call (not one Python call per distinct
+    key, which is why this is groupby('_bucket') and not groupby(cols)).
+
+    Mirrors OpDistinct/DistinctDataBag semantics (jena-arq
+    sparql/engine/iterator/QueryIterDistinct.java:46-83) with spill-to-disk
+    replaced by Ray's object-store shuffle.
+
+    Scale rule: each bucket must fit one worker's heap — size num_buckets ≈
+    (distinct rows × row bytes) / 1 GiB at crawl scale.
+    """
+    cols = list(cols)
+    sel = cols + [c for c in (keep_cols or []) if c not in cols]
+
+    def local(t: pa.Table) -> pa.Table:
+        return add_bucket(dedup_batch(t.select(sel), cols), cols, num_buckets)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return dedup_batch(g, cols).drop_columns(["_bucket"])
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    return pre.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def pre_aggregated_count(ds, key_cols: Sequence[str], alias: str = "count"):
+    """count() per key with map-side partial aggregation.
+
+    Emits one (key, partial_count) row per key per block inside map_batches,
+    then sums partials with a small groupby — the elephas mapper+combiner+
+    reducer chain (TripleNodeCountMapper → NodeCountReducer) in two Ray Data
+    stages.
+    """
+    key_cols = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(key_cols, use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(key_cols + ["_partial"])
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(key_cols).aggregate(Sum("_partial", alias_name=alias))
+    return out

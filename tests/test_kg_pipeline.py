@@ -1,0 +1,99 @@
+"""End-to-end KG pipeline tests: byte-identical extraction, P/R vs the
+independent oracle, sharded resume, global dedup, index consistency."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle_kg import expected_triples
+
+
+@pytest.fixture(scope="module")
+def kg_out(ray_session, sf_dir, tmp_path_factory):
+    from jena_ray.pipelines.kg import run_kg
+
+    out = str(tmp_path_factory.mktemp("kgout"))
+    metrics = run_kg(sf_dir, out, num_shards=2, concurrency=(1, 2))
+    return out, metrics
+
+
+def _read_triples(path: str) -> set[tuple[str, str, str]]:
+    t = pq.read_table(path, columns=["subj", "pred", "obj"])
+    return set(zip(*[t.column(c).to_pylist() for c in ("subj", "pred", "obj")]))
+
+
+def test_extraction_byte_identical(ray_session, sf_dir):
+    """Per-row invariant: extracted text == source text per url (BASELINE.md)."""
+    from jena_ray.stages.extract import ExtractText
+    from jena_ray.testgen import load_pages
+
+    pages = load_pages(sf_dir)
+    ds = pages.map_batches(
+        ExtractText, batch_size=256, concurrency=2, num_cpus=1, batch_format="pyarrow"
+    )
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        exp = batch.column("text").to_pylist()
+        got = batch.column("extracted_text").to_pylist()
+        assert exp == got
+
+
+def test_triples_match_oracle_exactly(kg_out, sf_dir):
+    """P/R vs the independent oracle — target ≥0.95; we assert 1.0 (exact
+    set equality; skolem labels are deterministic so no isomorphism search
+    is needed — isomorphism invariance is covered in test_isomorphism)."""
+    out, _ = kg_out
+    got = _read_triples(os.path.join(out, "spo"))
+    exp = expected_triples(sf_dir)
+    missing = exp - got
+    extra = got - exp
+    assert not missing, f"{len(missing)} missing, e.g. {sorted(missing)[:3]}"
+    assert not extra, f"{len(extra)} extra, e.g. {sorted(extra)[:3]}"
+
+
+def test_indexes_consistent_and_sorted(kg_out):
+    out, _ = kg_out
+    spo = _read_triples(os.path.join(out, "spo"))
+    pos = _read_triples(os.path.join(out, "pos"))
+    osp = _read_triples(os.path.join(out, "osp"))
+    assert spo == pos == osp
+    # global dedup: spo parquet has no duplicate rows
+    t = pq.read_table(os.path.join(out, "spo"))
+    assert t.num_rows == len(spo)
+    # range-sorted on the permutation keys (file-order concatenation)
+    import pyarrow.parquet as _pq
+    t2 = _pq.read_table(os.path.join(out, "pos"), columns=["pred", "obj", "subj"])
+    rows = list(zip(*[t2.column(c).to_pylist() for c in ("pred", "obj", "subj")]))
+    # per-file sortedness is what partition pruning needs; files are written
+    # in sorted block order, so the concatenation in file order is sorted too
+    assert rows == sorted(rows)
+
+
+def test_manifests_written(kg_out, sf_dir):
+    out, metrics = kg_out
+    from jena_ray.state import manifest as M
+
+    parts = M.completed_parts(out)
+    assert parts == ["0", "1"]
+    m0 = M.read_manifest(out, "0")
+    assert m0["rows_in"] > 0 and m0["triples_out"] > 0
+    assert m0["input_fragments"] and "stage_latencies" in m0
+
+
+def test_resume_recomputes_only_missing(ray_session, sf_dir, tmp_path_factory):
+    from jena_ray.pipelines.kg import run_kg
+
+    out = str(tmp_path_factory.mktemp("kgresume"))
+    m1 = run_kg(sf_dir, out, num_shards=2, concurrency=(1, 2), build_indexes=False)
+    assert set(m1["shards"]) == {"0", "1"}
+    before = _read_triples(os.path.join(out, "triples"))
+    # simulate partial failure: lose shard 1's data + manifest
+    os.remove(os.path.join(out, "_manifest", "part-1.json"))
+    shutil.rmtree(os.path.join(out, "triples", "part=1"))
+    m2 = run_kg(sf_dir, out, num_shards=2, concurrency=(1, 2), build_indexes=False)
+    assert m2["skipped"] == ["0"]
+    assert set(m2["shards"]) == {"1"}
+    assert _read_triples(os.path.join(out, "triples")) == before
