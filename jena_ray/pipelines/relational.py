@@ -1,0 +1,341 @@
+"""Relational operator suite over the testdata tables.
+
+Capability parity with the reference's query-engine operators (SURVEY.md
+§2.4-2.8: hash joins, group-aggregates, sort/top-k/slice, distinct, union,
+minus/exists) expressed Ray-Data-first. Each function takes `sf_dir` and
+returns a Dataset / pandas DataFrame; the matching DuckDB oracle SQL lives in
+__ray_entry__.oracle_sql.
+
+Join strategy notes:
+- small dimension sides (region/nation/supplier/customer) are BROADCAST —
+  read once, ray.put, merged per batch inside map_batches (no shuffle);
+  mirrors QueryIterHashJoin's build-side probe table (HashProbeTable) with
+  the build side replicated instead of shuffled.
+- large-large joins use Dataset.join (hash-partitioned) — lineitem ⋈ orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# aggregation (OpGroup + Agg* accumulators)
+# --------------------------------------------------------------------------
+
+
+def _round_cols(ds, spec: dict[str, int]):
+    """Round float columns so Ray's blockwise float sums and DuckDB's
+    sequential sums hash identically (both sides round the same way)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            i = t.schema.get_field_index(col)
+            t = t.set_column(i, col, pc.round(t.column(col), ndigits=nd))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _int_scale_cols(ds, spec: dict[str, int]):
+    """Emit float sums as scaled int64 (e.g. cents): float sums differ between
+    engines at the ulp level even after round(), but int64(round(x*scale)) is
+    bit-stable unless the sum lands within one ulp of a .5 boundary."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for col, scale in spec.items():
+            i = t.schema.get_field_index(col)
+            v = pc.round(pc.multiply(t.column(col), pa.scalar(float(scale))))
+            t = t.set_column(i, col, pc.cast(v, pa.int64()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style group-aggregate: per (returnflag, linestatus) sums/avgs.
+    Map-side: computed columns; shuffle: groupby-aggregate (Sum/Mean/Count)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price_cents"),
+        Sum("revenue", alias_name="sum_revenue_cents"),
+        Mean("l_discount", alias_name="avg_discount"),
+        Count(alias_name="count_order"),
+    )
+    out = _int_scale_cols(out, {"sum_base_price_cents": 100, "sum_revenue_cents": 100})
+    out = _round_cols(out, {"avg_discount": 6})
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def agg_minmax_orders(sf_dir: str):
+    """Min/Max/Mean/Std-free aggregate per order priority (AggMin/AggMax)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = ds.groupby("o_orderpriority").aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Mean("o_totalprice", alias_name="avg_price"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, {"avg_price": 6}).sort("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# joins (QueryIterHashJoin / OpLeftJoin / OpMinus / E_Exists)
+# --------------------------------------------------------------------------
+
+
+def revenue_by_nation(sf_dir: str):
+    """customer ⋈ nation (broadcast) ⋈ orders (hash join): revenue per nation.
+
+    nation+customer are the small build side — broadcast via ray.put and
+    probed per batch (no shuffle); orders→customer is a Dataset.join
+    hash-partitioned equi-join.
+    """
+    import ray
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    side = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    side_ref = ray.put(side)
+
+    class JoinSide:
+        def __init__(self, ref):
+            self.side = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.merge(self.side, left_on="o_custkey", right_on="c_custkey")
+            return out[["n_name", "o_totalprice"]]
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(
+        JoinSide,
+        fn_constructor_args=(side_ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue_cents"), Count(alias_name="n_orders")
+    )
+    return _int_scale_cols(out, {"revenue_cents": 100}).sort("n_name")
+
+
+def lineitem_order_join(sf_dir: str):
+    """Large-large hash join: lineitem ⋈ orders on orderkey, then aggregate
+    revenue per order status. Uses Dataset.join (hash-partitioned)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("o_orderstatus").aggregate(
+        Sum("revenue", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+    return _int_scale_cols(out, {"revenue_cents": 100}).sort("o_orderstatus")
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join (OpMinus / NOT EXISTS): customers with no high-value order
+    (totalprice > 300000). The key set of the subquery side is broadcast and
+    applied as a vectorized sorted-array membership mask per batch."""
+    import ray
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    hi = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    custkeys = hi.unique("o_custkey")
+    keyset_ref = ray.put(np.asarray(sorted(custkeys), dtype=np.int64))
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("c_custkey").to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            present = self.keys[idx] == ck
+            return t.filter(pa.array(~present))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(
+        AntiJoin, fn_constructor_args=(keyset_ref,), batch_format="pyarrow",
+        concurrency=(1, 4), num_cpus=1,
+    ).sort("c_custkey")
+
+
+def customers_with_orders_semi(sf_dir: str):
+    """Semi join (E_Exists): customers having ≥1 order — broadcast key set."""
+    import ray
+
+    custkeys = _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    keyset_ref = ray.put(np.asarray(sorted(custkeys), dtype=np.int64))
+
+    class SemiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("c_custkey").to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            present = self.keys[idx] == ck
+            return t.filter(pa.array(present))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(
+        SemiJoin, fn_constructor_args=(keyset_ref,), batch_format="pyarrow",
+        concurrency=(1, 4), num_cpus=1,
+    ).sort("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# sort / top-k / slice / distinct / union (OpOrder, OpTopN, OpSlice,
+# OpDistinct, OpUnion)
+# --------------------------------------------------------------------------
+
+
+def top10_orders(sf_dir: str):
+    """OpTopN: ORDER BY o_totalprice DESC LIMIT 10 (per-block heap would be
+    the optimization; Ray's sort+limit prunes blocks after the sort)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+def distinct_segments(sf_dir: str):
+    """OpDistinct over a 2-column projection."""
+    from jena_ray.stages.dedup import dedup_exact
+
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
+    return dedup_exact(ds, cols=("c_mktsegment", "c_nationkey")).sort(
+        ["c_mktsegment", "c_nationkey"]
+    )
+
+
+def union_parties(sf_dir: str):
+    """OpUnion: customers ∪ suppliers as (name, acctbal, kind)."""
+    cust = _read(sf_dir, "customer", columns=["c_name", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t["c_name"],
+                "acctbal": t["c_acctbal"],
+                "kind": pa.array(["customer"] * len(t)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_name", "s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t["s_name"],
+                "acctbal": t["s_acctbal"],
+                "kind": pa.array(["supplier"] * len(t)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp).sort(["kind", "name"])
+
+
+def filter_project_lineitem(sf_dir: str):
+    """Vectorized predicate + projection (ValidTripleFilterMapper analog on
+    relational data): quantity > 45 and discount < 0.05."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(t["l_quantity"], pa.scalar(45.0)),
+            pc.less(t["l_discount"], pa.scalar(0.05)),
+        )
+        return t.filter(mask).select(["l_orderkey", "l_linenumber", "l_quantity"])
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(["l_orderkey", "l_linenumber"])
+
+
+# --------------------------------------------------------------------------
+# event-stream windows (streaming-shaped; ray_guide §streaming)
+# --------------------------------------------------------------------------
+
+
+def events_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value).
+    Event time = ts floored to the hour; pure groupby — order-independent."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("value", alias_name="sum_value_micros"), Count(alias_name="n_events"))
+    )
+    return _int_scale_cols(out, {"sum_value_micros": 1_000_000}).sort(
+        ["event_type", "window_start"]
+    )
+
+
+def events_sessionize(sf_dir: str):
+    """Per-user running event count ordered by ts (window-function shape):
+    bucketed by user hash, vectorized cumcount within each bucket."""
+    from jena_ray.stages.dedup import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def runcount(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["run_idx"] = df.groupby("user_id", sort=False).cumcount() + 1
+        return df[["event_id", "user_id", "run_idx"]]
+
+    return bucketed_group_apply(ds, ["user_id"], runcount, num_buckets=16).sort(
+        ["user_id", "run_idx"]
+    )

@@ -105,6 +105,35 @@ def dedup_exact(
     return pre.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def bucketed_group_apply(
+    ds,
+    key_cols: Sequence[str],
+    fn,
+    *,
+    num_buckets: int = 64,
+    batch_format: str = "pandas",
+):
+    """Co-locate rows by key hash, then apply `fn` once per BUCKET (not per
+    key). `fn` receives all rows of a bucket (every key fully present) and
+    must handle its multiple keys vectorized (e.g. a pandas groupby inside).
+
+    This is the engine's generic partitioned-wide-op primitive: one Python
+    call per bucket instead of one per distinct key, which is what makes
+    high-cardinality groupbys viable (same trick as dedup_exact).
+    """
+    key_cols = list(key_cols)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return add_bucket(t, key_cols, num_buckets)
+
+    def apply(g):
+        out = fn(g.drop(columns=["_bucket"]) if hasattr(g, "drop") else g.drop_columns(["_bucket"]))
+        return out
+
+    pre = ds.map_batches(bucketize, batch_format="pyarrow")
+    return pre.groupby("_bucket").map_groups(apply, batch_format=batch_format)
+
+
 def pre_aggregated_count(ds, key_cols: Sequence[str], alias: str = "count"):
     """count() per key with map-side partial aggregation.
 

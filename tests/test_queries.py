@@ -1,0 +1,79 @@
+"""Driver-contract checks: representative __ray_entry__ queries vs their
+DuckDB oracles at sf0.001 (the full sweep runs via tools/check_correctness.py
+at sf0.01 — this keeps the pytest loop fast)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+REPRESENTATIVE = [
+    "kg_triples",
+    "kg_predicate_counts",
+    "kg_char_sets",
+    "q1_pricing_summary",
+    "lineitem_order_join",
+    "revenue_by_nation",
+    "customers_without_orders",
+    "top10_orders",
+    "union_parties",
+    "events_tumbling_window",
+    "events_sessionize",
+    "exact_dedup_docs",
+    "quality_scores",
+    "token_counts",
+    "ann_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.splitext(os.path.basename(f))[0]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return con
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_matches_oracle(ray_session, sf_dir, oracle_con, name):
+    import __ray_entry__ as E
+    from tools.check_correctness import canon, to_pandas
+
+    got = canon(to_pandas(E.queries()[name](sf_dir)))
+    exp = canon(oracle_con.execute(E.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"rows {len(got)} vs {len(exp)}"
+    assert got.equals(exp)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as E
+
+    ds = E.entry()
+    n = ds.count()
+    assert n > 0
+    assert set(ds.schema().names) >= {"subj", "pred", "obj"}
+
+
+def test_rows_only_queries_run(ray_session, sf_dir):
+    import __ray_entry__ as E
+    from tools.check_correctness import to_pandas
+
+    qs = E.queries()
+    for name in ("minhash_candidate_pairs", "simhash_docs", "doc_fingerprints",
+                 "ann_lsh_buckets", "kg_triples_all"):
+        df = to_pandas(qs[name](sf_dir))
+        assert len(df) >= 0  # runs without error; determinism asserted below
+
+
+def test_fingerprints_deterministic(ray_session, sf_dir):
+    import __ray_entry__ as E
+    from tools.check_correctness import to_pandas
+
+    a = to_pandas(E.queries()["doc_fingerprints"](sf_dir))
+    b = to_pandas(E.queries()["doc_fingerprints"](sf_dir))
+    assert a.equals(b)
