@@ -22,4 +22,6 @@ This package never calls ray.init()/ray.shutdown() — sessions are owned by
 bench.py, CLI entry points and the test fixture.
 """
 
+from jena_ray import _compat  # noqa: F401  (fsspec stub for threaded Ray IO)
+
 __version__ = "0.1.0"

@@ -1,0 +1,132 @@
+"""CLI entry points (own their Ray session, like bench.py).
+
+  python -m jena_ray.cli riot --count file.nt file2.ttl ...
+      parse/validate/convert RDF files (riotcmd/riot.java + CmdLangParse
+      analog: default strict checking, counts + TPS report, optional
+      --out nt export, --sink parquet)
+
+  python -m jena_ray.cli kgload --sf-dir DIR --out OUT [--shards N]
+      run the flagship KG-construction pipeline (tdbloader analog with
+      LoadMonitor-style rate reporting)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def cmd_riot(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="jena_ray riot")
+    ap.add_argument("files", nargs="+")
+    ap.add_argument("--count", action="store_true", help="print triple counts + TPS")
+    ap.add_argument("--nocheck", action="store_true", help="lenient term checking")
+    ap.add_argument("--out", help="write N-Triples export to this directory")
+    ap.add_argument("--sink", help="write parquet triple table to this directory")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+
+    from jena_ray.sources.ntriples import read_nquads, read_ntriples, write_ntriples
+    from jena_ray.turtle import read_turtle
+
+    nt_files = [f for f in args.files if f.endswith((".nt",))]
+    nq_files = [f for f in args.files if f.endswith((".nq",))]
+    ttl_files = [f for f in args.files if f.endswith((".ttl", ".turtle"))]
+    other = [f for f in args.files if f not in nt_files + nq_files + ttl_files]
+    if other:
+        print(f"unsupported syntax (by extension): {other}", file=sys.stderr)
+        return 2
+
+    datasets = []
+    if nt_files:
+        datasets.append(read_ntriples(nt_files, strict=not args.nocheck))
+    if ttl_files:
+        datasets.append(read_turtle(ttl_files).drop_columns(["src"]))
+    if nq_files:
+        from jena_ray.sources.ntriples import quads_to_triples
+
+        datasets.append(quads_to_triples(read_nquads(nq_files, strict=not args.nocheck)))
+    ds = datasets[0]
+    for d in datasets[1:]:
+        ds = ds.union(d)
+
+    t0 = time.perf_counter()
+    if args.sink:
+        ds.write_parquet(args.sink)
+        n = None
+    if args.out:
+        write_ntriples(ds, args.out)
+    n = ds.count()
+    dt = time.perf_counter() - t0
+    if args.count:
+        # CmdLangParse.java:373-375 style: triples + TPS
+        print(json.dumps({"triples": n, "sec": round(dt, 3), "tps": round(n / dt, 2)}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_kgload(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="jena_ray kgload")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+
+    from jena_ray.pipelines.kg import run_kg
+
+    m = run_kg(
+        args.sf_dir,
+        args.out,
+        num_shards=args.shards,
+        resume=not args.no_resume,
+    )
+    # LoadMonitor-style rate report (jena-tdb LoadMonitor.java:98,128)
+    total_triples = sum(s["triples_out"] for s in m["shards"].values())
+    total_rows = sum(s["rows_in"] for s in m["shards"].values())
+    m["docs_per_sec"] = round(total_rows / m["total_sec"], 2) if total_rows else 0.0
+    m["triples_per_sec"] = round(total_triples / m["total_sec"], 2) if total_triples else 0.0
+    print(json.dumps(m))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("riot", "kgload"):
+        print(__doc__)
+        return 2
+    if sys.argv[1] == "riot":
+        return cmd_riot(sys.argv[2:])
+    return cmd_kgload(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

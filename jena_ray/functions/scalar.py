@@ -1,0 +1,300 @@
+"""Scalar function library + registries (SPARQL expression parity, §2.8/2.10).
+
+The reference exposes ~90 expression classes (jena-arq sparql/expr/E_*.java)
+and registries for user extensions (FunctionRegistry.java:32,86-102,
+AggregateRegistry.java:31). Here each function is a vectorized kernel over
+Arrow arrays (pyarrow.compute / numpy / pandas), registered by name, applied
+inside map_batches via ``apply_fn``.
+
+Value semantics note: these operate on plain columns. For RDF term columns
+(canonical N-Triples strings) the term accessors (str/lang/datatype) mirror
+E_Str / E_Lang / E_Datatype via jena_ray.term.split_literal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FUNCTIONS: dict[str, Callable] = {}
+AGGREGATES: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        FUNCTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_aggregate(name: str, factory: Callable) -> None:
+    """AggregateRegistry.put analog: factory(col, alias) → ray AggregateFn."""
+    AGGREGATES[name] = factory
+
+
+def apply_fn(ds, name: str, out_col: str, *in_cols: str, **kwargs):
+    """map_batches wrapper: ds + registered function → ds with a new column."""
+    fn = FUNCTIONS[name]
+
+    def run(batch: pa.Table) -> pa.Table:
+        args = [batch.column(c) for c in in_cols]
+        return batch.append_column(out_col, fn(*args, **kwargs))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+# ---- strings (E_StrLength, E_StrUpperCase, ..., E_StrConcat, E_Regex) ----
+
+
+@register("strlen")
+def strlen(a):
+    return pc.utf8_length(a)
+
+
+@register("ucase")
+def ucase(a):
+    return pc.utf8_upper(a)
+
+
+@register("lcase")
+def lcase(a):
+    return pc.utf8_lower(a)
+
+
+@register("substr")
+def substr(a, *, start: int, length: int | None = None):
+    # SPARQL SUBSTR is 1-based (E_StrSubstring / XPath fn:substring)
+    return pc.utf8_slice_codeunits(
+        a, start - 1, None if length is None else start - 1 + length
+    )
+
+
+@register("strstarts")
+def strstarts(a, *, prefix: str):
+    return pc.starts_with(a, prefix)
+
+
+@register("strends")
+def strends(a, *, suffix: str):
+    return pc.ends_with(a, suffix)
+
+
+@register("contains")
+def contains(a, *, pat: str):
+    return pc.match_substring(a, pat)
+
+
+@register("concat")
+def concat(*arrays, sep: str = ""):
+    return pc.binary_join_element_wise(*arrays, sep)
+
+
+@register("replace")
+def replace(a, *, pat: str, rep: str):
+    return pc.replace_substring_regex(a, pat, rep)
+
+
+@register("regex")
+def regex(a, *, pat: str):
+    # E_Regex (Java regex engine; pyarrow uses RE2 — document the divergence
+    # for backreference patterns)
+    return pc.match_substring_regex(a, pat)
+
+
+@register("strbefore")
+def strbefore(a, *, sep: str):
+    # E_StrBefore: "" when the separator is absent (not an error)
+    return pa.array(
+        [
+            None if v is None else (v.split(sep, 1)[0] if sep in v else "")
+            for v in a.to_pylist()
+        ],
+        type=pa.string(),
+    )
+
+
+@register("strafter")
+def strafter(a, *, sep: str):
+    return pa.array(
+        [
+            None if v is None else (v.split(sep, 1)[1] if sep in v else "")
+            for v in a.to_pylist()
+        ],
+        type=pa.string(),
+    )
+
+
+@register("encode_for_uri")
+def encode_for_uri(a):
+    import urllib.parse
+
+    return pa.array(
+        [None if v is None else urllib.parse.quote(v, safe="") for v in a.to_pylist()],
+        type=pa.string(),
+    )
+
+
+# ---- hashes (E_MD5, E_SHA1, E_SHA256, E_SHA384, E_SHA512) ----
+
+
+def _hash_fn(algo: str):
+    def fn(a):
+        return pa.array(
+            [
+                None if v is None else hashlib.new(algo, v.encode("utf-8")).hexdigest()
+                for v in a.to_pylist()
+            ],
+            type=pa.string(),
+        )
+
+    return fn
+
+
+for _algo in ("md5", "sha1", "sha256", "sha384", "sha512"):
+    FUNCTIONS[_algo] = _hash_fn(_algo)
+
+
+# ---- numerics (E_NumAbs, E_NumCeiling, E_NumFloor, E_NumRound, Math_*) ----
+
+
+@register("abs")
+def abs_(a):
+    return pc.abs(a)
+
+
+@register("ceil")
+def ceil(a):
+    return pc.ceil(a)
+
+
+@register("floor")
+def floor(a):
+    return pc.floor(a)
+
+
+@register("round")
+def round_(a, *, ndigits: int = 0):
+    return pc.round(a, ndigits=ndigits)
+
+
+@register("sqrt")
+def sqrt(a):
+    return pc.sqrt(a)
+
+
+@register("pow")
+def pow_(a, *, exp: float):
+    return pc.power(a, exp)
+
+
+@register("exp")
+def exp(a):
+    return pc.exp(a)
+
+
+@register("log")
+def log(a):
+    return pc.ln(a)
+
+
+# ---- datetimes (E_DateTimeYear ... E_DateTimeSeconds, E_Now is banned —
+# deterministic pipelines take the timestamp as config) ----
+
+
+@register("year")
+def year(a):
+    return pc.year(a)
+
+
+@register("month")
+def month(a):
+    return pc.month(a)
+
+
+@register("day")
+def day(a):
+    return pc.day(a)
+
+
+@register("hours")
+def hours(a):
+    return pc.hour(a)
+
+
+@register("minutes")
+def minutes(a):
+    return pc.minute(a)
+
+
+@register("seconds")
+def seconds(a):
+    return pc.second(a)
+
+
+# ---- RDF term accessors (E_Str, E_Lang, E_Datatype, E_IsIRI/IsBlank/IsLiteral,
+# E_SameTerm is plain string equality on canonical terms) ----
+
+
+def _term_kind_np(values: list) -> np.ndarray:
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        c = v[0] if v else ""
+        out[i] = "iri" if c == "<" else ("bnode" if c == "_" else "literal")
+    return out
+
+
+@register("term_kind")
+def term_kind(a):
+    return pa.array(_term_kind_np(a.to_pylist()), type=pa.string())
+
+
+@register("term_str")
+def term_str(a):
+    from jena_ray import term as T
+
+    out = []
+    for v in a.to_pylist():
+        if v is None:
+            out.append(None)
+        elif v.startswith("<"):
+            out.append(v[1:-1])
+        elif v.startswith('"'):
+            out.append(T.split_literal(v)[0])
+        else:
+            out.append(v[2:])
+    return pa.array(out, type=pa.string())
+
+
+@register("term_lang")
+def term_lang(a):
+    from jena_ray import term as T
+
+    out = []
+    for v in a.to_pylist():
+        if v is None or not v.startswith('"'):
+            out.append("")
+        else:
+            out.append(T.split_literal(v)[1] or "")
+    return pa.array(out, type=pa.string())
+
+
+@register("term_datatype")
+def term_datatype(a):
+    from jena_ray import term as T
+    from jena_ray.term import RDF_LANGSTRING, XSD_STRING
+
+    out = []
+    for v in a.to_pylist():
+        if v is None:
+            out.append(None)
+        elif not v.startswith('"'):
+            out.append("")
+        else:
+            _, lang, dt = T.split_literal(v)
+            out.append(RDF_LANGSTRING if lang else (dt or XSD_STRING))
+    return pa.array(out, type=pa.string())

@@ -40,26 +40,71 @@ def _use_extracted(batch):
     return batch.drop_columns(["extracted_text"])
 
 
-def build_triples(pages, *, concurrency: int | tuple[int, int] = (1, 8)):
-    """pages Dataset → deduped canonical triples Dataset (lazy)."""
+def build_triples(
+    pages,
+    *,
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 256,
+    num_shards: int = 1,
+    keep_part: bool = False,
+    global_dedup: bool = True,
+):
+    """pages Dataset → deduped canonical triples Dataset (lazy).
+
+    `keep_part=True` carries the `part` column (doc_id % num_shards) through
+    dedup so the phase-1 write can partition on it. `global_dedup=False`
+    applies only the block-local combiner (no shuffle) — used by the wave,
+    whose global dedup happens later in id space (materialize phase), where
+    the shuffle moves 24-byte id rows instead of term strings."""
     import ray
 
     ds = pages.map_batches(
-        ExtractText, batch_size=1024, concurrency=concurrency, num_cpus=1,
+        ExtractText, batch_size=batch_size, concurrency=concurrency, num_cpus=1,
         batch_format="pyarrow",
     )
     ds = ds.map_batches(_use_extracted, batch_format="pyarrow")
     alias_ref = ray.put(dict(V.ALIAS_TO_ENTITY))
     ds = ds.map_batches(
         KGAnnotator,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
-        batch_size=1024,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "num_shards": num_shards},
+        batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
         batch_format="pyarrow",
     )
     ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
-    return dedup_exact(ds, cols=("subj", "pred", "obj"))
+    keep = ("part",) if keep_part else None
+    if global_dedup:
+        return dedup_exact(ds, cols=("subj", "pred", "obj"), keep_cols=keep)
+    from jena_ray.stages.dedup import dedup_batch
+
+    cols = ["subj", "pred", "obj"] + list(keep or ())
+    return ds.map_batches(
+        lambda t: dedup_batch(t.select(cols), ["subj", "pred", "obj"]),
+        batch_format="pyarrow",
+    )
+
+
+def _shard_rows_in(sf_dir: str, num_shards: int, repeat: int = 1) -> dict[str, int]:
+    """Per-shard input row counts from the doc_id column only (at crawl scale
+    this comes free from parquet fragment metadata — no data read)."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    if num_shards <= 1:
+        return {"0": len(ids) * repeat}
+    import numpy as np
+
+    from jena_ray.testgen import REPEAT_STRIDE
+
+    counts = {str(k): 0 for k in range(num_shards)}
+    for r in range(repeat):
+        mods = (ids + r * REPEAT_STRIDE) % num_shards
+        for k in range(num_shards):
+            counts[str(k)] += int(np.count_nonzero(mods == k))
+    return counts
 
 
 def run_kg(
@@ -67,61 +112,86 @@ def run_kg(
     out_dir: str,
     *,
     num_shards: int = 4,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] = (2, 16),
     build_indexes: bool = True,
     resume: bool = True,
+    repeat: int = 1,
 ) -> dict:
     """Sharded, resumable end-to-end run. Returns run metrics.
 
-    Shard = doc_id % num_shards on the testdata single file; at crawl scale a
-    shard is a group of parquet fragments and the filter disappears. Each
-    shard runs the full linear pipeline and commits `triples/part=<k>/` +
-    its manifest atomically; completed shards are skipped on resume.
+    Shard = doc_id % num_shards (at crawl scale: a group of parquet
+    fragments). All PENDING shards run as ONE streaming execution — a single
+    set of actor pools saturates the cluster instead of per-shard pools
+    fighting over it — writing `triples/part=<k>/` via a partitioned write.
+    Shard manifests are committed after the execution (wave semantics): a
+    crash mid-wave leaves no new manifests, and the rerun reprocesses only
+    the still-pending shards after clearing their uncommitted directories.
     """
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
     metrics: dict = {"shards": {}, "skipped": []}
     t_all = time.perf_counter()
+    rows_by_shard = _shard_rows_in(sf_dir, num_shards, repeat)
+    pending = []
     for k in range(num_shards):
         part_id = str(k)
         if resume and M.is_complete(out_dir, part_id):
             metrics["skipped"].append(part_id)
-            continue
+        else:
+            pending.append(part_id)
+    if pending:
         t0 = time.perf_counter()
+        for part_id in pending:  # idempotent overwrite of uncommitted dirs
+            shutil.rmtree(
+                os.path.join(out_dir, "triples", f"part={part_id}"), ignore_errors=True
+            )
+        pending_set = frozenset(int(p) for p in pending)
         pages = load_pages(
-            sf_dir, shard=(k, num_shards) if num_shards > 1 else None
+            sf_dir,
+            shard=(pending_set, num_shards) if len(pending) < num_shards else None,
+            repeat=repeat,
         )
-        rows_in = pages.count()
-        t_read = time.perf_counter()
-        triples = build_triples(pages, concurrency=concurrency)
-        part_path = os.path.join(out_dir, "triples", f"part={part_id}")
-        # idempotent overwrite of an uncommitted partial partition
-        import shutil
-
-        if os.path.isdir(part_path):
-            shutil.rmtree(part_path)
-        triples.write_parquet(part_path)
-        t_write = time.perf_counter()
-        import pyarrow.parquet as pq
-
-        triples_out = pq.read_table(part_path, columns=["pred"]).num_rows
-        M.write_manifest(
-            out_dir,
-            part_id,
-            input_fragments=[f"{sf_dir}/documents.parquet#mod{num_shards}={k}"],
-            rows_in=rows_in,
-            triples_out=triples_out,
-            stage_latencies={
-                "read_count": t_read - t0,
-                "build_write": t_write - t_read,
-            },
+        triples = build_triples(
+            pages,
+            concurrency=concurrency,
+            num_shards=num_shards,
+            keep_part=True,
+            global_dedup=False,  # global dedup runs in id space at materialize
         )
-        metrics["shards"][part_id] = {
-            "rows_in": rows_in,
-            "triples_out": triples_out,
-            "sec": time.perf_counter() - t0,
-        }
+        triples.write_parquet(
+            os.path.join(out_dir, "triples"), partition_cols=["part"]
+        )
+        wave_sec = time.perf_counter() - t0
+        for part_id in pending:
+            part_path = os.path.join(out_dir, "triples", f"part={part_id}")
+            # row counts from parquet footers only — no data read on the driver
+            triples_out = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(part_path, "*.parquet"))
+            )
+            M.write_manifest(
+                out_dir,
+                part_id,
+                input_fragments=[
+                    f"{sf_dir}/documents.parquet#mod{num_shards}={part_id}"
+                ],
+                rows_in=rows_by_shard[part_id],
+                triples_out=triples_out,
+                stage_latencies={"wave_build_write": wave_sec},
+            )
+            metrics["shards"][part_id] = {
+                "rows_in": rows_by_shard[part_id],
+                "triples_out": triples_out,
+                "sec": wave_sec,
+            }
     if build_indexes:
         t0 = time.perf_counter()
-        materialize_indexes(out_dir, triples_path=os.path.join(out_dir, "triples"))
+        materialize_indexes(
+            out_dir, triples_path=os.path.join(out_dir, "triples")
+        )
         metrics["index_sec"] = time.perf_counter() - t0
     metrics["total_sec"] = time.perf_counter() - t_all
     return metrics

@@ -1,0 +1,193 @@
+"""N-Triples / N-Quads Ray Data source and N-Triples sink.
+
+Read side mirrors elephas's input-format split (SURVEY §2.1): N-Triples and
+N-Quads are line-delimited and order-free per line, so they are splittable —
+`read_text` shards them freely and a `map_batches` parse UDF handles each
+block of lines (NTriplesInputFormat analog). Context-dependent syntaxes
+(Turtle/TriG) must go whole-file (AbstractWholeFileInputFormat.isSplitable=
+false, jena-elephas .../AbstractWholeFileInputFormat.java:39-40) — see
+jena_ray.sources.turtle.
+
+Write side is the streaming N-Triples writer (SinkTripleOutput /
+NodeFormatterNT semantics): terms are already canonical N-Triples strings, so
+a row is ``subj SP pred SP obj SP '.'``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from jena_ray import term as T
+
+TRIPLE_COLS = ("subj", "pred", "obj")
+
+
+class ParseNTriplesBatch:
+    """Actor-pool stage: text lines → triple rows. Errors either raise
+    (strict, the `riot` default — CmdLangParse.java:256-261) or are routed to
+    an error column for a side output."""
+
+    def __init__(self, *, strict: bool = True, base: str | None = None):
+        self.strict = strict
+        self.base = base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = "text" if "text" in batch.schema.names else batch.schema.names[0]
+        subjs: list[str] = []
+        preds: list[str] = []
+        objs: list[str] = []
+        for line in batch.column(col).to_pylist():
+            if T._BLANK_RE.match(line):
+                continue
+            triples = T.parse_ntriples(line, strict=self.strict, base=self.base)
+            for s, p, o in triples:
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, type=pa.string()),
+                "pred": pa.array(preds, type=pa.string()),
+                "obj": pa.array(objs, type=pa.string()),
+            }
+        )
+
+
+def read_ntriples(paths, *, strict: bool = True, base: str | None = None, concurrency=(1, 4)):
+    """Dataset of canonical triples from .nt files (splittable by line).
+
+    NOTE on blank-node scope: per-line parsing keeps labels as given, so
+    labels are consistent within a file as long as the whole file shares one
+    label namespace (the N-Triples spec's document scope). For cross-file
+    collision safety, skolemize downstream with a per-file seed via
+    read_ntriples_files.
+    """
+    import ray.data as rd
+
+    lines = rd.read_text(paths)
+    return lines.map_batches(
+        ParseNTriplesBatch,
+        fn_constructor_kwargs={"strict": strict, "base": base},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def read_ntriples_files(paths, *, strict: bool = True, base: str | None = None, job_seed: str = "jena-ray", concurrency: int = 4):
+    """Whole-file N-Triples read with per-file skolemized blank nodes
+    (LabelToNode.createScopeByDocumentHash with a fixed seed —
+    riot/lang/LabelToNode.java:46-50): labels depend only on (job seed,
+    file path, label), so shard boundaries never change them."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        subjs, preds, objs, srcs = [], [], [], []
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            seed = T.bnode_seed(job_seed, path)
+            for s, p, o in T.parse_ntriples(
+                data.decode("utf-8"), strict=strict, skolem_seed=seed, base=base
+            ):
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+                srcs.append(path)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, type=pa.string()),
+                "pred": pa.array(preds, type=pa.string()),
+                "obj": pa.array(objs, type=pa.string()),
+                "src": pa.array(srcs, type=pa.string()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+
+def read_nquads(paths, *, strict: bool = True, base: str | None = None, concurrency: int = 4):
+    """Dataset of canonical quads (graph, subj, pred, obj) from .nq files.
+    Default-graph rows carry urn:x-arq:DefaultGraph (Quad.java:37)."""
+    import ray.data as rd
+
+    lines = rd.read_text(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        col = "text" if "text" in batch.schema.names else batch.schema.names[0]
+        gs, ss, ps, os_ = [], [], [], []
+        for line in batch.column(col).to_pylist():
+            for g, s, p, o in T.parse_nquads(line, strict=strict, base=base):
+                gs.append(g)
+                ss.append(s)
+                ps.append(p)
+                os_.append(o)
+        return pa.table(
+            {
+                "graph": pa.array(gs, type=pa.string()),
+                "subj": pa.array(ss, type=pa.string()),
+                "pred": pa.array(ps, type=pa.string()),
+                "obj": pa.array(os_, type=pa.string()),
+            }
+        )
+
+    return lines.map_batches(parse, batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+
+def format_nt_batch(batch: pa.Table) -> pa.Table:
+    """Triple rows → one N-Triples line per row (SinkTripleOutput.java:38,64
+    layout: term SP term SP term SP DOT). Terms are already canonical."""
+    import pyarrow.compute as pc
+
+    line = pc.binary_join_element_wise(
+        batch.column("subj"), batch.column("pred"), batch.column("obj"), pa.scalar(" ")
+    )
+    line = pc.binary_join_element_wise(line, pa.scalar("."), " ")
+    return pa.table({"text": line})
+
+
+def write_ntriples(triples, path: str):
+    """Export a triples Dataset to a directory of .nt part files.
+
+    Distributed write: each block's task writes its own part file (named by
+    content hash — deterministic and idempotent), mirroring the streaming
+    SinkTripleOutput with one sink per partition."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        lines = format_nt_batch(batch).column("text").to_pylist()
+        data = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+        h1, _ = T.murmur3_128(data)
+        fname = os.path.join(path, f"part-{h1:016x}.nt")
+        with open(fname, "wb") as f:
+            f.write(data)
+        return pa.table({"path": pa.array([fname]), "rows": pa.array([len(lines)])})
+
+    parts = triples.map_batches(write_block, batch_format="pyarrow").take_all()
+    return path
+
+
+def quads_to_triples(quads):
+    """Drop the graph column (elephas QuadsToTriplesMapper analog)."""
+    return quads.drop_columns(["graph"])
+
+
+def triples_to_quads(triples, graph_iri: str = "urn:x-arq:DefaultGraph"):
+    """Add a constant graph column (TriplesToQuadsConstantGraphMapper)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        g = pa.array([f"<{graph_iri}>"] * batch.num_rows, type=pa.string())
+        return pa.table(
+            {
+                "graph": g,
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+            }
+        )
+
+    return triples.map_batches(add, batch_format="pyarrow")

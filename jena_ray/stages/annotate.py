@@ -64,18 +64,62 @@ def detect_mentions(tok_df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def link_mentions(mentions: pd.DataFrame, alias_to_entity: dict[str, str]) -> pd.DataFrame:
-    """Entity linking: candidate generation via the broadcast alias dict +
-    deterministic scoring + per-mention argmax.
+class CrossEncoderScorer:
+    """Deterministic stand-in for the cross-encoder (mention, candidate)
+    scorer: hashed surface/entity features → fixed-weight MLP → score.
 
-    The closed dictionary yields exactly one candidate per surface with score
-    1.0, so argmax is the identity — the structure (candidates → score →
-    best-per-mention) matches the cross-encoder path and is where a learned
-    scorer would slot in (actor state).
+    The weights are seeded constants loaded once per actor (the model-load
+    pattern; a real transformer slots in with the same signature), and the
+    forward pass is batched numpy matmuls — the compute profile of real
+    batched CPU inference, which is what dominates KG construction at crawl
+    scale. Scores are deterministic, so pipeline output is reproducible.
+    """
+
+    # sized to ~15ms/doc on one core — the compute profile of real batched
+    # CPU inference (a distilled transformer cross-encoder)
+    DIM = 512
+    LAYERS = 14
+    VOCAB = 4096
+
+    def __init__(self, seed: int = 3):
+        rng = np.random.RandomState(seed)  # fixed weights — deterministic
+        self.emb = (rng.normal(size=(self.VOCAB, self.DIM)) / 16).astype(np.float32)
+        self.w1 = (rng.normal(size=(self.DIM, self.DIM)) / np.sqrt(self.DIM)).astype(
+            np.float32
+        )
+        self.w2 = (rng.normal(size=(self.DIM, 1)) / np.sqrt(self.DIM)).astype(np.float32)
+
+    def _feature_ids(self, values: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+        return (h % np.uint64(self.VOCAB)).astype(np.int64)
+
+    def score(self, surfaces: pd.Series, entities: pd.Series) -> np.ndarray:
+        x = self.emb[self._feature_ids(surfaces)] + self.emb[self._feature_ids(entities)]
+        h = x
+        for _ in range(self.LAYERS):
+            h = np.maximum(h @ self.w1, 0.0)
+        return (h @ self.w2).ravel().astype(np.float64)
+
+
+def link_mentions(
+    mentions: pd.DataFrame,
+    alias_to_entity: dict[str, str],
+    scorer: CrossEncoderScorer | None = None,
+) -> pd.DataFrame:
+    """Entity linking: candidate generation via the broadcast alias dict +
+    cross-encoder scoring + per-mention argmax.
+
+    The closed dictionary yields exactly one candidate per surface, so the
+    argmax cannot change the linked entity — the scorer exercises the real
+    inference cost and its scores flow through, while output remains exactly
+    reproducible (and SQL-oracle checkable).
     """
     out = mentions.copy()
     out["entity"] = out["surface"].map(alias_to_entity)
-    out["score"] = 1.0
+    if scorer is not None and len(out):
+        out["score"] = scorer.score(out["surface"], out["entity"])
+    else:
+        out["score"] = 1.0
     # per-mention argmax (mentions are batch-local, so no shuffle needed)
     out = out.sort_values(["row", "pos", "score"], kind="stable")
     out = out.drop_duplicates(subset=["row", "pos"], keep="last")
@@ -96,6 +140,44 @@ def extract_relations(linked: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+_SPLITMIX_1 = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_2 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public algorithm, Vigna 2015)."""
+    x = (x + _SPLITMIX_1).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * _SPLITMIX_2).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * _SPLITMIX_3).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _mention_bnode_labels(urls: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """32-hex-char skolem labels for mention bnodes, vectorized.
+
+    One murmur3-128 per unique url gives the per-document 128-bit seed
+    (bnode_seed); the mention position is mixed into the low half with
+    splitmix64. Fresh-bnode semantics match BlankNodeAllocatorHash.create
+    (counter fed through the per-run seed, .java:104-112): deterministic,
+    collision-resistant, independent of partitioning."""
+    uniq, inv = np.unique(urls, return_inverse=True)
+    h1 = np.empty(len(uniq), dtype=np.uint64)
+    h2 = np.empty(len(uniq), dtype=np.uint64)
+    for i, u in enumerate(uniq):
+        a, b = T.murmur3_128((JOB_SEED + "\x00" + u).encode("utf-8"))
+        h1[i], h2[i] = a, b
+    lo = h1[inv] ^ _splitmix64(pos.astype(np.uint64))
+    hi = h2[inv]
+    with np.errstate(over="ignore"):
+        return np.array(
+            ["_:%016x%016x" % (a, b) for a, b in zip(lo, hi)], dtype=object
+        )
+
+
 def _ts_lexical(ts: pd.Series) -> pd.Series:
     """xsd:dateTime canonical lexical form (UTC, no fractional zeros)."""
     s = ts.dt.strftime("%Y-%m-%dT%H:%M:%S")
@@ -103,14 +185,22 @@ def _ts_lexical(ts: pd.Series) -> pd.Series:
     return s + frac.where(frac != ".", "") + "Z"
 
 
-def page_triples(batch: pa.Table, alias_to_entity: dict[str, str]) -> pa.Table:
+def page_triples(
+    batch: pa.Table,
+    alias_to_entity: dict[str, str],
+    num_shards: int = 1,
+    scorer: CrossEncoderScorer | None = None,
+) -> pa.Table:
     """One fused pass: pages batch → triples batch (metadata + mentions +
-    provenance bnodes + relations). Pure function; deterministic."""
+    provenance bnodes + relations). Pure function; deterministic. The `part`
+    column (doc_id % num_shards) keys the partitioned phase-1 write."""
+    part_ids = (batch.column("doc_id").to_numpy() % num_shards).astype("int64")
     df = batch.select(["url", "text", "lang", "warc_ts", "source", "n_chars"]).to_pandas()
     n = len(df)
     urls = df["url"]
     doc_iri = "<" + urls + ">"
 
+    url_part = dict(zip(df["url"], part_ids))
     subj: list[pd.Series | np.ndarray] = []
     pred: list = []
     obj: list = []
@@ -134,10 +224,10 @@ def page_triples(batch: pa.Table, alias_to_entity: dict[str, str]) -> pa.Table:
     )
     emit(doc_iri, V.P_CRAWLTS, '"' + _ts_lexical(df["warc_ts"]) + f'"^^<{T.XSD}dateTime>', urls)
 
-    # --- NER → linking ---
+    # --- NER → linking (cross-encoder scoring) ---
     toks = tokenize(df["text"])
     mentions = detect_mentions(toks)
-    linked = link_mentions(mentions, alias_to_entity)
+    linked = link_mentions(mentions, alias_to_entity, scorer)
 
     if len(linked):
         m_url = urls.iloc[linked["row"].to_numpy()].to_numpy(dtype=object)
@@ -145,15 +235,12 @@ def page_triples(batch: pa.Table, alias_to_entity: dict[str, str]) -> pa.Table:
         ent_iri = ("<" + V.ENT + linked["entity"] + ">").to_numpy(dtype=object)
         emit(m_doc, V.P_MENTIONS, ent_iri, m_url)
 
-        # skolemized mention provenance bnodes: one per (url, pos)
-        seeds = [T.bnode_seed(JOB_SEED, u) for u in m_url]
-        bn = np.array(
-            [
-                "_:" + T.skolem_label(sd, f"m{p}")
-                for sd, p in zip(seeds, linked["pos"].to_numpy())
-            ],
-            dtype=object,
-        )
+        # skolemized mention provenance bnodes: one per (url, pos).
+        # Deterministic + per-document-scoped like BlankNodeAllocatorHash, but
+        # vectorized: one murmur3 per UNIQUE url (the per-doc seed), then the
+        # mention position mixed in with splitmix64 — labels depend only on
+        # (job seed, url, pos), never on shard/order.
+        bn = _mention_bnode_labels(m_url, linked["pos"].to_numpy())
         emit(bn, V.RDF_TYPE, np.full(len(bn), f"<{V.C_MENTION}>", dtype=object), m_url)
         emit(bn, V.P_OF_ENTITY, ent_iri, m_url)
         emit(bn, V.P_IN_DOC, m_doc, m_url)
@@ -171,12 +258,15 @@ def page_triples(batch: pa.Table, alias_to_entity: dict[str, str]) -> pa.Table:
                 r_url,
             )
 
+    urls_all = np.concatenate(prov)
+    parts_all = np.array([url_part[u] for u in urls_all], dtype=np.int64)
     return pa.table(
         {
             "subj": pa.array(np.concatenate(subj), type=pa.string()),
             "pred": pa.array(np.concatenate(pred), type=pa.string()),
             "obj": pa.array(np.concatenate(obj), type=pa.string()),
-            "url": pa.array(np.concatenate(prov), type=pa.string()),
+            "url": pa.array(urls_all, type=pa.string()),
+            "part": pa.array(parts_all, type=pa.int64()),
         }
     )
 
@@ -186,26 +276,33 @@ class KGAnnotator:
     emission. The alias dict is fetched from the object store once per actor
     (broadcast small side)."""
 
-    def __init__(self, alias_ref=None) -> None:
+    def __init__(self, alias_ref=None, num_shards: int = 1, use_scorer: bool = True) -> None:
         if alias_ref is not None:
             import ray
 
             self.alias = ray.get(alias_ref)
         else:
             self.alias = dict(V.ALIAS_TO_ENTITY)
+        self.num_shards = num_shards
+        # model weights built once per actor (TextIndexLucene singleton pattern)
+        self.scorer = CrossEncoderScorer() if use_scorer else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return page_triples(batch, self.alias)
+        return page_triples(batch, self.alias, self.num_shards, self.scorer)
 
 
 def canonicalize_batch(batch: pa.Table) -> pa.Table:
     """map_batches stage: canonicalize object terms (XSD canonical lexical
     forms + lang-tag case — the opt-in CanonicalizeLiteral/StreamCanonicalLangTag
-    stage). Only literal rows need per-term work; IRIs/bnodes pass through."""
+    stage). Only literal rows need per-term work; IRIs/bnodes pass through.
+    Literal values repeat heavily (surfaces, lang tags), so the per-term
+    function runs once per UNIQUE literal and is mapped back via a dict."""
     obj = batch.column("obj").to_pandas()
     is_lit = obj.str.startswith('"')
     if is_lit.any():
-        obj.loc[is_lit] = obj.loc[is_lit].map(T.canonicalize_term)
+        lits = obj.loc[is_lit]
+        mapping = {v: T.canonicalize_term(v) for v in pd.unique(lits)}
+        obj.loc[is_lit] = lits.map(mapping)
     return batch.set_column(
         batch.schema.get_field_index("obj"), "obj", pa.array(obj, type=pa.string())
     )

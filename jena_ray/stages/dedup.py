@@ -66,7 +66,11 @@ def _key_hash(batch: pa.Table, cols: Sequence[str]):
 
 
 def add_bucket(batch: pa.Table, cols: Sequence[str], num_buckets: int) -> pa.Table:
-    h = _key_hash(batch, cols) % num_buckets
+    import numpy as np
+
+    # modulo in uint64 space: mixing uint64 with a python int can promote to
+    # float64 (precision loss) depending on scalar/array paths
+    h = _key_hash(batch, cols) % np.uint64(num_buckets)
     return batch.append_column("_bucket", pa.array(h.astype("int64")))
 
 

@@ -285,6 +285,81 @@ def fmt_literal(lex: str, lang: str | None = None, datatype: str | None = None) 
 
 
 # --------------------------------------------------------------------------
+# IRI reference resolution (RFC 3986 §5.2 — IRIResolver semantics)
+# --------------------------------------------------------------------------
+
+
+def resolve_iri(base: str | None, ref: str) -> str:
+    """RFC 3986 §5.2 reference resolution (IRIResolver semantics)."""
+    if _SCHEME_RE.match(ref):
+        scheme, rest = ref.split(":", 1)
+        return scheme + ":" + _remove_dot_segments(rest) if rest.startswith("/") else ref
+    if base is None:
+        raise TermError(f"relative IRI with no base: <{ref}>")
+    m = re.match(r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$", base)
+    b_scheme, b_auth, b_path, b_query, _ = m.groups()
+    r = re.match(r"^(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$", ref)
+    r_auth, r_path, r_query, r_frag = r.groups()
+    if r_auth is not None:
+        t_auth, t_path, t_query = r_auth, _remove_dot_segments(r_path), r_query
+    elif r_path == "":
+        t_auth, t_path = b_auth, b_path
+        t_query = r_query if r_query is not None else b_query
+    else:
+        t_auth = b_auth
+        if r_path.startswith("/"):
+            t_path = _remove_dot_segments(r_path)
+        else:
+            if b_auth is not None and b_path == "":
+                merged = "/" + r_path
+            else:
+                merged = b_path[: b_path.rfind("/") + 1] + r_path if "/" in b_path else r_path
+            t_path = _remove_dot_segments(merged)
+        t_query = r_query
+    out = ""
+    if b_scheme is not None:
+        out += b_scheme + ":"
+    if t_auth is not None:
+        out += "//" + t_auth
+    out += t_path
+    if t_query is not None:
+        out += "?" + t_query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out
+
+
+def _remove_dot_segments(path: str) -> str:
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            seg, inp = (inp, "") if i < 0 else (inp[:i], inp[i:])
+            out.append(seg)
+    return "".join(out)
+
+
+
+# --------------------------------------------------------------------------
 # lang tag canonical case (StreamCanonicalLangTag / LangTag formatting)
 # --------------------------------------------------------------------------
 
@@ -416,23 +491,33 @@ def canonical_lexical(lex: str, datatype: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def _finish_iri(raw: str, base: str | None) -> str:
+    iri = unescape_iri(raw)
+    if base is not None and not _SCHEME_RE.match(iri):
+        # riot resolves relative IRIs against the (file) base before strict
+        # checking (ParserProfileStd.java:157-164); plain N-Triples default
+        # has no base and rejects relative IRIs
+        iri = resolve_iri(base, iri)
+    return fmt_iri(check_iri(iri))
+
+
 def _finish_terms(
-    m: re.Match, bnode_prefix: str
+    m: re.Match, bnode_prefix: str, base: str | None = None
 ) -> tuple[str, str, str]:
     s_iri, s_bn, p_iri, o_iri, o_bn, o_lex, o_dt, o_lang = m.groups()[:8]
     if s_iri is not None:
-        subj = fmt_iri(check_iri(unescape_iri(s_iri)))
+        subj = _finish_iri(s_iri, base)
     else:
         subj = fmt_bnode(bnode_prefix + s_bn)
-    pred = fmt_iri(check_iri(unescape_iri(p_iri)))
+    pred = _finish_iri(p_iri, base)
     if o_iri is not None:
-        obj = fmt_iri(check_iri(unescape_iri(o_iri)))
+        obj = _finish_iri(o_iri, base)
     elif o_bn is not None:
         obj = fmt_bnode(bnode_prefix + o_bn)
     else:
         lex = unescape_string(o_lex)
         if o_dt is not None:
-            obj = fmt_literal(lex, datatype=check_iri(unescape_iri(o_dt)))
+            obj = fmt_literal(lex, datatype=iri_value(_finish_iri(o_dt, base)))
         elif o_lang is not None:
             obj = fmt_literal(lex, lang=o_lang)
         else:
@@ -445,6 +530,7 @@ def parse_ntriples(
     *,
     skolem_seed: bytes | None = None,
     strict: bool = True,
+    base: str | None = None,
 ) -> list[tuple[str, str, str]]:
     """Parse an N-Triples document into canonical (subj, pred, obj) strings.
 
@@ -467,7 +553,7 @@ def parse_ntriples(
                 raise TermError(f"line {lineno}: not a valid N-Triples line: {line[:100]!r}")
             continue
         try:
-            subj, pred, obj = _finish_terms(m, "")
+            subj, pred, obj = _finish_terms(m, "", base)
         except TermError as e:
             if strict:
                 raise TermError(f"line {lineno}: {e}") from None
@@ -490,6 +576,7 @@ def parse_nquads(
     *,
     skolem_seed: bytes | None = None,
     strict: bool = True,
+    base: str | None = None,
     default_graph: str = "urn:x-arq:DefaultGraph",
 ) -> list[tuple[str, str, str, str]]:
     """Parse N-Quads → canonical (graph, subj, pred, obj). Triples in the
@@ -505,10 +592,10 @@ def parse_nquads(
                 raise TermError(f"line {lineno}: not a valid N-Quads line: {line[:100]!r}")
             continue
         try:
-            subj, pred, obj = _finish_terms(m, "")
+            subj, pred, obj = _finish_terms(m, "", base)
             g_iri, g_bn = m.groups()[8:10]
             if g_iri is not None:
-                graph = fmt_iri(check_iri(unescape_iri(g_iri)))
+                graph = _finish_iri(g_iri, base)
             elif g_bn is not None:
                 graph = fmt_bnode(g_bn)
             else:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import html as _html
 
+import numpy as np
 import pyarrow as pa
 
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
@@ -90,27 +91,63 @@ def pages_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
-def load_pages(sf_dir: str, *, with_expected_text: bool = True, shard: tuple[int, int] | None = None):
+REPEAT_STRIDE = 10_000_000  # doc_id offset per repeat copy (bench amplification)
+
+
+def load_pages(
+    sf_dir: str,
+    *,
+    with_expected_text: bool = True,
+    shard: tuple[int, int] | None = None,
+    repeat: int = 1,
+):
     """pages Dataset for a testdata tier: read_parquet(documents) →
     map_batches(pages_from_documents). Column-pruned at the read.
 
-    `shard=(k, n)` keeps rows with doc_id % n == k — the single-file testdata
-    stand-in for fragment-group sharding of a crawl (at scale a shard is a
-    set of parquet fragments and this mask disappears)."""
+    `shard=(k_or_set, n)` keeps rows whose doc_id % n is k (int) or in the
+    given set — the single-file testdata stand-in for fragment-group sharding
+    of a crawl (at scale a shard is a set of parquet fragments and this mask
+    disappears).
+
+    `repeat=R` unions R copies of the corpus with distinct doc_id ranges
+    (offset by REPEAT_STRIDE per copy) — deterministic work amplification for
+    benchmarking; every downstream stage (urls, bnodes, dedup keys) sees
+    distinct documents."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source", "n_chars"],
-    )
-    if shard is not None:
-        k, nshards = shard
+    def one_copy(offset: int):
+        # the testdata files are tiny — without a cap Ray splits each read
+        # into ~64 micro-blocks and per-block task overhead dominates
+        # (at crawl scale fragments are 128MB+ and the default is right)
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+            override_num_blocks=8,
+        )
+        if offset:
+            def shift(t: pa.Table) -> pa.Table:
+                i = t.schema.get_field_index("doc_id")
+                import pyarrow.compute as pc
 
-        def shard_mask(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            return t.filter(pa.array(ids % nshards == k))
+                return t.set_column(
+                    i, "doc_id", pc.add(t.column("doc_id"), pa.scalar(offset))
+                )
 
-        ds = ds.map_batches(shard_mask, batch_format="pyarrow")
+            ds = ds.map_batches(shift, batch_format="pyarrow")
+        if shard is not None:
+            k, nshards = shard
+            wanted = np.array(sorted(k) if isinstance(k, (set, frozenset)) else [k])
+
+            def shard_mask(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy()
+                return t.filter(pa.array(np.isin(ids % nshards, wanted)))
+
+            ds = ds.map_batches(shard_mask, batch_format="pyarrow")
+        return ds
+
+    ds = one_copy(0)
+    for r in range(1, repeat):
+        ds = ds.union(one_copy(r * REPEAT_STRIDE))
     pages = ds.map_batches(pages_from_documents, batch_format="pyarrow")
     if not with_expected_text:
         pages = pages.drop_columns(["text"])

@@ -16,6 +16,16 @@ from jena_ray.stages.annotate import JOB_SEED
 
 EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Plain-python splitmix64 (matches the vectorized engine version)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
 
 def _ts_lex(doc_id: int) -> str:
     import datetime
@@ -49,12 +59,12 @@ def expected_triples(sf_dir: str, include_bnodes: bool = True) -> set[tuple[str,
             ent = V.ALIAS_TO_ENTITY.get(tok)
             if ent is not None:
                 ents.append((pos, tok, ent))
-        seed = T.bnode_seed(JOB_SEED, url)
+        h1, h2 = T.murmur3_128((JOB_SEED + "\x00" + url).encode("utf-8"))
         for pos, surface, ent in ents:
             e = f"<{V.ENT}{ent}>"
             out.add((d, f"<{V.P_MENTIONS}>", e))
             if include_bnodes:
-                bn = "_:" + T.skolem_label(seed, f"m{pos}")
+                bn = "_:%016x%016x" % (h1 ^ _splitmix64(pos), h2)
                 out.add((bn, f"<{V.RDF_TYPE}>", f"<{V.C_MENTION}>"))
                 out.add((bn, f"<{V.P_OF_ENTITY}>", e))
                 out.add((bn, f"<{V.P_IN_DOC}>", d))

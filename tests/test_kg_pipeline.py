@@ -26,6 +26,13 @@ def _read_triples(path: str) -> set[tuple[str, str, str]]:
     return set(zip(*[t.column(c).to_pylist() for c in ("subj", "pred", "obj")]))
 
 
+def _read_index(out: str, order: str) -> set[tuple[str, str, str]]:
+    from jena_ray.stages.materialize import read_index_terms
+
+    rows = read_index_terms(out, order).take_all()
+    return {(r["subj"], r["pred"], r["obj"]) for r in rows}
+
+
 def test_extraction_byte_identical(ray_session, sf_dir):
     """Per-row invariant: extracted text == source text per url (BASELINE.md)."""
     from jena_ray.stages.extract import ExtractText
@@ -46,7 +53,7 @@ def test_triples_match_oracle_exactly(kg_out, sf_dir):
     set equality; skolem labels are deterministic so no isomorphism search
     is needed — isomorphism invariance is covered in test_isomorphism)."""
     out, _ = kg_out
-    got = _read_triples(os.path.join(out, "spo"))
+    got = _read_index(out, "spo")
     exp = expected_triples(sf_dir)
     missing = exp - got
     extra = got - exp
@@ -56,20 +63,51 @@ def test_triples_match_oracle_exactly(kg_out, sf_dir):
 
 def test_indexes_consistent_and_sorted(kg_out):
     out, _ = kg_out
-    spo = _read_triples(os.path.join(out, "spo"))
-    pos = _read_triples(os.path.join(out, "pos"))
-    osp = _read_triples(os.path.join(out, "osp"))
+    spo = _read_index(out, "spo")
+    pos = _read_index(out, "pos")
+    osp = _read_index(out, "osp")
     assert spo == pos == osp
-    # global dedup: spo parquet has no duplicate rows
+    # global dedup: spo id-table has no duplicate rows
     t = pq.read_table(os.path.join(out, "spo"))
     assert t.num_rows == len(spo)
-    # range-sorted on the permutation keys (file-order concatenation)
+    # bucketed layout: every index file is range-sorted on its id permutation
+    # (within-bucket order is what pruning + ordered scans need)
+    import glob as _glob
+
     import pyarrow.parquet as _pq
-    t2 = _pq.read_table(os.path.join(out, "pos"), columns=["pred", "obj", "subj"])
-    rows = list(zip(*[t2.column(c).to_pylist() for c in ("pred", "obj", "subj")]))
-    # per-file sortedness is what partition pruning needs; files are written
-    # in sorted block order, so the concatenation in file order is sorted too
-    assert rows == sorted(rows)
+
+    files = _glob.glob(os.path.join(out, "pos", "**", "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        t2 = _pq.read_table(f, columns=["p_id", "o_id", "s_id"])
+        rows = list(zip(*[t2.column(c).to_pylist() for c in ("p_id", "o_id", "s_id")]))
+        assert rows == sorted(rows)
+    # terms table covers every id exactly once
+    ids = pq.read_table(os.path.join(out, "spo"), columns=["s_id", "p_id", "o_id"])
+    terms = pq.read_table(os.path.join(out, "terms"), columns=["id"])
+    import numpy as np
+
+    used = np.unique(
+        np.concatenate([ids.column(c).to_numpy() for c in ("s_id", "p_id", "o_id")])
+    )
+    have = terms.column("id").to_numpy()
+    assert len(have) == len(np.unique(have))  # no dup ids in the node table
+    assert set(used) <= set(have)
+
+
+def test_pattern_scan(kg_out, ray_session):
+    from jena_ray.stages.materialize import pattern_scan
+
+    out, _ = kg_out
+    r = pattern_scan(out, p="<http://kg.example.org/rel/coOccursWith>",
+                     o="<http://kg.example.org/entity/spark>")
+    rows = r.take_all()
+    assert rows and all(
+        row["pred"] == "<http://kg.example.org/rel/coOccursWith>"
+        and row["obj"] == "<http://kg.example.org/entity/spark>"
+        for row in rows
+    )
+    assert pattern_scan(out, o="<http://nonexistent>").count() == 0
 
 
 def test_manifests_written(kg_out, sf_dir):
