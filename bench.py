@@ -67,7 +67,7 @@ def run_benchmarks() -> dict:
         SF_DIR,
         out_dir,
         num_shards=4,
-        concurrency=(1, NUM_CPUS),
+        concurrency=NUM_CPUS,
         build_indexes=True,
         resume=False,
         repeat=REPEAT,

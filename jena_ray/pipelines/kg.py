@@ -40,10 +40,27 @@ def _use_extracted(batch):
     return batch.drop_columns(["extracted_text"])
 
 
+def _stage_pools(concurrency):
+    """Split the CPU budget by stage weight: extraction is cheap, the
+    annotator (model inference) is the heavy stage — two full-size pools
+    would demand 2x the cluster and halve the annotator's share."""
+    import ray
+
+    if concurrency is not None:
+        hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    else:
+        hi = int(ray.cluster_resources().get("CPU", 8))
+    extract = max(1, hi // 8)
+    annotate = max(2, hi - extract)
+    # fixed-size pools: autoscaling ramps up over tens of seconds on a
+    # short-lived wave; fixed pools start all actors immediately
+    return extract, annotate
+
+
 def build_triples(
     pages,
     *,
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     num_shards: int = 1,
     keep_part: bool = False,
@@ -58,8 +75,9 @@ def build_triples(
     the shuffle moves 24-byte id rows instead of term strings."""
     import ray
 
+    extract_conc, annotate_conc = _stage_pools(concurrency)
     ds = pages.map_batches(
-        ExtractText, batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        ExtractText, batch_size=batch_size, concurrency=extract_conc, num_cpus=1,
         batch_format="pyarrow",
     )
     ds = ds.map_batches(_use_extracted, batch_format="pyarrow")
@@ -68,7 +86,7 @@ def build_triples(
         KGAnnotator,
         fn_constructor_kwargs={"alias_ref": alias_ref, "num_shards": num_shards},
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=annotate_conc,
         num_cpus=1,
         batch_format="pyarrow",
     )
@@ -112,7 +130,7 @@ def run_kg(
     out_dir: str,
     *,
     num_shards: int = 4,
-    concurrency: int | tuple[int, int] = (2, 16),
+    concurrency: int | tuple[int, int] | None = None,
     build_indexes: bool = True,
     resume: bool = True,
     repeat: int = 1,
@@ -202,7 +220,7 @@ def kg_triples_dataset(sf_dir: str, *, include_bnodes: bool = True):
     `include_bnodes=False` drops skolemized provenance rows so results are
     SQL-oracle comparable (bnode labels are hashes SQL can't reproduce)."""
     pages = load_pages(sf_dir)
-    triples = build_triples(pages, concurrency=(1, 4))
+    triples = build_triples(pages, concurrency=4)
     if not include_bnodes:
         def drop_bnodes(t):
             mask = pc.and_(
