@@ -1,9 +1,12 @@
 """Document deduplication family: exact, MinHash+LSH, SimHash, n-gram
 Jaccard — the training-data curation operators (graft brief).
 
-All operators are deterministic (fixed hash seeds) and built on the engine's
-two-phase shuffle primitives (jena_ray.stages.dedup): per-block vectorized
-work → hash-bucket groupby.
+All operators are deterministic (fixed hash constants) and built on the
+engine's two-phase shuffle primitives (jena_ray.stages.dedup): per-block
+vectorized work → hash-bucket groupby. The kernels are numpy-uint64
+vectorized end to end (round-1 carried per-shingle Python murmur3 calls at
+~1.8 ms/doc — ~57 core-years of hashing at 10^12 docs; this version hashes
+whole batches with Arrow split + reduceat kernels).
 """
 
 from __future__ import annotations
@@ -12,8 +15,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from jena_ray.functions.hashing import (
+    MERSENNE61,
+    hash_string_array,
+    splitmix64,
+    tokenize_column,
+)
 from jena_ray.stages.dedup import bucketed_group_apply
-from jena_ray.term import murmur3_128
+
+_U64 = np.uint64
 
 # --------------------------------------------------------------------------
 # exact dedup (content-hash partition + per-group min)
@@ -23,7 +33,8 @@ from jena_ray.term import murmur3_128
 def exact_dedup_docs(sf_dir: str):
     """Exact text dedup: md5(text) → keep the smallest doc_id per hash.
     Hash-partition + per-group-first (SURVEY.md §2.7); the survivor rule
-    (min doc_id) makes the result order-independent and SQL-checkable."""
+    (min doc_id) makes the result order-independent and SQL-checkable.
+    md5 (not our splitmix kernel) so the DuckDB oracle can reproduce it."""
     import hashlib
 
     import ray.data as rd
@@ -61,74 +72,182 @@ def exact_dedup_docs(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# shingles (vectorized word 3-grams)
+# --------------------------------------------------------------------------
+
+SHINGLE_K = 3
+# odd mix constants for combining the k token hashes of a gram
+_GRAM_C = (_U64(0x9E3779B97F4A7C15), _U64(0xC2B2AE3D27D4EB4F), _U64(0xFF51AFD7ED558CCD))
+
+
+def shingle_hash_batch(text_col) -> tuple[np.ndarray, np.ndarray]:
+    """Word-3-gram shingle hashes for a whole Arrow string column at once.
+
+    Returns (hashes, doc_offsets): hashes is uint64 (< 2^61), sorted and
+    deduplicated within each doc (set semantics — matches a SQL
+    ``SELECT DISTINCT gram``); doc_offsets[i]:doc_offsets[i+1] slices doc i.
+
+    A doc with fewer than 3 tokens contributes ONE shingle — the hash of its
+    whole text (``" ".join(tokens) == text`` when splitting on single
+    spaces), mirroring the SQL oracle's CASE branch.
+    """
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    tok_h, offs = tokenize_column(text_col)
+    n_docs = len(offs) - 1
+    tok_counts = np.diff(offs)
+
+    # trigram mix over the flat token-hash array (invalid cross-doc grams
+    # masked out below)
+    with np.errstate(over="ignore"):
+        if len(tok_h) >= SHINGLE_K:
+            g = splitmix64(
+                tok_h[:-2] * _GRAM_C[0]
+                ^ tok_h[1:-1] * _GRAM_C[1]
+                ^ tok_h[2:] * _GRAM_C[2]
+            )
+        else:
+            g = np.empty(0, dtype=np.uint64)
+
+    # gram i is valid iff it lies fully inside one doc
+    gram_starts = offs[:-1]
+    grams_per_doc = np.maximum(tok_counts - (SHINGLE_K - 1), 0)
+    doc_idx = np.repeat(np.arange(n_docs), grams_per_doc)
+    valid = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(gram_starts, grams_per_doc)]
+    ) if n_docs else np.empty(0, np.int64)
+    g = g[valid] if len(valid) else np.empty(0, np.uint64)
+
+    # short docs: single shingle = hash of the whole text
+    short = tok_counts < SHINGLE_K
+    if short.any():
+        whole = hash_string_array(text_col)[short]
+        g = np.concatenate([g, whole])
+        doc_idx = np.concatenate([doc_idx, np.flatnonzero(short)])
+
+    g &= MERSENNE61  # keep < 2^61 for the Mersenne mulmod
+
+    # per-doc sort + unique, fully vectorized via lexsort
+    order = np.lexsort((g, doc_idx))
+    g, doc_idx = g[order], doc_idx[order]
+    if len(g):
+        keep = np.empty(len(g), dtype=bool)
+        keep[0] = True
+        keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (g[1:] != g[:-1])
+        g, doc_idx = g[keep], doc_idx[keep]
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    doc_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return g, doc_offsets
+
+
+def shingles(text: str) -> np.ndarray:
+    """Single-doc shingle hashes (test/verify convenience over the batch
+    kernel)."""
+    g, _ = shingle_hash_batch(pa.array([text], type=pa.string()))
+    return g
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # --------------------------------------------------------------------------
 
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows
 ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = (1 << 61) - 1
 
 
-def _perm_params(n_perm: int = N_PERM) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic permutation parameters from murmur3 of the index."""
-    a = np.empty(n_perm, dtype=np.uint64)
-    b = np.empty(n_perm, dtype=np.uint64)
-    for i in range(n_perm):
-        h1, h2 = murmur3_128(f"perm{i}".encode(), seed=7)
-        a[i] = (h1 % (_MERSENNE - 1)) + 1
-        b[i] = h2 % _MERSENNE
-    return a, b
+_SENTINEL = _U64(0xFFFFFFFFFFFFFFFF)
 
 
-_PERM_A, _PERM_B = _perm_params()
+def minhash_signatures_batch(shingle_h: np.ndarray, doc_offsets: np.ndarray) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 signature matrix via ONE-PERMUTATION
+    MinHash (Li, Owen, Zhang, NIPS 2012) with rotation densification
+    (Shrivastava & Li, ICML 2014) — both public algorithms, standard in
+    large-scale dedup (e.g. the datasketch library).
+
+    Classic k-perm MinHash costs k passes over every shingle (round 1:
+    64 mulmod+min passes). OPH hashes each shingle ONCE: the permuted value
+    splitmix64(x) is split into a bin (top log2(N_PERM) bits) and the
+    per-bin minimum is the signature slot. Empty bins borrow the value of
+    the next non-empty bin circularly, offset by the borrow distance, so
+    two sets agree on a borrowed slot only if they agree on the source slot
+    — preserving the collision probability ≈ Jaccard.
+
+    Cost: one splitmix + one segmented min over all shingles (the shingles
+    arrive sorted per doc, so per-(doc,bin) minima are first-occurrence
+    values after a single lexsort-free pass).
+    """
+    n_docs = len(doc_offsets) - 1
+    sig = np.full((n_docs, N_PERM), _SENTINEL, dtype=np.uint64)
+    if len(shingle_h) == 0:
+        sig.fill(0)
+        return sig
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(doc_offsets))
+    v = splitmix64(shingle_h)
+    bins = (v >> _U64(58)).astype(np.int64)  # top 6 bits → 64 bins
+    val = v & ((_U64(1) << _U64(58)) - _U64(1))  # low 58 bits = rank value
+    # min per (doc, bin): sort by (doc, bin, val) then keep first of each run
+    order = np.lexsort((val, bins, doc_idx))
+    d_s, b_s, v_s = doc_idx[order], bins[order], val[order]
+    first = np.empty(len(v_s), dtype=bool)
+    first[0] = True
+    first[1:] = (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
+    sig[d_s[first], b_s[first]] = v_s[first]
+
+    # rotation densification: empty bin takes next non-empty bin's value
+    # (circular, vectorized forward-fill over a doubled matrix) plus
+    # distance * C so borrowed slots stay distinguishable by distance
+    empty = sig == _SENTINEL
+    if empty.any():
+        dbl = np.concatenate([sig, sig], axis=1)  # look right, wrap around
+        idx = np.arange(2 * N_PERM)[None, :] * np.ones((n_docs, 1), dtype=np.int64)
+        # backward fill: nearest non-sentinel source index to the RIGHT
+        src = np.where(dbl != _SENTINEL, idx, 2 * N_PERM)
+        src = np.minimum.accumulate(src[:, ::-1], axis=1)[:, ::-1]
+        take = src[:, :N_PERM]
+        rows = np.arange(n_docs)[:, None] * np.ones((1, N_PERM), dtype=np.int64)
+        has_any = take < 2 * N_PERM
+        take_c = np.where(has_any, take, 0)
+        borrowed = dbl[rows, take_c]
+        dist = (take_c - idx[:, :N_PERM]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            borrowed = borrowed + dist * _U64(0x9E3779B97F4A7C15)
+        sig = np.where(empty & has_any, borrowed, sig)
+        sig[empty.all(axis=1)] = 0  # doc with no shingles at all
+    return sig
 
 
-def shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (murmur3 low-64, deterministic)."""
-    toks = text.split(" ")
-    if len(toks) < k:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.unique(
-        np.array([murmur3_128(g.encode())[0] & ((1 << 61) - 1) for g in grams], dtype=np.uint64)
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """(n_docs, N_BANDS) int64 LSH band keys: splitmix chain over each
+    band's ROWS_PER_BAND signature values, salted by the band id (so equal
+    row values in different bands never collide into one bucket)."""
+    n_docs = sig.shape[0]
+    bands = sig.reshape(n_docs, N_BANDS, ROWS_PER_BAND)
+    acc = np.broadcast_to(
+        splitmix64(np.arange(N_BANDS, dtype=np.uint64)), (n_docs, N_BANDS)
+    ).copy()
+    with np.errstate(over="ignore"):
+        for r in range(ROWS_PER_BAND):
+            acc = splitmix64(acc ^ bands[:, :, r] * _GRAM_C[r % 3])
+    return acc.astype(np.int64)
+
+
+def minhash_bands_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage (stateless task): doc → LSH band rows
+    (doc_id, band_id, band_hash). Signature computed once per doc; bands
+    emitted for the bucket groupby."""
+    sh, offs = shingle_hash_batch(batch.column("text"))
+    sig = minhash_signatures_batch(sh, offs)
+    bh = band_hashes(sig)
+    n = len(batch)
+    doc_ids = batch.column("doc_id").to_numpy()
+    return pa.table(
+        {
+            "doc_id": np.repeat(doc_ids, N_BANDS),
+            "band_id": np.tile(np.arange(N_BANDS, dtype=np.int64), n),
+            "band_hash": bh.reshape(-1),
+        }
     )
-    return out
-
-
-def minhash_signature(sh: np.ndarray) -> np.ndarray:
-    """64-perm MinHash signature, vectorized: min((a*x+b) mod p) per perm."""
-    if len(sh) == 0:
-        return np.zeros(N_PERM, dtype=np.uint64)
-    x = sh[None, :].astype(np.object_)  # python ints avoid uint64 overflow
-    vals = (_PERM_A[:, None].astype(np.object_) * x + _PERM_B[:, None].astype(np.object_)) % _MERSENNE
-    return vals.min(axis=1).astype(np.uint64)
-
-
-class MinHasher:
-    """Actor-pool stage: doc → LSH band rows (band_id, band_hash, doc_id).
-    Signature computed once per doc; bands emitted for the bucket groupby."""
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids = []
-        band_ids = []
-        band_hashes = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(shingles(text))
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                h = murmur3_128(chunk.tobytes(), seed=b)[0]
-                doc_ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(np.uint64(h))
-        return pd.DataFrame(
-            {
-                "doc_id": np.array(doc_ids, dtype=np.int64),
-                "band_id": np.array(band_ids, dtype=np.int64),
-                "band_hash": np.array(band_hashes, dtype=np.uint64).astype(np.int64),
-            }
-        )
 
 
 def minhash_candidate_pairs(sf_dir: str):
@@ -140,9 +259,7 @@ def minhash_candidate_pairs(sf_dir: str):
     from jena_ray.stages.dedup import dedup_exact
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bands = ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 4), num_cpus=1
-    )
+    bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -167,34 +284,58 @@ def minhash_candidate_pairs(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+def simhash_batch(text_col) -> np.ndarray:
+    """uint64 SimHash per doc, vectorized: hash all tokens of the batch at
+    once, dedup per doc WITH COUNTS (natural text repeats tokens — Zipf —
+    so the bit-plane matrix shrinks severalfold), unpack bit planes with
+    np.unpackbits, weighted sign-sum per doc with add.reduceat."""
+    tok_h, offs = tokenize_column(text_col)
+    n_docs = len(offs) - 1
+    if len(tok_h) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(offs))
+    # unique (doc, token) with multiplicities
+    order = np.lexsort((tok_h, doc_idx))
+    d_s, h_s = doc_idx[order], tok_h[order]
+    first = np.empty(len(h_s), dtype=bool)
+    first[0] = True
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    group_id = np.cumsum(first) - 1
+    counts = np.bincount(group_id).astype(np.int32)
+    uh, ud = h_s[first], d_s[first]
+
+    bits = np.unpackbits(
+        uh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    contrib = (2 * bits - 1) * counts[:, None]
+    # per-doc sum: rows are grouped by doc (ud non-decreasing)
+    doc_first = np.empty(len(ud), dtype=bool)
+    doc_first[0] = True
+    doc_first[1:] = ud[1:] != ud[:-1]
+    acc = np.add.reduceat(contrib, np.flatnonzero(doc_first), axis=0)
+    out = np.zeros((n_docs, 64), dtype=np.uint8)
+    out[ud[doc_first]] = (acc > 0).astype(np.uint8)
+    return np.packbits(out, axis=1, bitorder="little").view(np.uint64).reshape(-1)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over tokens (murmur3 per token, deterministic)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split(" "):
-        h = murmur3_128(tok.encode())[0]
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    """Single-doc SimHash (test convenience over the batch kernel)."""
+    return int(simhash_batch(pa.array([text], type=pa.string()))[0])
 
 
 def simhash_docs(sf_dir: str):
     """Per-doc 64-bit SimHash (hex) — near-dup clustering key."""
     import ray.data as rd
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": [format(simhash64(t), "016x") for t in batch["text"]],
-            }
+    def f(batch: pa.Table) -> pa.Table:
+        h = simhash_batch(batch.column("text"))
+        hexes = [format(int(v), "016x") for v in h]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": pa.array(hexes)}
         )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -202,46 +343,58 @@ def simhash_docs(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+def _shingle_table(sf_dir: str):
+    """(doc_id, shingles: list<uint64-as-int64>) Dataset — the verify side's
+    join input. Computed per batch with the vectorized kernel."""
+    import ray.data as rd
+
+    def f(batch: pa.Table) -> pa.Table:
+        sh, offs = shingle_hash_batch(batch.column("text"))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), pa.array(sh.view(np.int64))
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "shingles": lists})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def verified_near_dups(sf_dir: str, threshold: float = 0.8):
     """MinHash-LSH candidates verified by true 3-gram Jaccard ≥ threshold.
 
-    The verify side joins each candidate pair back to its shingle sets: the
-    doc_id→shingles map for candidate docs only is broadcast (candidates are
-    a tiny fraction of the corpus — the small side by construction)."""
-    import ray
-    import ray.data as rd
+    Scale shape: the candidate pairs are JOINED (hash-partitioned
+    Dataset.join) against the per-doc shingle table — once for each side —
+    instead of materializing pairs on the driver and broadcasting a
+    doc→shingles map (the round-1 version; a scale-killer at billions of
+    candidates). Shingle hashes are 61-bit, so hashed-set Jaccard equals
+    string-3-gram Jaccard (collisions negligible), which is what the SQL
+    oracle computes.
+    """
+    pairs = minhash_candidate_pairs(sf_dir)
+    sh = _shingle_table(sf_dir)
 
-    pairs_ds = minhash_candidate_pairs(sf_dir)
-    pairs = pairs_ds.to_pandas()
-    if len(pairs) == 0:
-        return pairs_ds
-    cand_ids = np.unique(np.concatenate([pairs["doc_a"], pairs["doc_b"]]))
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    j1 = pairs.join(
+        sh, join_type="inner", on=("doc_a",), right_on=("doc_id",),
+        num_partitions=8,
+    ).rename_columns({"shingles": "sh_a"}).drop_columns(["doc_id"])
+    j2 = j1.join(
+        sh, join_type="inner", on=("doc_b",), right_on=("doc_id",),
+        num_partitions=8,
+    ).rename_columns({"shingles": "sh_b"}).drop_columns(["doc_id"])
 
-    def keep_cands(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        mask = np.isin(ids, cand_ids)
-        return t.filter(pa.array(mask))
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        jac = np.empty(n, dtype=np.float64)
+        sa_col, sb_col = batch.column("sh_a"), batch.column("sh_b")
+        for i in range(n):  # per-PAIR (not per-doc) — candidates are sparse
+            sa = np.asarray(sa_col[i].as_py(), dtype=np.int64)
+            sb = np.asarray(sb_col[i].as_py(), dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        out = batch.select(["doc_a", "doc_b"]).append_column(
+            "jaccard", pa.array(jac)
+        )
+        return out.filter(pa.array(jac >= threshold))
 
-    cand_docs = docs.map_batches(keep_cands, batch_format="pyarrow").to_pandas()
-    sh = {r.doc_id: shingles(r.text) for r in cand_docs.itertuples()}
-    sh_ref = ray.put(sh)
-
-    class Verify:
-        def __init__(self, ref):
-            self.sh = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa, sb = self.sh[a], self.sh[b]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                jac.append(inter / union if union else 0.0)
-            batch["jaccard"] = jac
-            return batch[np.asarray(jac) >= threshold]
-
-    return pairs_ds.map_batches(
-        Verify, fn_constructor_args=(sh_ref,), batch_format="pandas",
-        concurrency=(1, 4), num_cpus=1,
-    ).sort(["doc_a", "doc_b"])
+    return j2.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])

@@ -22,6 +22,32 @@ def _read_docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _token_stats(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-doc (n_tokens, marker_count, distinct_count) over a
+    batch: Arrow split + one token-hash pass (functions.hashing), marker
+    membership by hash comparison, distinct via lexsorted first-occurrence.
+    Replaces the round-1 per-doc ``toks.map(lambda ...)`` remnants."""
+    import pyarrow as pa
+
+    from jena_ray.functions.hashing import hash_string_array, tokenize_column
+
+    tok_h, offs = tokenize_column(pa.array(list(texts), type=pa.string()))
+    n_docs = len(offs) - 1
+    n_tokens = np.diff(offs)
+    marker_h = hash_string_array(pa.array(sorted(EN_MARKERS)))
+    is_stop = np.isin(tok_h, marker_h)
+    doc_idx = np.repeat(np.arange(n_docs), n_tokens)
+    stop_counts = np.bincount(doc_idx, weights=is_stop, minlength=n_docs).astype(np.int64)
+    order = np.lexsort((tok_h, doc_idx))
+    d_s, h_s = doc_idx[order], tok_h[order]
+    first = np.empty(len(h_s), dtype=bool)
+    if len(h_s):
+        first[0] = True
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    distinct = np.bincount(d_s[first], minlength=n_docs).astype(np.int64)
+    return n_tokens.astype(np.int64), stop_counts, distinct
+
+
 class QualityScorer:
     """Per-doc quality features: token count, mean token length, stopword
     ratio, distinct-token ratio. Deterministic; SQL-expressible for the
@@ -31,12 +57,12 @@ class QualityScorer:
         self.stop = EN_MARKERS
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        n_tokens = toks.str.len().astype("int64")
+        n_tokens, stop_counts, distinct = _token_stats(batch["text"].to_numpy())
+        n_tokens = pd.Series(n_tokens, index=batch.index)
+        stop_counts = pd.Series(stop_counts, index=batch.index)
+        distinct = pd.Series(distinct, index=batch.index)
         tok_chars = batch["text"].str.len() - (n_tokens - 1)  # total non-space chars
         mean_tok_len = (tok_chars / n_tokens).astype("float64")
-        stop_counts = toks.map(lambda ws: sum(w in EN_MARKERS for w in ws))
-        distinct = toks.map(lambda ws: len(set(ws)))
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
@@ -62,8 +88,10 @@ def language_id(sf_dir: str):
     replicate it.) Emits per-doc prediction + agreement with the source tag."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        pred = toks.map(lambda ws: "en" if any(w in EN_MARKERS for w in ws) else "other")
+        _, stop_counts, _ = _token_stats(batch["text"].to_numpy())
+        pred = pd.Series(
+            np.where(stop_counts > 0, "en", "other"), index=batch.index
+        )
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
@@ -92,31 +120,20 @@ def token_counts(sf_dir: str):
     return pre_aggregated_count(ds, ["token"], alias="count").sort("token")
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFFSET = np.uint64(14695981039346656037)
-
-
-def _fnv1a_tokens(tokens: list[str]) -> int:
-    """FNV-1a over the token stream — deterministic document fingerprint."""
-    h = _FP_OFFSET
-    for t in tokens:
-        for b in t.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-        h = (h ^ np.uint64(0x20)) * _FP_BASE
-    return int(h)
-
-
 def doc_fingerprints(sf_dir: str):
-    """Per-doc rolling-hash fingerprint (FNV-1a over tokens) for fast
-    change detection / exact-dup pre-screen. Deterministic; rows-only check
-    (no SQL hash equivalent)."""
+    """Per-doc content fingerprint for fast change detection / exact-dup
+    pre-screen: the engine's vectorized position-weighted polynomial hash
+    (functions.hashing.hash_string_array — one numpy pass per batch, no
+    per-byte Python loop; round 1 ran per-byte FNV-1a in Python).
+    Deterministic; rows-only check (no SQL hash equivalent)."""
+    import pyarrow as pa
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            fps = [
-                format(_fnv1a_tokens(t.split(" ")), "016x") for t in batch["text"]
-            ]
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+    from jena_ray.functions.hashing import hash_string_array
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = hash_string_array(batch.column("text"))
+        fps = [format(int(v), "016x") for v in h]
+        return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)})
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")

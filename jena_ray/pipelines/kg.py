@@ -42,16 +42,30 @@ def _use_extracted(batch):
 
 def _stage_pools(concurrency):
     """Split the CPU budget by stage weight: extraction is cheap, the
-    annotator (model inference) is the heavy stage — two full-size pools
-    would demand 2x the cluster and halve the annotator's share."""
+    annotator (model inference) is the heavy stage.
+
+    Ray Data actor pools RESERVE their CPUs for the whole execution, so the
+    pools must leave headroom for the task-based stages (read_parquet,
+    canonicalize, dedup shuffle, write) or the pipeline deadlocks — fixed
+    pools summing to the full cluster means ReadParquet can never schedule
+    (round-1 postmortem). We always leave max(1, hi//8) CPUs unreserved.
+
+    Returns (extract, annotate); extract may be None, meaning "run the
+    extraction stage as stateless tasks" (used on tiny clusters where even
+    two 1-actor pools would consume every CPU)."""
     import ray
 
     if concurrency is not None:
         hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
     else:
         hi = int(ray.cluster_resources().get("CPU", 8))
+    headroom = max(1, hi // 8)
+    if hi - headroom < 2:
+        # tiny cluster (<4 CPUs): no pools at all — both stages run as
+        # stateless tasks so nothing can starve read/write task stages
+        return None, None
     extract = max(1, hi // 8)
-    annotate = max(2, hi - extract)
+    annotate = max(1, hi - extract - headroom)
     # fixed-size pools: autoscaling ramps up over tens of seconds on a
     # short-lived wave; fixed pools start all actors immediately
     return extract, annotate
@@ -76,20 +90,35 @@ def build_triples(
     import ray
 
     extract_conc, annotate_conc = _stage_pools(concurrency)
-    ds = pages.map_batches(
-        ExtractText, batch_size=batch_size, concurrency=extract_conc, num_cpus=1,
-        batch_format="pyarrow",
-    )
+    if extract_conc is None:
+        # tiny cluster: stateless task stage (regexes compile per task — fine
+        # at the scale where this branch triggers)
+        ds = pages.map_batches(
+            lambda t: ExtractText()(t), batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        ds = pages.map_batches(
+            ExtractText, batch_size=batch_size, concurrency=extract_conc,
+            num_cpus=1, batch_format="pyarrow",
+        )
     ds = ds.map_batches(_use_extracted, batch_format="pyarrow")
     alias_ref = ray.put(dict(V.ALIAS_TO_ENTITY))
-    ds = ds.map_batches(
-        KGAnnotator,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "num_shards": num_shards},
-        batch_size=batch_size,
-        concurrency=annotate_conc,
-        num_cpus=1,
-        batch_format="pyarrow",
-    )
+    if annotate_conc is None:
+        ds = ds.map_batches(
+            lambda t: KGAnnotator(alias_ref=alias_ref, num_shards=num_shards)(t),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        ds = ds.map_batches(
+            KGAnnotator,
+            fn_constructor_kwargs={"alias_ref": alias_ref, "num_shards": num_shards},
+            batch_size=batch_size,
+            concurrency=annotate_conc,
+            num_cpus=1,
+            batch_format="pyarrow",
+        )
     ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
     keep = ("part",) if keep_part else None
     if global_dedup:

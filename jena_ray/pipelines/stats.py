@@ -47,12 +47,27 @@ def predicate_counts(triples):
 
 
 def _namespaces(batch: pa.Table) -> pa.Table:
-    """TripleNamespaceCountMapper analog: namespace of each IRI term."""
-    out = []
-    for col in ("subj", "pred", "obj"):
-        vals = batch.column(col).to_pylist()
-        out.extend(ns for ns in (namespace_of(v) for v in vals) if ns is not None)
-    return pa.table({"namespace": pa.array(out, type=pa.string())})
+    """TripleNamespaceCountMapper analog: namespace of each IRI term.
+
+    Vectorized port of term.namespace_of (split at LAST '#', else last '/',
+    provided the separator index exceeds len('http://')-1, else whole IRI)
+    as three pc.extract_regex passes — greedy '.*' pins the last separator,
+    '.{7,}' enforces the index floor."""
+    cols = [batch.column(c) for c in ("subj", "pred", "obj")]
+    arr = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols]
+    )
+    iris = arr.filter(pc.starts_with(arr, "<"))
+
+    def _ext(pattern):
+        s = pc.extract_regex(iris, pattern)
+        return pc.struct_field(s, "ns")
+
+    by_hash = _ext(r"^<(?P<ns>.{7,}#)")
+    by_slash = _ext(r"^<(?P<ns>.{7,}/)")
+    whole = _ext(r"^<(?P<ns>.*)>$")
+    ns = pc.coalesce(by_hash, by_slash, whole)
+    return pa.table({"namespace": ns})
 
 
 def namespace_counts(triples):

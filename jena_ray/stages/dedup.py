@@ -54,15 +54,21 @@ def dedup_batch(batch: pa.Table, cols: Sequence[str]) -> pa.Table:
 
 
 def _key_hash(batch: pa.Table, cols: Sequence[str]):
-    """Deterministic vectorized 64-bit hash of the concatenated key columns
-    (pandas siphash with its fixed default key — stable across processes)."""
-    import pandas as pd
+    """Deterministic vectorized 64-bit hash of the concatenated key columns.
+
+    Explicit numpy-uint64 arithmetic (jena_ray.functions.hashing) — NOT a
+    library hash whose key could drift across versions: on a heterogeneous
+    cluster a pandas/polars version skew would silently split equal keys
+    across buckets. Collisions only affect bucket balance, never results
+    (each bucket is exactly deduped/grouped downstream)."""
     import pyarrow.compute as pc
+
+    from jena_ray.functions.hashing import hash_string_array
 
     joined = pc.binary_join_element_wise(
         *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
     )
-    return pd.util.hash_pandas_object(joined.to_pandas(), index=False).to_numpy()
+    return hash_string_array(joined)
 
 
 def add_bucket(batch: pa.Table, cols: Sequence[str], num_buckets: int) -> pa.Table:

@@ -72,11 +72,28 @@ def build_rdfs_closure(vocab_triples) -> dict[str, dict[str, tuple[str, ...]]]:
             domain.setdefault(s, set()).add(o)
         elif p == RANGE:
             range_.setdefault(s, set()).add(o)
+    superclass = _transitive_closure(sub_class)
+
+    def _with_superclasses(classes: dict[str, set[str]]) -> dict[str, tuple[str, ...]]:
+        # The reference's domain()/range() call derive(x, rdf:type, c) AND
+        # subClass(x, rdf:type, c) — i.e. domain/range-inferred types are
+        # also propagated up the class hierarchy
+        # (InferenceProcessorRDFS.java:116-145). Pre-expanding the class
+        # sets with their superclass closures reproduces that chaining in
+        # a single expansion pass.
+        out = {}
+        for p, cs in classes.items():
+            full = set(cs)
+            for c in cs:
+                full |= superclass.get(c, set())
+            out[p] = tuple(sorted(full))
+        return out
+
     return {
-        "superclass": {k: tuple(sorted(v)) for k, v in _transitive_closure(sub_class).items()},
+        "superclass": {k: tuple(sorted(v)) for k, v in superclass.items()},
         "superprop": {k: tuple(sorted(v)) for k, v in _transitive_closure(sub_prop).items()},
-        "domain": {k: tuple(sorted(v)) for k, v in domain.items()},
-        "range": {k: tuple(sorted(v)) for k, v in range_.items()},
+        "domain": _with_superclasses(domain),
+        "range": _with_superclasses(range_),
     }
 
 
@@ -113,7 +130,11 @@ class RDFSExpand:
                 e["pred"] = RDF_TYPE
                 outs.append(e[["subj", "pred", "obj"]])
 
-        nt = df.loc[~is_type]
+        # subProperty/domain/range apply to EVERY triple including rdf:type
+        # rows (InferenceProcessorRDFS.process applies all four rules
+        # unconditionally — e.g. a vocab putting rdf:type in a property
+        # hierarchy, or a domain/range on rdf:type, still derives).
+        nt = df
         if len(nt):
             # rdfs7: property propagation
             supp = nt["pred"].map(self.c["superprop"])

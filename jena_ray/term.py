@@ -293,7 +293,14 @@ def resolve_iri(base: str | None, ref: str) -> str:
     """RFC 3986 §5.2 reference resolution (IRIResolver semantics)."""
     if _SCHEME_RE.match(ref):
         scheme, rest = ref.split(":", 1)
-        return scheme + ":" + _remove_dot_segments(rest) if rest.startswith("/") else ref
+        if not rest.startswith("/"):
+            return ref
+        # RFC 3986 §5.2.2: remove_dot_segments applies to the PATH only —
+        # split off the authority first, or a leading '..' segment would
+        # pop the authority ('http://a/../c' must stay authority 'a').
+        am = re.match(r"^(//[^/?#]*)?([^?#]*)([\s\S]*)$", rest)
+        auth, path, tail = am.groups()
+        return scheme + ":" + (auth or "") + _remove_dot_segments(path) + tail
     if base is None:
         raise TermError(f"relative IRI with no base: <{ref}>")
     m = re.match(r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$", base)

@@ -144,6 +144,13 @@ class TurtleParser:
             return m.group()
         return None
 
+    # NOTE: long strings ending in extra quotes before the delimiter
+    # ('\"\"\"ab\"\"\"\"') are BAD syntax: the reference's own suite marks
+    # them negative (TurtleStd turtle-syntax-bad-string-06/07) and Jena's
+    # TokenizerText.readLongString terminates at the FIRST run of three
+    # quotes, leaving a stray quote that fails the next token. The body
+    # regexes above reproduce exactly that.
+
     def literal(self) -> str | None:
         start = self.i
         body = self.string_body()

@@ -83,3 +83,26 @@ def test_dataset_pipeline(ray_session):
     assert (iri("rex"), RDF_TYPE, iri("Thing")) in rows
     assert (iri("ann"), RDF_TYPE, iri("Person")) in rows
     assert len(rows) == len(set(rows))
+
+
+def test_domain_range_chain_through_subclass():
+    """InferenceProcessorRDFS.domain()/range() call derive AND subClass:
+    range(hasPet)=Animal, Animal subClassOf Thing → (rex type Thing) too."""
+    got = _expand([(iri("ann"), iri("hasPet"), iri("rex"))])
+    assert (iri("rex"), RDF_TYPE, iri("Animal")) in got
+    assert (iri("rex"), RDF_TYPE, iri("Thing")) in got  # chained rdfs9
+
+
+def test_rules_apply_to_type_triples():
+    """subProperty/domain/range run on EVERY triple, including rdf:type rows
+    (process() applies all four rules unconditionally)."""
+    vocab = VOCAB + [(RDF_TYPE, SUBPROP, iri("classifiedAs"))]
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"subj": [iri("rex")], "pred": [RDF_TYPE], "obj": [iri("Dog")]}
+    )
+    ex = RDFSExpand(closure=build_rdfs_closure(vocab))
+    out = ex(batch)
+    got = set(zip(*(out.column(c).to_pylist() for c in ("subj", "pred", "obj"))))
+    assert (iri("rex"), iri("classifiedAs"), iri("Dog")) in got

@@ -135,3 +135,27 @@ def test_resume_recomputes_only_missing(ray_session, sf_dir, tmp_path_factory):
     assert m2["skipped"] == ["0"]
     assert set(m2["shards"]) == {"1"}
     assert _read_triples(os.path.join(out, "triples")) == before
+
+
+def test_stage_pools_leave_scheduling_headroom():
+    """Regression (round-1 deadlock): fixed actor pools summing to the full
+    CPU budget starve Ray Data's task stages (read/canonicalize/write). The
+    pools must always leave >=1 CPU free, at every cluster size."""
+    from jena_ray.pipelines.kg import _stage_pools
+
+    for hi in range(1, 129):
+        extract, annotate = _stage_pools(hi)
+        reserved = (extract or 0) + (annotate or 0)
+        assert reserved < hi or reserved == 0, (
+            f"hi={hi}: pools reserve {reserved} of {hi} CPUs — task stages starve"
+        )
+
+
+def test_flagship_runs_on_exact_pool_budget(ray_session, sf_dir):
+    """The flagship must complete on a session whose CPU count equals the
+    concurrency hint (the round-1 deadlock scenario: conftest gives 4 CPUs,
+    concurrency=4)."""
+    from jena_ray.pipelines.kg import kg_triples_dataset
+
+    n = kg_triples_dataset(sf_dir).count()
+    assert n > 0
