@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from jena_ray import vocab as V
+from jena_ray.pipelines.named_graphs import GRAPH_NS
 
 # ---------------------------------------------------------------------------
 # shared oracle-SQL fragments
@@ -97,10 +98,24 @@ def entry() -> Any:
     return kg_triples_dataset("/root/testdata/sf0.001", include_bnodes=True)
 
 
+_KG_CACHE: dict[str, Any] = {}
+
+
 def _kg_triples(sf_dir: str):
+    """Bnode-free triples for a tier, materialized once per driver session:
+    seven stats queries (predicate/node/namespace/type counts, char-sets,
+    rdfs) all start from the same triples — without the cache each one
+    re-runs the whole extract→annotate→dedup pipeline (round-1 bench paid
+    ~46 s per stats query at sf0.1). The materialized set is the small
+    DEDUPED output (≲1% of the raw triple stream), safe to pin in the
+    object store."""
     from jena_ray.pipelines.kg import kg_triples_dataset
 
-    return kg_triples_dataset(sf_dir, include_bnodes=False)
+    if sf_dir not in _KG_CACHE:
+        _KG_CACHE[sf_dir] = kg_triples_dataset(
+            sf_dir, include_bnodes=False
+        ).materialize()
+    return _KG_CACHE[sf_dir]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -130,6 +145,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_char_sets(sf_dir):
         return S.characteristic_sets(_kg_triples(sf_dir)).sort("pred_set")
 
+    def bgp_star_docs(sf_dir):
+        from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        pats = [
+            ("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}spark>"),
+            ("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}query>"),
+            ("?d", f"<{V.P_LANG}>", '"en"'),
+        ]
+        return bgp_execute(idx, pats, ["d"]).sort("d")
+
+    def bgp_cooccur_path(sf_dir):
+        from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        pats = [
+            ("?e1", f"<{V.P_COOCCURS}>", "?mid"),
+            ("?mid", f"<{V.P_COOCCURS}>", f"<{V.ENT}sorting>"),
+        ]
+        return bgp_execute(idx, pats, ["e1", "mid"]).sort(["e1", "mid"])
+
+    def rdfs_materialize(sf_dir):
+        from jena_ray.stages.inference import rdfs_materialize as rm
+
+        return rm(_kg_triples(sf_dir), list(V.RDFS_FIXTURE_VOCAB)).sort(
+            ["subj", "pred", "obj"]
+        )
+
+    def media_features(sf_dir):
+        import pyarrow.compute as pc
+
+        from jena_ray.stages.multimodal import media_dataset
+        from jena_ray.stages.multimodal import media_features as mf
+
+        def imgs(t):
+            return t.filter(pc.equal(t.column("kind"), "image")).select(
+                ["media_id", "n_samples", "sum_pixels", "sum_sq"]
+            )
+
+        return (
+            mf(media_dataset(64))
+            .map_batches(imgs, batch_format="pyarrow")
+            .sort("media_id")
+        )
+
+    def trig_doc_quads(sf_dir):
+        from jena_ray.pipelines.named_graphs import trig_doc_quads as f
+
+        return f(sf_dir)
+
+    def quad_lang_scan(sf_dir):
+        from jena_ray.pipelines.named_graphs import quad_lang_scan as f
+
+        return f(sf_dir)
+
     return {
         # --- KG construction + elephas-style stats (SURVEY §2.1-2.7, §3.3) ---
         "kg_triples": kg_triples,
@@ -139,6 +209,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_namespace_counts": kg_namespace_counts,
         "kg_type_counts": kg_type_counts,
         "kg_char_sets": kg_char_sets,
+        "bgp_star_docs": bgp_star_docs,
+        "bgp_cooccur_path": bgp_cooccur_path,
+        "rdfs_materialize": rdfs_materialize,
+        "media_features": media_features,
+        # --- named graphs: TriG parse + GSPO/GPOS/GOSP quad store (§2.1, §2.3) ---
+        "trig_doc_quads": trig_doc_quads,
+        "quad_lang_scan": quad_lang_scan,
         # --- relational operator parity (SURVEY §2.4-2.6) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "agg_minmax_orders": R.agg_minmax_orders,
@@ -146,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_order_join": R.lineitem_order_join,
         "customers_without_orders": R.customers_without_orders,
         "customers_with_orders_semi": R.customers_with_orders_semi,
+        "customer_order_totals": R.customer_order_totals,
+        "order_priority_aggs": R.order_priority_aggs,
         "top10_orders": R.top10_orders,
         "distinct_segments": R.distinct_segments,
         "union_parties": R.union_parties,
@@ -163,7 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textops.doc_fingerprints,
         "ann_topk": lambda sf: ann.brute_force_topk(sf)[["query_id", "rank", "vec_id"]],
         "ann_lsh_buckets": ann.lsh_buckets,
-        "embedding_near_dups": ann.embedding_near_dups,
+        # cosine column dropped for the oracle compare: membership at the
+        # threshold is engine-stable, exact float bits are not (numpy
+        # pairwise summation vs DuckDB sequential summation)
+        "embedding_near_dups": lambda sf: ann.embedding_near_dups(sf).drop_columns(
+            ["cosine"]
+        ),
     }
 
 
@@ -207,6 +291,136 @@ def oracle_sql() -> dict[str, str]:
               FROM triples GROUP BY subj
             )
             SELECT pred_set, count(*) AS "count" FROM sets GROUP BY pred_set ORDER BY pred_set
+        """,
+        # BGP star join: documents mentioning BOTH entities, language "en"
+        "bgp_star_docs": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT DISTINCT a.subj AS d
+            FROM triples a
+            JOIN triples b ON b.subj = a.subj
+             AND b.pred = '<{V.P_MENTIONS}>' AND b.obj = '<{V.ENT}query>'
+            JOIN triples c ON c.subj = a.subj
+             AND c.pred = '<{V.P_LANG}>' AND c.obj = '"en"'
+            WHERE a.pred = '<{V.P_MENTIONS}>' AND a.obj = '<{V.ENT}spark>'
+            ORDER BY d
+        """,
+        # BGP 2-hop path: e1 co-occurs with mid, mid co-occurs with 'sorting'
+        "bgp_cooccur_path": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT DISTINCT a.subj AS e1, a.obj AS mid
+            FROM triples a
+            JOIN triples b ON b.subj = a.obj
+             AND b.pred = '<{V.P_COOCCURS}>' AND b.obj = '<{V.ENT}sorting>'
+            WHERE a.pred = '<{V.P_COOCCURS}>'
+            ORDER BY e1, mid
+        """,
+        # Independent SQL spec of the RDFS rules over the fixture T-Box
+        # (vocab.RDFS_FIXTURE_VOCAB): closures hand-expanded (depth 2):
+        #   superclass(Document) = {WebResource, Resource}
+        #   domain(mentions) ∪ chain = {Document, WebResource, Resource}
+        #   range(mentions) ∪ chain = {Entity, Resource}
+        "rdfs_materialize": f"""
+            WITH {_TRIPLES_CTE},
+            base AS (SELECT subj, pred, obj FROM triples),
+            rdftype AS (SELECT '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p),
+            derived AS (
+              -- rdfs9: type Document → WebResource, Resource
+              SELECT t.subj, t.pred, c.obj
+              FROM base t, rdftype,
+                   (VALUES ('<{V.C_WEBRESOURCE}>'), ('<{V.C_RESOURCE}>')) c(obj)
+              WHERE t.pred = rdftype.p AND t.obj = '<{V.C_DOCUMENT}>'
+              UNION ALL
+              -- rdfs7: mentions ⊑ references
+              SELECT t.subj, '<{V.P_REFERENCES}>', t.obj
+              FROM base t WHERE t.pred = '<{V.P_MENTIONS}>'
+              UNION ALL
+              -- rdfs2 + chain: subj of mentions typed Document/WebResource/Resource
+              SELECT t.subj, rdftype.p, c.obj
+              FROM base t, rdftype,
+                   (VALUES ('<{V.C_DOCUMENT}>'), ('<{V.C_WEBRESOURCE}>'), ('<{V.C_RESOURCE}>')) c(obj)
+              WHERE t.pred = '<{V.P_MENTIONS}>'
+              UNION ALL
+              -- rdfs3 + chain: non-literal obj of mentions typed Entity/Resource
+              SELECT t.obj, rdftype.p, c.obj
+              FROM base t, rdftype,
+                   (VALUES ('<{V.C_ENTITY_CLS}>'), ('<{V.C_RESOURCE}>')) c(obj)
+              WHERE t.pred = '<{V.P_MENTIONS}>' AND t.obj NOT LIKE '"%'
+              UNION ALL
+              -- rdfs3: obj of source typed Source
+              SELECT t.obj, rdftype.p, '<{V.C_SOURCE_CLS}>'
+              FROM base t, rdftype
+              WHERE t.pred = '<{V.P_SOURCE}>' AND t.obj NOT LIKE '"%'
+            )
+            SELECT DISTINCT subj, pred, obj
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM derived)
+            ORDER BY subj, pred, obj
+        """,
+        # Self-contained SQL regeneration of the deterministic synthetic
+        # media table (stages/multimodal.synth_media): image rasters are
+        # ((k*(id+7)) % 251) over k in [0, w*h) — integer sums are
+        # bit-exact across engines, verifying the decode plumbing.
+        "media_features": """
+            WITH ids AS (SELECT unnest(range(0, 64, 2)) AS i),
+            dims AS (SELECT i, 16 + (i % 5) * 8 AS w, 16 + (i % 3) * 8 AS h FROM ids),
+            px AS (
+              SELECT d.i, ((k * (d.i + 7)) % 251) AS v
+              FROM dims d, unnest(range(0, d.w * d.h)) t(k)
+            )
+            SELECT i AS media_id, count(*) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_pixels,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq
+            FROM px GROUP BY i ORDER BY media_id
+        """,
+        # per-doc named graph quads (TriG synth → parse round-trip; every
+        # value a pure function of the documents row)
+        "trig_doc_quads": f"""
+            WITH q AS (
+              SELECT '<{GRAPH_NS}' || doc_id || '>' AS graph,
+                     '<http://' || source || '.example.org/doc/' || doc_id || '>' AS subj,
+                     '<{V.P_CHARS}>' AS pred,
+                     '"' || n_chars || '"^^<{_XSD}integer>' AS obj
+              FROM documents
+              UNION ALL
+              SELECT '<{GRAPH_NS}' || doc_id || '>',
+                     '<http://' || source || '.example.org/doc/' || doc_id || '>',
+                     '<{V.P_LANG}>', '"' || lang || '"'
+              FROM documents
+              UNION ALL
+              SELECT '<{GRAPH_NS}' || doc_id || '>',
+                     '<http://' || source || '.example.org/doc/' || doc_id || '>',
+                     '<{V.P_SOURCE}>', '<{V.SRC}' || source || '>'
+              FROM documents
+            )
+            SELECT graph, subj, pred, obj FROM q ORDER BY graph, subj, pred, obj
+        """,
+        "quad_lang_scan": f"""
+            SELECT '<{GRAPH_NS}' || doc_id || '>' AS graph,
+                   '<http://' || source || '.example.org/doc/' || doc_id || '>' AS subj
+            FROM documents WHERE lang = 'en' ORDER BY graph, subj
+        """,
+        "customer_order_totals": """
+            SELECT c.c_custkey, c.c_name,
+                   count(o.o_custkey) AS n_orders,
+                   CAST(round(coalesce(sum(o.o_totalprice), 0) * 100) AS BIGINT) AS total_cents
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2 ORDER BY c.c_custkey
+        """,
+        "order_priority_aggs": """
+            WITH mode_t AS (
+              SELECT o_orderpriority, o_orderstatus AS mode_status,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+              FROM orders GROUP BY o_orderpriority, o_orderstatus
+            )
+            SELECT o.o_orderpriority,
+                   string_agg(DISTINCT o.o_orderstatus, '|' ORDER BY o.o_orderstatus) AS statuses,
+                   round(median(o.o_totalprice), 6) AS median_price,
+                   m.mode_status,
+                   count(DISTINCT o.o_custkey) AS n_custkeys,
+                   min(o.o_orderkey) AS sample_orderkey
+            FROM orders o
+            JOIN mode_t m ON m.o_orderpriority = o.o_orderpriority AND m.rn = 1
+            GROUP BY 1, 4 ORDER BY o.o_orderpriority
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -331,7 +545,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id FROM r WHERE rank <= 5
             ORDER BY query_id, rank
         """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        # True word-3-gram Jaccard over ALL pairs — the engine must therefore
+        # achieve LSH recall 1.0 at the threshold on the fixture (verified by
+        # tests/test_queries.py at sf0.001 and the driver at sf0.01). Hashed
+        # shingle sets (engine) and string gram sets (oracle) give identical
+        # Jaccard (61-bit hashes; collisions negligible), and inter/union is
+        # an exact int division in both engines.
+        "verified_near_dups": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                END) AS gram
+              FROM toks
+            ),
+            gram_sets AS (SELECT DISTINCT doc_id, gram FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM gram_sets GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM gram_sets a JOIN gram_sets b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        # All-pairs cosine over the corpus augmented with the deterministic
+        # seeded near-dup copies (see jena_ray.functions.ann: every 50th
+        # vec_id, first coordinate + 0.25) — the raw fixture has no true
+        # pairs at any sane threshold, which made round 1's green vacuous.
+        "embedding_near_dups": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, [embedding[1] + 0.25] || embedding[2:]
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            ORDER BY vec_a, vec_b
+        """,
         # rows-only (engine-side hashes not reproducible in SQL):
-        # kg_triples_all, minhash_candidate_pairs, verified_near_dups,
-        # simhash_docs, doc_fingerprints, ann_lsh_buckets, embedding_near_dups
+        # kg_triples_all (skolem labels are murmur3-128 — exactly verified
+        # incl. bnodes by tests/test_kg_pipeline.py's independent oracle),
+        # minhash_candidate_pairs, simhash_docs, ann_lsh_buckets
     }

@@ -128,54 +128,163 @@ def lsh_buckets(sf_dir: str):
     ).sort("vec_id")
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.98):
-    """Embedding-cosine near-duplicate pairs via LSH buckets: vectors sharing
-    a bucket are compared pairwise (bucket-local matmul); pairs with cosine ≥
-    threshold survive. Returns (vec_a, vec_b, cosine), vec_a < vec_b."""
+# Multi-band hyperplane LSH for near-dup pairs. Recall for a pair at angle θ
+# is 1-(1-(1-θ/π)^k)^L — at cosine 0.97 (θ≈14°), k=8, L=16 the miss
+# probability is ~8e-6. Scale note: k (planes per band) sets the expected
+# bucket population |corpus|/2^k; at larger corpora raise EMB_PLANES (and L
+# to hold recall) so buckets stay worker-sized — the verify stage is exact,
+# so parameters only trade recall vs candidate volume, never precision.
+EMB_PLANES = 8
+EMB_BANDS = 16
+
+# Deterministic seeded near-duplicates: the synthetic embeddings fixture
+# contains no true near-dup pairs at any sane threshold (max base cosine
+# ~0.6), so the operator would be unfalsifiable run bare (round-1 verdict).
+# The query augments the corpus with a perturbed copy of every 50th vector
+# (vec_id + 1_000_000, first coordinate + 0.25 → cosine ≈ 0.97) — exactly
+# reproducible in the DuckDB oracle with list arithmetic, giving the
+# operator a positive-case ground truth at every scale tier.
+SEED_STRIDE = 50
+SEED_ID_OFFSET = 1_000_000
+SEED_PERTURB = 0.25
+
+
+def _band_planes(dim: int, seed: int = 13) -> np.ndarray:
+    """(EMB_BANDS, EMB_PLANES, dim) fixed-seed hyperplanes."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(EMB_BANDS, EMB_PLANES, dim)).astype(np.float32)
+
+
+def _augmented_emb(sf_dir: str):
+    """embeddings ∪ perturbed copies of every SEED_STRIDE-th vector."""
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mask = ids % SEED_STRIDE == 0
+        if not mask.any():
+            return batch
+        ids2 = ids[mask] + SEED_ID_OFFSET
+        emb2 = [
+            [v[0] + SEED_PERTURB] + v[1:]
+            for v in (e.as_py() for e in batch.column("embedding").filter(pa.array(mask)))
+        ]
+        extra = pa.table(
+            {"vec_id": pa.array(ids2), "embedding": pa.array(emb2, type=batch.column("embedding").type)}
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), extra])
+
+    return _read_emb(sf_dir).map_batches(aug, batch_format="pyarrow")
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.9):
+    """Embedding-cosine near-duplicate pairs: multi-band hyperplane LSH for
+    candidate generation (vectors sharing any band bucket), then EXACT
+    cosine verification of the candidates via hash-partitioned joins back to
+    the embedding table (no driver materialization, no broadcast of the
+    corpus). Returns (vec_a, vec_b, cosine), vec_a < vec_b."""
     import ray
 
-    emb = _read_emb(sf_dir)
+    from jena_ray.stages.dedup import bucketed_group_apply, dedup_exact
+
+    emb = _augmented_emb(sf_dir)
     first = next(iter(emb.limit(1).iter_batches(batch_format="pyarrow")))
     dim = len(first.column("embedding")[0].as_py())
-    planes_ref = ray.put(_hyperplanes(dim))
+    planes_ref = ray.put(_band_planes(dim))
 
-    class WithBucket:
+    class BandBuckets:
         def __init__(self, ref):
-            self.planes = ray.get(ref)
+            self.planes = ray.get(ref)  # (L, k, dim)
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        def __call__(self, batch: pa.Table) -> pa.Table:
             ids, mat = _batch_matrix(batch)
-            signs = (mat @ self.planes.T) > 0
-            bucket = (signs.astype(np.int64) << np.arange(N_PLANES)).sum(axis=1)
-            return pd.DataFrame(
-                {"vec_id": ids, "bucket": bucket, "embedding": list(_normalize(mat))}
+            m = _normalize(mat)
+            # (n, L, k) sign bits → (n, L) bucket codes
+            signs = np.einsum("nd,lkd->nlk", m, self.planes) > 0
+            codes = (signs.astype(np.int64) << np.arange(EMB_PLANES)).sum(axis=2)
+            n = len(ids)
+            return pa.table(
+                {
+                    "vec_id": np.repeat(ids, EMB_BANDS),
+                    "band": np.tile(np.arange(EMB_BANDS, dtype=np.int64), n),
+                    "bucket": codes.reshape(-1),
+                }
             )
 
-    from jena_ray.stages.dedup import bucketed_group_apply
-
-    withb = emb.map_batches(
-        WithBucket, fn_constructor_args=(planes_ref,), batch_format="pyarrow",
+    bands = emb.map_batches(
+        BandBuckets, fn_constructor_args=(planes_ref,), batch_format="pyarrow",
         concurrency=(1, 4), num_cpus=1,
     )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, grp in df.groupby("bucket", sort=False):
-            if len(grp) < 2:
-                continue
-            ids = grp["vec_id"].to_numpy()
-            mat = np.vstack(grp["embedding"].to_numpy())
-            sims = mat @ mat.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = sims[ia, ib] >= threshold
-            for a, b, s in zip(ids[ia[keep]], ids[ib[keep]], sims[ia, ib][keep]):
-                lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
-                rows.append((lo, hi, round(float(s), 6)))
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby(["band", "bucket"], sort=False):
+            ids = np.sort(grp["vec_id"].unique())
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame({"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)})
 
-    out = bucketed_group_apply(withb, ["bucket"], pairs, num_buckets=16)
-    from jena_ray.stages.dedup import dedup_exact
+    cand = bucketed_group_apply(bands, ["band", "bucket"], pairs_in_bucket)
+    cand = dedup_exact(cand, cols=("vec_a", "vec_b"))
 
-    return dedup_exact(out, cols=("vec_a", "vec_b"), keep_cols=("cosine",)).sort(
-        ["vec_a", "vec_b"]
+    # vectors packed as float32-le blobs: Ray's hash join rejects list
+    # payload columns; the verify stage decodes with np.frombuffer
+    def pack(batch: pa.Table) -> pa.Table:
+        blobs = [
+            np.asarray(v, dtype=np.float32).tobytes()
+            for v in batch.column("embedding").to_pylist()
+        ]
+        return pa.table(
+            {"vec_id": batch.column("vec_id"), "emb": pa.array(blobs, type=pa.binary())}
+        )
+
+    def _tidy(ds, rename):
+        # the join may or may not surface the right key column depending on
+        # name collisions — drop it only when present
+        def f(t: pa.Table) -> pa.Table:
+            if "vec_id" in t.schema.names:
+                t = t.drop_columns(["vec_id"])
+            return t.rename_columns(
+                [rename.get(c, c) for c in t.schema.names]
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    packed = emb.map_batches(pack, batch_format="pyarrow")
+    j1 = _tidy(
+        cand.join(
+            packed, join_type="inner", num_partitions=8, on=("vec_a",), right_on=("vec_id",)
+        ),
+        {"emb": "emb_a"},
     )
+    j2 = _tidy(
+        j1.join(
+            packed, join_type="inner", num_partitions=8, on=("vec_b",), right_on=("vec_id",)
+        ),
+        {"emb": "emb_b"},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        a = _normalize(
+            np.vstack([np.frombuffer(v, dtype=np.float32) for v in batch.column("emb_a").to_pylist()]).astype(np.float64)
+        )
+        b = _normalize(
+            np.vstack([np.frombuffer(v, dtype=np.float32) for v in batch.column("emb_b").to_pylist()]).astype(np.float64)
+        )
+        cos = np.round((a * b).sum(axis=1), 6)
+        keep = cos >= threshold
+        out = batch.select(["vec_a", "vec_b"]).append_column("cosine", pa.array(cos))
+        return out.filter(pa.array(keep))
+
+    return j2.map_batches(verify, batch_format="pyarrow").sort(["vec_a", "vec_b"])

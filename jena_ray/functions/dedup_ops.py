@@ -344,16 +344,18 @@ def simhash_docs(sf_dir: str):
 
 
 def _shingle_table(sf_dir: str):
-    """(doc_id, shingles: list<uint64-as-int64>) Dataset — the verify side's
-    join input. Computed per batch with the vectorized kernel."""
+    """(doc_id, shingles: binary) Dataset — the verify side's join input.
+    Shingle sets are packed as uint64-le blobs because Ray's hash join
+    rejects list-typed payload columns; the verify stage decodes with
+    np.frombuffer (zero-copy)."""
     import ray.data as rd
 
     def f(batch: pa.Table) -> pa.Table:
         sh, offs = shingle_hash_batch(batch.column("text"))
-        lists = pa.ListArray.from_arrays(
-            pa.array(offs, type=pa.int32()), pa.array(sh.view(np.int64))
+        blobs = [sh[offs[i] : offs[i + 1]].tobytes() for i in range(len(batch))]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "shingles": pa.array(blobs, type=pa.binary())}
         )
-        return pa.table({"doc_id": batch.column("doc_id"), "shingles": lists})
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(f, batch_format="pyarrow")
@@ -373,22 +375,37 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8):
     pairs = minhash_candidate_pairs(sf_dir)
     sh = _shingle_table(sf_dir)
 
-    j1 = pairs.join(
-        sh, join_type="inner", on=("doc_a",), right_on=("doc_id",),
-        num_partitions=8,
-    ).rename_columns({"shingles": "sh_a"}).drop_columns(["doc_id"])
-    j2 = j1.join(
-        sh, join_type="inner", on=("doc_b",), right_on=("doc_id",),
-        num_partitions=8,
-    ).rename_columns({"shingles": "sh_b"}).drop_columns(["doc_id"])
+    def _tidy(ds, rename):
+        # the join may or may not surface the right key column depending on
+        # name collisions — drop it only when present
+        def f(t: pa.Table) -> pa.Table:
+            if "doc_id" in t.schema.names:
+                t = t.drop_columns(["doc_id"])
+            return t.rename_columns([rename.get(c, c) for c in t.schema.names])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    j1 = _tidy(
+        pairs.join(
+            sh, join_type="inner", on=("doc_a",), right_on=("doc_id",), num_partitions=8
+        ),
+        {"shingles": "sh_a"},
+    )
+    j2 = _tidy(
+        j1.join(
+            sh, join_type="inner", on=("doc_b",), right_on=("doc_id",), num_partitions=8
+        ),
+        {"shingles": "sh_b"},
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         n = len(batch)
         jac = np.empty(n, dtype=np.float64)
-        sa_col, sb_col = batch.column("sh_a"), batch.column("sh_b")
+        sa_col = batch.column("sh_a").to_pylist()
+        sb_col = batch.column("sh_b").to_pylist()
         for i in range(n):  # per-PAIR (not per-doc) — candidates are sparse
-            sa = np.asarray(sa_col[i].as_py(), dtype=np.int64)
-            sb = np.asarray(sb_col[i].as_py(), dtype=np.int64)
+            sa = np.frombuffer(sa_col[i], dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i], dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 0.0

@@ -298,3 +298,136 @@ def term_datatype(a):
             _, lang, dt = T.split_literal(v)
             out.append(RDF_LANGSTRING if lang else (dt or XSD_STRING))
     return pa.array(out, type=pa.string())
+
+
+# --------------------------------------------------------------------------
+# aggregate parity (AggGroupConcat / AggMedian / AggMode / AggSample /
+# Agg*Distinct — jena-arq sparql/expr/aggregate/Agg*.java) as registered
+# Ray AggregateFn factories (AggregateRegistry.java:31 analog).
+#
+# Accumulators: group_concat / count_distinct / sum_distinct hold the
+# DISTINCT value set (bounded by domain cardinality, not group size);
+# median/mode hold all values / value counts per group — fine for
+# grouped-aggregate shapes with bounded groups. At crawl scale swap median
+# for a quantile sketch (ray.data.aggregate.Quantile / t-digest); the
+# registry seam is exactly where that substitution lands.
+# --------------------------------------------------------------------------
+
+
+def _col_vals(block, col):
+    if isinstance(block, pa.Table):
+        return block.column(col).drop_null().to_pylist()
+    return block[col].dropna().tolist()
+
+
+def _make_agg(col, alias, init, acc_vals, merge, finalize):
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: init(),
+        accumulate_block=lambda a, block: acc_vals(a, _col_vals(block, col)),
+        merge=merge,
+        finalize=finalize,
+        name=alias,
+    )
+
+
+# NOTE: accumulators are serialized through Arrow blocks between the map and
+# reduce sides, which turns sets into lists and Counters into dicts — every
+# merge/finalize below coerces its inputs back before combining.
+
+
+def agg_group_concat(col, alias, sep="|"):
+    """GroupConcat(DISTINCT, value-ordered) — deterministic under any block
+    order (AggGroupConcatDistinct; Jena's ordering is arrival-order, which
+    is nondeterministic under parallelism — sorted order is the stable
+    choice)."""
+    return _make_agg(
+        col, alias, set, lambda a, vs: set(a) | set(vs),
+        lambda a, b: set(a) | set(b),
+        lambda a: sep.join(sorted(set(a))),
+    )
+
+
+def agg_median(col, alias):
+    """AggMedian: exact median; even counts interpolate (lo+hi)/2."""
+
+    def fin(vals):
+        vals = sorted(list(vals))
+        n = len(vals)
+        if n == 0:
+            return None
+        m = n // 2
+        return float(vals[m]) if n % 2 else (vals[m - 1] + vals[m]) / 2
+
+    return _make_agg(
+        col, alias, list, lambda a, vs: a + vs, lambda a, b: a + b, fin
+    )
+
+
+def agg_mode(col, alias):
+    """AggMode with deterministic tie-break: highest count, then smallest
+    value."""
+    from collections import Counter
+
+    def fin(c):
+        c = dict(c)
+        if not c:
+            return None
+        best = max(c.values())
+        return min(v for v, n in c.items() if n == best)
+
+    def acc(a, vs):
+        a = Counter(dict(a))
+        a.update(vs)
+        return a
+
+    def merge(a, b):
+        out = Counter(dict(a))
+        for k, v in dict(b).items():
+            out[k] += v
+        return out
+
+    return _make_agg(col, alias, Counter, acc, merge, fin)
+
+
+def agg_count_distinct(col, alias):
+    """AggCountVarDistinct."""
+    return _make_agg(
+        col, alias, set, lambda a, vs: set(a) | set(vs),
+        lambda a, b: set(a) | set(b), lambda a: len(set(a)),
+    )
+
+
+def agg_sum_distinct(col, alias):
+    """AggSumDistinct."""
+    return _make_agg(
+        col, alias, set, lambda a, vs: set(a) | set(vs),
+        lambda a, b: set(a) | set(b),
+        lambda a: sum(set(a)) if a else None,
+    )
+
+
+def agg_sample(col, alias):
+    """AggSample — Jena may return any group member; the smallest value is
+    the deterministic (and SQL-checkable) choice."""
+
+    def acc(a, vs):
+        m = min(vs) if vs else None
+        if m is None:
+            return a
+        return m if a is None or m < a else a
+
+    return _make_agg(
+        col, alias, lambda: None, acc,
+        lambda a, b: a if b is None else (b if a is None else min(a, b)),
+        lambda a: a,
+    )
+
+
+register_aggregate("group_concat", agg_group_concat)
+register_aggregate("median", agg_median)
+register_aggregate("mode", agg_mode)
+register_aggregate("count_distinct", agg_count_distinct)
+register_aggregate("sum_distinct", agg_sum_distinct)
+register_aggregate("sample", agg_sample)

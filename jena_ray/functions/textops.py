@@ -121,18 +121,20 @@ def token_counts(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    """Per-doc content fingerprint for fast change detection / exact-dup
-    pre-screen: the engine's vectorized position-weighted polynomial hash
-    (functions.hashing.hash_string_array — one numpy pass per batch, no
-    per-byte Python loop; round 1 ran per-byte FNV-1a in Python).
-    Deterministic; rows-only check (no SQL hash equivalent)."""
+    """Per-doc content fingerprint (md5 hex) for fast change detection /
+    exact-dup pre-screen. md5 rather than the engine's splitmix kernel so
+    the DuckDB oracle can reproduce every value (round 1 used a per-byte
+    Python FNV loop with only a rows-only determinism check); hashlib's C
+    md5 is one call per doc — no per-byte Python."""
+    import hashlib
+
     import pyarrow as pa
 
-    from jena_ray.functions.hashing import hash_string_array
-
     def f(batch: pa.Table) -> pa.Table:
-        h = hash_string_array(batch.column("text"))
-        fps = [format(int(v), "016x") for v in h]
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
         return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)})
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])

@@ -339,3 +339,59 @@ def events_sessionize(sf_dir: str):
     return bucketed_group_apply(ds, ["user_id"], runcount, num_buckets=16).sort(
         ["user_id", "run_idx"]
     )
+
+
+def customer_order_totals(sf_dir: str):
+    """LEFT OUTER join (OpLeftJoin — jena-arq
+    sparql/engine/join/QueryIterHashLeftJoin_Left.java): every customer with
+    order count + revenue; customers without orders keep zeros. Hash-
+    partitioned Dataset.join(left_outer), then null-aware aggregation."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    j = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(t["o_totalprice"]), pa.int64())
+        price = pc.coalesce(t["o_totalprice"], pa.scalar(0.0))
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "c_name": t["c_name"], "has": has, "price": price}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        j.map_batches(prep, batch_format="pyarrow")
+        .groupby(["c_custkey", "c_name"])
+        .aggregate(
+            Sum("has", alias_name="n_orders"), Sum("price", alias_name="total_cents")
+        )
+    )
+    return _int_scale_cols(out, {"total_cents": 100}).sort("c_custkey")
+
+
+def order_priority_aggs(sf_dir: str):
+    """Aggregate parity (Agg*.java): GroupConcat(DISTINCT, ordered), Median,
+    Mode (min tie-break), CountDistinct, Sample (deterministic = min) per
+    o_orderpriority, via the registered AggregateFn factories (§2.10
+    AggregateRegistry seam)."""
+    from jena_ray.functions.scalar import AGGREGATES
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice", "o_custkey", "o_orderkey"],
+    )
+    out = ds.groupby("o_orderpriority").aggregate(
+        AGGREGATES["group_concat"]("o_orderstatus", "statuses"),
+        AGGREGATES["median"]("o_totalprice", "median_price"),
+        AGGREGATES["mode"]("o_orderstatus", "mode_status"),
+        AGGREGATES["count_distinct"]("o_custkey", "n_custkeys"),
+        AGGREGATES["sample"]("o_orderkey", "sample_orderkey"),
+    )
+    return _round_cols(out, {"median_price": 6}).sort("o_orderpriority")

@@ -122,7 +122,7 @@ class MediaFeatures:
         kinds = batch.column("kind").to_pylist()
         ws = batch.column("width").to_pylist()
         hs = batch.column("height").to_pylist()
-        means, stds, sizes = [], [], []
+        means, stds, sizes, sums, sqs = [], [], [], [], []
         for kind, payload, w, h in zip(
             kinds, batch.column("payload").to_pylist(), ws, hs
         ):
@@ -130,6 +130,12 @@ class MediaFeatures:
             means.append(float(arr.mean()))
             stds.append(float(arr.std()))
             sizes.append(int(arr.size))
+            # exact-integer features (sum, sum of squares): unlike float
+            # mean/std these are bit-stable across engines, so the DuckDB
+            # oracle can verify the decode plumbing value-exactly
+            a64 = arr.astype(np.int64)
+            sums.append(int(a64.sum()))
+            sqs.append(int((a64 * a64).sum()))
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
@@ -137,6 +143,8 @@ class MediaFeatures:
                 "n_samples": pa.array(sizes, type=pa.int64()),
                 "mean": pa.array(means, type=pa.float64()),
                 "std": pa.array(stds, type=pa.float64()),
+                "sum_pixels": pa.array(sums, type=pa.int64()),
+                "sum_sq": pa.array(sqs, type=pa.int64()),
             }
         )
 

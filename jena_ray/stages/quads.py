@@ -1,0 +1,232 @@
+"""Quad store: GSPO / GPOS / GOSP id-index materialization + pattern scans.
+
+The reference's TDB dataset storage keeps named-graph quads as four-slot
+NodeId tuples in graph-leading B+Tree permutations (index names
+jena-tdb/.../sys/Names.java:24-28 — primary GSPO with GPOS/GOSP secondaries)
+next to the triple indexes for the default graph. This module reproduces
+that Ray-Data-first, following the triple layout of stages/materialize.py:
+
+- term ids are the same stateless 64-bit content hashes (graph label
+  included — a graph name is just another term in the NodeTable);
+- ``terms/`` holds distinct (id, term) over all four positions;
+- each permutation is hash-partitioned on its bucket key and sorted within
+  the bucket:
+
+      gspo/bucket=<h(g,s)%B>      sorted (g_id, s_id, p_id, o_id)
+      gpos/bucket=<h(g,p,o)%B>    sorted (g_id, p_id, o_id, s_id)
+      gosp/bucket=<h(g,o)%B>      sorted (g_id, o_id, s_id, p_id)
+
+  Bucket keys pair the graph id with the permutation's salt columns —
+  graph counts are typically small (one graph per source document at crawl
+  scale, but a handful in curated datasets), so bucketing on g alone would
+  put whole graphs on single workers.
+
+Unlike the round-1 triple builder (three sequential shuffle rounds), all
+permutations build in ONE tagged shuffle: every deduped id-quad is emitted
+once per order with an (okey, bucket) tag, a single groupby co-locates each
+(order, bucket) cell, and the per-cell sort writes hive-partitioned
+``okey=<order>/bucket=<b>`` which the driver renames to ``<order>/``.
+Duplicate rows carry identical bucket keys in every permutation, so the
+global dedup ("sort -u") happens inside the per-cell pass — no separate
+dedup shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+QUAD_ID_ORDERS: dict[str, list[str]] = {
+    "gspo": ["g_id", "s_id", "p_id", "o_id"],
+    "gpos": ["g_id", "p_id", "o_id", "s_id"],
+    "gosp": ["g_id", "o_id", "s_id", "p_id"],
+}
+QUAD_BUCKET_KEYS: dict[str, list[str]] = {
+    "gspo": ["g_id", "s_id"],
+    "gpos": ["g_id", "p_id", "o_id"],
+    "gosp": ["g_id", "o_id"],
+}
+_QUAD_ID_COLS = ["g_id", "s_id", "p_id", "o_id"]
+_TERM_FOR_QID = {"g_id": "graph", "s_id": "subj", "p_id": "pred", "o_id": "obj"}
+
+
+def _add_quad_ids(batch):
+    import pyarrow as pa
+
+    from jena_ray.stages.materialize import term_id_array
+
+    batch = batch.select(["graph", "subj", "pred", "obj"])
+    for idc, col in _TERM_FOR_QID.items():
+        batch = batch.append_column(idc, pa.array(term_id_array(batch.column(col))))
+    return batch
+
+
+def materialize_quad_indexes(
+    out_dir: str,
+    quads,
+    *,
+    orders: tuple[str, ...] = ("gspo", "gpos", "gosp"),
+    min_rows_per_file: int = 500_000,
+    num_buckets: int = 32,
+):
+    """Build terms/ + quad index layouts from a (graph, subj, pred, obj)
+    Dataset. Two executions total: the string shuffle for the NodeTable and
+    one tagged id shuffle for every permutation (dedup fused)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jena_ray.stages.dedup import add_bucket, dedup_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    with_ids = quads.map_batches(_add_quad_ids, batch_format="pyarrow")
+
+    # ---- NodeTable: distinct (id, term) over all four positions ----
+    def explode_terms(t: pa.Table) -> pa.Table:
+        cols = [
+            pa.table({"id": t.column(idc), "term": pc.cast(t.column(c), pa.string())})
+            for idc, c in _TERM_FOR_QID.items()
+        ]
+        merged = dedup_batch(pa.concat_tables(cols), ["id"])
+        return add_bucket(merged, ["id"], num_buckets).rename_columns(
+            ["id", "term", "bucket"]
+        )
+
+    def terms_bucket(g: pa.Table) -> pa.Table:
+        g = dedup_batch(g, ["id"])
+        return g.take(pc.sort_indices(g, sort_keys=[("id", "ascending")]))
+
+    terms_path = os.path.join(out_dir, "terms")
+    shutil.rmtree(terms_path, ignore_errors=True)
+    (
+        with_ids.map_batches(explode_terms, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(terms_bucket, batch_format="pyarrow")
+        .write_parquet(
+            terms_path, partition_cols=["bucket"], min_rows_per_file=min_rows_per_file
+        )
+    )
+
+    # ---- all permutations in one tagged shuffle ----
+    def fan_out(t: pa.Table) -> pa.Table:
+        ids = dedup_batch(t.select(_QUAD_ID_COLS), _QUAD_ID_COLS)
+        parts = []
+        for order in orders:
+            tagged = add_bucket(ids, QUAD_BUCKET_KEYS[order], num_buckets)
+            tagged = tagged.rename_columns(_QUAD_ID_COLS + ["bucket"])
+            tagged = tagged.append_column(
+                "okey", pa.array([order] * tagged.num_rows, type=pa.string())
+            )
+            parts.append(tagged)
+        return pa.concat_tables(parts)
+
+    def sort_cell(g: pa.Table) -> pa.Table:
+        okey = g.column("okey")[0].as_py()
+        g = dedup_batch(g, _QUAD_ID_COLS)  # global `sort -u` within the cell
+        keys = [(k, "ascending") for k in QUAD_ID_ORDERS[okey]]
+        return g.take(pc.sort_indices(g, sort_keys=keys))
+
+    idx_tmp = os.path.join(out_dir, "_idx_build")
+    shutil.rmtree(idx_tmp, ignore_errors=True)
+    (
+        with_ids.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["okey", "bucket"])
+        .map_groups(sort_cell, batch_format="pyarrow")
+        .write_parquet(
+            idx_tmp, partition_cols=["okey", "bucket"], min_rows_per_file=min_rows_per_file
+        )
+    )
+    for order in orders:
+        dst = os.path.join(out_dir, order)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(idx_tmp, f"okey={order}"), dst)
+    shutil.rmtree(idx_tmp, ignore_errors=True)
+
+    with open(os.path.join(out_dir, "_layout.json"), "w") as f:
+        json.dump(
+            {"layout": "bucketed-ids", "num_buckets": num_buckets, "quads": True}, f
+        )
+    return {o: os.path.join(out_dir, o) for o in orders}
+
+
+def quad_pattern_scan(
+    out_dir: str,
+    g: str | None = None,
+    s: str | None = None,
+    p: str | None = None,
+    o: str | None = None,
+    *,
+    resolve_terms: bool = True,
+):
+    """Quad-pattern match: pick the permutation whose leading columns are
+    bound (SolverLib index choice over the G* indexes), prune to the hash
+    bucket when its key is fully bound, push id filters to the read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.stages.materialize import (
+        _term_bucket_ids,
+        lookup_terms,
+        read_layout,
+        term_id,
+    )
+
+    info = read_layout(out_dir)
+    bound_terms = {"graph": g, "subj": s, "pred": p, "obj": o}
+    if g is not None and p is not None and s is None:
+        order = "gpos"
+    elif g is not None and o is not None and s is None and p is None:
+        order = "gosp"
+    else:
+        order = "gspo"
+
+    bound_ids = {
+        idc: (term_id(bound_terms[c]) if bound_terms[c] is not None else None)
+        for idc, c in _TERM_FOR_QID.items()
+    }
+    path = os.path.join(out_dir, order)
+    bkeys = QUAD_BUCKET_KEYS[order]
+    if all(bound_ids[c] is not None for c in bkeys):
+        b = _term_bucket_ids([bound_ids[c] for c in bkeys], info["num_buckets"])
+        path = os.path.join(path, f"bucket={b}")
+        if not os.path.isdir(path):
+            empty = pa.table(
+                {c: pa.array([], type=pa.string()) for c in ("graph", "subj", "pred", "obj")}
+            )
+            return rd.from_arrow(empty)
+    expr = None
+    for idc, val in bound_ids.items():
+        if val is None:
+            continue
+        e = pc.field(idc) == val
+        expr = e if expr is None else (expr & e)
+    ds = rd.read_parquet(
+        path, columns=_QUAD_ID_COLS, **({"filter": expr} if expr is not None else {})
+    )
+    if not resolve_terms:
+        return ds
+
+    import numpy as np
+
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(batches) if batches else None
+    if tbl is None or tbl.num_rows == 0:
+        empty = pa.table(
+            {c: pa.array([], type=pa.string()) for c in ("graph", "subj", "pred", "obj")}
+        )
+        return rd.from_arrow(empty)
+    all_ids = np.unique(
+        np.concatenate([tbl.column(c).to_numpy() for c in _QUAD_ID_COLS])
+    ).tolist()
+    mapping = lookup_terms(out_dir, all_ids)
+    out = pa.table(
+        {
+            name: pa.array(
+                [mapping[i] for i in tbl.column(c).to_pylist()], type=pa.string()
+            )
+            for c, name in _TERM_FOR_QID.items()
+        }
+    )
+    return rd.from_arrow(out)

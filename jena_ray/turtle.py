@@ -61,6 +61,10 @@ class TurtleParser:
         self.prefixes: dict[str, str] = {}
         self.gen = 0
         self.triples: list[tuple[str, str, str]] = []
+        # True iff the most recent subject() came from '[ po-list ]' — only
+        # that form may omit its own predicateObjectList (grammar triples2;
+        # lone collections/ANON subjects are bad syntax: trig-syntax-bad-list)
+        self.subject_was_bnpl = False
 
     # ---- scanning helpers ----
 
@@ -191,6 +195,7 @@ class TurtleParser:
         return None
 
     def subject(self) -> str | None:
+        self.subject_was_bnpl = False
         t = self.iriref_or_pname()
         if t is not None:
             return t
@@ -206,7 +211,9 @@ class TurtleParser:
             if self.try_lit("]"):
                 return self.fresh_bnode()  # ANON
             self.i = save
-            return self.bnode_property_list()
+            node = self.bnode_property_list()
+            self.subject_was_bnpl = True
+            return node
         return None
 
     def object_(self) -> str | None:
@@ -362,7 +369,7 @@ class TurtleParser:
             # a lone blankNodePropertyList may omit the predicateObjectList
             v_save = self.i
             has_pol = True
-            if subj.startswith("_:G"):
+            if self.subject_was_bnpl:
                 self.ws()
                 if self.peek() == ".":
                     has_pol = False

@@ -77,3 +77,32 @@ def alias_sql_values() -> str:
         f"('{alias}', '{eid}')" for eid, aliases in sorted(ENTITY_ALIASES.items()) for alias in aliases
     )
     return f"(VALUES {rows})"
+
+
+# --------------------------------------------------------------------------
+# RDFS fixture vocabulary (T-Box) for the rdfs_materialize driver query —
+# exercises every InferenceProcessorRDFS rule over the KG A-Box: a 2-level
+# subClassOf chain (tests domain/range→subClass chaining), subPropertyOf,
+# domain, range. Mirrored verbatim in the DuckDB oracle SQL.
+# --------------------------------------------------------------------------
+
+C_WEBRESOURCE = KG + "class/WebResource"
+C_RESOURCE = KG + "class/Resource"
+C_ENTITY_CLS = KG + "class/Entity"
+C_SOURCE_CLS = KG + "class/Source"
+P_REFERENCES = REL + "references"
+
+
+def _t(iri: str) -> str:
+    return f"<{iri}>"
+
+
+RDFS_FIXTURE_VOCAB: tuple[tuple[str, str, str], ...] = (
+    (_t(C_DOCUMENT), _t("http://www.w3.org/2000/01/rdf-schema#subClassOf"), _t(C_WEBRESOURCE)),
+    (_t(C_WEBRESOURCE), _t("http://www.w3.org/2000/01/rdf-schema#subClassOf"), _t(C_RESOURCE)),
+    (_t(C_ENTITY_CLS), _t("http://www.w3.org/2000/01/rdf-schema#subClassOf"), _t(C_RESOURCE)),
+    (_t(P_MENTIONS), _t("http://www.w3.org/2000/01/rdf-schema#subPropertyOf"), _t(P_REFERENCES)),
+    (_t(P_MENTIONS), _t("http://www.w3.org/2000/01/rdf-schema#domain"), _t(C_DOCUMENT)),
+    (_t(P_MENTIONS), _t("http://www.w3.org/2000/01/rdf-schema#range"), _t(C_ENTITY_CLS)),
+    (_t(P_SOURCE), _t("http://www.w3.org/2000/01/rdf-schema#range"), _t(C_SOURCE_CLS)),
+)

@@ -43,7 +43,9 @@ def test_features_batch():
     t = synth_media(6)
     out = MediaFeatures()(t)
     assert out.num_rows == 6
-    assert set(out.schema.names) == {"media_id", "kind", "n_samples", "mean", "std"}
+    assert set(out.schema.names) == {
+        "media_id", "kind", "n_samples", "mean", "std", "sum_pixels", "sum_sq",
+    }
     assert all(s > 0 for s in out.column("n_samples").to_pylist())
 
 

@@ -26,6 +26,15 @@ REPRESENTATIVE = [
     "quality_scores",
     "token_counts",
     "ann_topk",
+    "doc_fingerprints",
+    "verified_near_dups",
+    "embedding_near_dups",
+    "customer_order_totals",
+    "order_priority_aggs",
+    "rdfs_materialize",
+    "media_features",
+    "bgp_star_docs",
+    "bgp_cooccur_path",
 ]
 
 
