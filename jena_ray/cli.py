@@ -54,7 +54,13 @@ def cmd_riot(argv: list[str]) -> int:
     nt_files = [f for f in args.files if f.endswith((".nt",))]
     nq_files = [f for f in args.files if f.endswith((".nq",))]
     ttl_files = [f for f in args.files if f.endswith((".ttl", ".turtle"))]
-    other = [f for f in args.files if f not in nt_files + nq_files + ttl_files]
+    trig_files = [f for f in args.files if f.endswith((".trig",))]
+    rdf_files = [f for f in args.files if f.endswith((".rdf", ".owl", ".xml"))]
+    other = [
+        f
+        for f in args.files
+        if f not in nt_files + nq_files + ttl_files + trig_files + rdf_files
+    ]
     if other:
         print(f"unsupported syntax (by extension): {other}", file=sys.stderr)
         return 2
@@ -68,6 +74,19 @@ def cmd_riot(argv: list[str]) -> int:
         from jena_ray.sources.ntriples import quads_to_triples
 
         datasets.append(quads_to_triples(read_nquads(nq_files, strict=not args.nocheck)))
+    if trig_files:
+        from jena_ray.trig import read_trig
+
+        def _drop_g(t):
+            return t.drop_columns(["graph", "src"])
+
+        datasets.append(
+            read_trig(trig_files).map_batches(_drop_g, batch_format="pyarrow")
+        )
+    if rdf_files:
+        from jena_ray.rdfxml import read_rdfxml
+
+        datasets.append(read_rdfxml(rdf_files).drop_columns(["src"]))
     ds = datasets[0]
     for d in datasets[1:]:
         ds = ds.union(d)
