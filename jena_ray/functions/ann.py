@@ -255,17 +255,15 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9):
 
         return ds.map_batches(f, batch_format="pyarrow")
 
+    from jena_ray.stages.joins import safe_join
+
     packed = emb.map_batches(pack, batch_format="pyarrow")
     j1 = _tidy(
-        cand.join(
-            packed, join_type="inner", num_partitions=8, on=("vec_a",), right_on=("vec_id",)
-        ),
+        safe_join(cand, packed, num_partitions=8, on=("vec_a",), right_on=("vec_id",)),
         {"emb": "emb_a"},
     )
     j2 = _tidy(
-        j1.join(
-            packed, join_type="inner", num_partitions=8, on=("vec_b",), right_on=("vec_id",)
-        ),
+        safe_join(j1, packed, num_partitions=8, on=("vec_b",), right_on=("vec_id",)),
         {"emb": "emb_b"},
     )
 

@@ -385,16 +385,14 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8):
 
         return ds.map_batches(f, batch_format="pyarrow")
 
+    from jena_ray.stages.joins import safe_join
+
     j1 = _tidy(
-        pairs.join(
-            sh, join_type="inner", on=("doc_a",), right_on=("doc_id",), num_partitions=8
-        ),
+        safe_join(pairs, sh, on=("doc_a",), right_on=("doc_id",), num_partitions=8),
         {"shingles": "sh_a"},
     )
     j2 = _tidy(
-        j1.join(
-            sh, join_type="inner", on=("doc_b",), right_on=("doc_id",), num_partitions=8
-        ),
+        safe_join(j1, sh, on=("doc_b",), right_on=("doc_id",), num_partitions=8),
         {"shingles": "sh_b"},
     )
 

@@ -29,6 +29,7 @@ import os
 
 import pyarrow as pa
 
+from jena_ray.stages.joins import safe_join
 from jena_ray.stages.materialize import (
     ID_BUCKET_KEYS,
     ID_ORDERS,
@@ -161,9 +162,9 @@ def bgp_execute(
             raise ValueError(f"cartesian product pattern not supported: {pat}")
         new = sorted(pvars - res_vars)
         # suffix the right side's shared columns out of the way, then drop
-        res = res.join(
+        res = safe_join(
+            res,
             ds,
-            join_type="inner",
             num_partitions=num_partitions,
             on=tuple(shared),
             right_on=tuple(shared),
@@ -198,12 +199,8 @@ def bgp_execute(
 
     terms = terms.map_batches(trim, batch_format="pyarrow")
     for var in select:
-        res = res.join(
-            terms,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=(var,),
-            right_on=("id",),
+        res = safe_join(
+            res, terms, num_partitions=num_partitions, on=(var,), right_on=("id",)
         )
 
         def resolve(tb: pa.Table, _v=var) -> pa.Table:

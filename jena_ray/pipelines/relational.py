@@ -159,12 +159,10 @@ def lineitem_order_join(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    from jena_ray.stages.joins import safe_join
+
+    joined = safe_join(
+        li, orders, num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
     )
     from ray.data.aggregate import Count, Sum
 
@@ -348,7 +346,10 @@ def customer_order_totals(sf_dir: str):
     partitioned Dataset.join(left_outer), then null-aware aggregation."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    j = cust.join(
+    from jena_ray.stages.joins import safe_join
+
+    j = safe_join(
+        cust,
         orders,
         join_type="left_outer",
         num_partitions=16,
