@@ -44,6 +44,11 @@ def cmd_riot(argv: list[str]) -> int:
     ap.add_argument("--nocheck", action="store_true", help="lenient term checking")
     ap.add_argument("--out", help="write N-Triples export to this directory")
     ap.add_argument("--sink", help="write parquet triple table to this directory")
+    ap.add_argument(
+        "--syntax-out",
+        help="single-file export in a registry syntax (nt/nq/ttl/trig/trix/rj), "
+        "written to stdout — RDFWriterRegistry analog",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -56,10 +61,14 @@ def cmd_riot(argv: list[str]) -> int:
     ttl_files = [f for f in args.files if f.endswith((".ttl", ".turtle"))]
     trig_files = [f for f in args.files if f.endswith((".trig",))]
     rdf_files = [f for f in args.files if f.endswith((".rdf", ".owl", ".xml"))]
+    trix_files = [f for f in args.files if f.endswith((".trix",))]
+    rj_files = [f for f in args.files if f.endswith((".rj",))]
     other = [
         f
         for f in args.files
-        if f not in nt_files + nq_files + ttl_files + trig_files + rdf_files
+        if f
+        not in nt_files + nq_files + ttl_files + trig_files + rdf_files
+        + trix_files + rj_files
     ]
     if other:
         print(f"unsupported syntax (by extension): {other}", file=sys.stderr)
@@ -87,6 +96,27 @@ def cmd_riot(argv: list[str]) -> int:
         from jena_ray.rdfxml import read_rdfxml
 
         datasets.append(read_rdfxml(rdf_files).drop_columns(["src"]))
+    if trix_files or rj_files:
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jena_ray.rdfjson import parse_rdfjson
+        from jena_ray.trix import parse_trix
+
+        rows = []
+        for f in trix_files:  # whole-file formats, one doc per task at scale
+            rows += [(s, p, o) for _, s, p, o in parse_trix(open(f).read())]
+        for f in rj_files:
+            rows += parse_rdfjson(open(f).read())
+        cols = list(zip(*rows)) if rows else ([], [], [])
+        datasets.append(
+            rd.from_arrow(
+                pa.table(
+                    {k: pa.array(list(v), type=pa.string())
+                     for k, v in zip(("subj", "pred", "obj"), cols)}
+                )
+            )
+        )
     ds = datasets[0]
     for d in datasets[1:]:
         ds = ds.union(d)
@@ -97,6 +127,13 @@ def cmd_riot(argv: list[str]) -> int:
         n = None
     if args.out:
         write_ntriples(ds, args.out)
+    if args.syntax_out:
+        from jena_ray.writers import DEFAULT_GRAPH, WRITERS
+
+        unit, fn = WRITERS[args.syntax_out]
+        triples = [tuple(r.values()) for r in ds.take_all()]
+        data = triples if unit == "triples" else [(DEFAULT_GRAPH, *t) for t in triples]
+        sys.stdout.write(fn(data))
     n = ds.count()
     dt = time.perf_counter() - t0
     if args.count:

@@ -222,10 +222,23 @@ def materialize_indexes(
         _write_layout(out_dir, layout, 0)
         return stats
 
+    # If the wave already stamped id columns (kg.run_kg does — one hash pass
+    # for the whole build), every phase below is a column-pruned read; the
+    # legacy path recomputes ids for triple parquet from other producers.
+    pre_stamped = {"s_id", "p_id", "o_id"} <= set(
+        rd.read_parquet(triples_path).schema().names
+    )
+
     # ---- phase A (NodeTable): terms table — the only string shuffle ----
-    with_ids = rd.read_parquet(
-        triples_path, columns=["subj", "pred", "obj"]
-    ).map_batches(_add_ids, batch_format="pyarrow")
+    if pre_stamped:
+        with_ids = rd.read_parquet(
+            triples_path,
+            columns=["subj", "pred", "obj", "s_id", "p_id", "o_id"],
+        )
+    else:
+        with_ids = rd.read_parquet(
+            triples_path, columns=["subj", "pred", "obj"]
+        ).map_batches(_add_ids, batch_format="pyarrow")
 
     terms_path = os.path.join(out_dir, "terms")
     shutil.rmtree(terms_path, ignore_errors=True)
@@ -235,11 +248,15 @@ def materialize_indexes(
     # ---- phase B: primary with global id-dedup fused (`sort -u`), then
     # secondaries rebuilt from the primary's id rows (BulkLoader copyIndex) --
     primary, *secondary = orders
-    ids = rd.read_parquet(
-        triples_path, columns=["subj", "pred", "obj"]
-    ).map_batches(
-        lambda t: _add_ids(t).select(["s_id", "p_id", "o_id"]), batch_format="pyarrow"
-    )
+    if pre_stamped:
+        ids = rd.read_parquet(triples_path, columns=["s_id", "p_id", "o_id"])
+    else:
+        ids = rd.read_parquet(
+            triples_path, columns=["subj", "pred", "obj"]
+        ).map_batches(
+            lambda t: _add_ids(t).select(["s_id", "p_id", "o_id"]),
+            batch_format="pyarrow",
+        )
     if not assume_deduped:
         ids = dedup_exact(ids, cols=("s_id", "p_id", "o_id"))
     primary_path = os.path.join(out_dir, primary)

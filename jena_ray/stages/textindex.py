@@ -1,0 +1,228 @@
+"""Free-text index side-car: inverted index build + ranked search.
+
+The reference couples a Lucene index to the graph for ``text:query``
+(jena-text TextIndexLucene.java:82 — the index is built alongside the
+dataset and queried as a property function). Ray-Data-first analog:
+
+- **build**: documents → per-block vectorized (token, doc_id, tf)
+  postings (a document's text lives in one row, so block-local term
+  frequencies are exact — no combine shuffle needed for tf), hash-bucketed
+  by token and written sorted (token, doc_id) to
+  ``text/bucket=<h(token)%B>/`` — the posting-list file layout. The
+  vocabulary side-car ``vocab/`` ((token, df) per bucket) comes from a
+  column-pruned second pass over the postings parquet (token column only).
+- **search**: each query term maps to exactly one bucket (hash-pruned
+  read, the posting-list seek analog), the tiny per-term df slice
+  resolves idf, and scoring is one vectorized pass: score(doc) =
+  Σ_t tf(t, doc) · ln(1 + N/df(t)) — classic tf-idf, deterministic and
+  SQL-expressible so the driver oracle can replicate every value.
+
+Scale notes: posting lists are partitioned by token hash, so hub tokens
+(stopwords) skew buckets — at crawl scale add a df-capped stoplist (skip
+postings for df > x% of N, as Lucene effectively does via scoring) and
+split giant tokens' postings by doc_id range within the bucket. Queries
+touch only their terms' buckets; the corpus never shuffles at query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_text_meta.json")
+
+
+def build_text_index(
+    docs,
+    out_dir: str,
+    *,
+    num_buckets: int = 16,
+    min_rows_per_file: int = 500_000,
+) -> str:
+    """documents Dataset (doc_id, text) → ``text/`` postings + ``vocab/`` df
+    table + ``_text_meta.json`` (doc count). Idempotent: a completed build
+    (meta present) is reused."""
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import add_bucket
+
+    if os.path.exists(_meta_path(out_dir)):
+        return out_dir
+
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "text"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "vocab"), ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_docs = docs.count()
+
+    def postings(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.split(" ")
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), toks.str.len().to_numpy())
+        flat = toks.explode().to_numpy()
+        df = (
+            pd.DataFrame({"token": flat, "doc_id": doc_ids})
+            .groupby(["token", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return add_bucket(t, ["token"], num_buckets).rename_columns(
+            ["token", "doc_id", "tf", "bucket"]
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            g, sort_keys=[("token", "ascending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx)
+
+    out = (
+        docs.map_batches(postings, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    out.write_parquet(
+        os.path.join(out_dir, "text"),
+        partition_cols=["bucket"],
+        min_rows_per_file=min_rows_per_file,
+    )
+
+    # vocabulary (token, df): column-pruned pass over the postings — each
+    # (token, doc) pair is one row, so df = row count per token; the bucket
+    # column rides along so vocab/ shares the postings' hash layout.
+    post = rd.read_parquet(os.path.join(out_dir, "text"), columns=["token", "bucket"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["token", "bucket"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["token", "bucket", "_partial"])
+
+    from ray.data.aggregate import Sum
+
+    vocab = (
+        post.map_batches(partial, batch_format="pyarrow")
+        .groupby(["token", "bucket"])
+        .aggregate(Sum("_partial", alias_name="df"))
+    )
+    vocab.write_parquet(
+        os.path.join(out_dir, "vocab"),
+        partition_cols=["bucket"],
+        min_rows_per_file=min_rows_per_file,
+    )
+
+    with open(_meta_path(out_dir), "w") as f:
+        json.dump({"n_docs": int(n_docs), "num_buckets": num_buckets}, f)
+    return out_dir
+
+
+def _token_bucket(token: str, num_buckets: int) -> int:
+    from jena_ray.stages.dedup import _key_hash
+
+    h = _key_hash(pa.table({"t": pa.array([token])}), ["t"])
+    return int(h[0]) % num_buckets
+
+
+def text_search(index_dir: str, terms: list[str], k: int = 20):
+    """Ranked OR-query (Lucene/text:query semantics): docs matching any term,
+    scored Σ tf·idf with idf = ln(1 + N/df), top-k by (score desc, doc_id).
+
+    Only the query terms' hash buckets are read (posting-list seeks); the
+    score integerizes to micros before ranking so the top-k cut is stable
+    across engines."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    n_docs, nb = meta["n_docs"], meta["num_buckets"]
+
+    terms = sorted(set(terms))
+    by_bucket: dict[int, list[str]] = {}
+    for t in terms:
+        by_bucket.setdefault(_token_bucket(t, nb), []).append(t)
+
+    # idf from the tiny vocab slices (driver-side: |terms| rows)
+    idf: dict[str, float] = {}
+    for b, ts in by_bucket.items():
+        path = os.path.join(index_dir, "vocab", f"bucket={b}")
+        if not os.path.isdir(path):
+            continue
+        vt = pq.read_table(path, columns=["token", "df"])
+        vt = vt.filter(pc.is_in(vt.column("token"), value_set=pa.array(ts)))
+        for tok, df_ in zip(vt.column("token").to_pylist(), vt.column("df").to_pylist()):
+            # np.log(1 + x), not log1p: mirrors the oracle's ln(1 + N/df)
+            # bit-for-bit (log1p skips the 1+x rounding and can differ 1 ulp)
+            idf[tok] = float(np.log(1.0 + n_docs / df_))
+
+    datasets = []
+    for b, ts in by_bucket.items():
+        path = os.path.join(index_dir, "text", f"bucket={b}")
+        if not os.path.isdir(path):
+            continue
+        datasets.append(
+            rd.read_parquet(
+                path,
+                columns=["token", "doc_id", "tf"],
+                filter=pc.field("token").isin(ts),
+            )
+        )
+    if not datasets:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_micros": pa.array([], pa.int64()),
+                    "n_terms": pa.array([], pa.int64()),
+                }
+            )
+        )
+    matches = datasets[0] if len(datasets) == 1 else datasets[0].union(*datasets[1:])
+
+    idf_items = sorted(idf.items())
+    idf_tokens = pa.array([t for t, _ in idf_items])
+    idf_vals = np.array([v for _, v in idf_items])
+
+    def score(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column("token"), value_set=idf_tokens)
+        w = idf_vals[pos.to_numpy(zero_copy_only=False)]
+        contrib = batch.column("tf").to_numpy() * w
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "contrib": pa.array(contrib),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        matches.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("contrib", alias_name="s"), Sum("one", alias_name="n_terms"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_micros": pa.array(np.rint(s * 1e6).astype(np.int64)),
+                "n_terms": batch.column("n_terms"),
+            }
+        )
+
+    out = scored.map_batches(finalize, batch_format="pyarrow")
+    return out.sort(["score_micros", "doc_id"], descending=[True, False]).limit(k)

@@ -1,0 +1,267 @@
+"""RDF writer registry: N-Triples / N-Quads / Turtle / TriG / TriX /
+RDF-JSON serializers over canonical term strings.
+
+The reference registers writers per RDFFormat
+(jena-arq riot/RDFWriterRegistry.java:147-201); round 1 shipped only the
+N-Triples sink. Terms are stored canonically (N-Triples form), so the
+line-oriented writers are vectorized joins; the prefix-compressing writers
+(Turtle/TriG — WriterTurtle/WriterTriG pretty-printer lineage) group by
+subject/graph and compress IRIs against a caller prefix map; TriX and
+RDF-JSON mirror their readers (jena_ray.trix / jena_ray.rdfjson) so
+write→parse round-trips are isomorphic.
+
+Distributed use: every serializer is document-complete per call (its own
+@prefix header / XML envelope), so a Dataset export writes one standalone
+part file per block — the Elephas output-format layout, resumable and
+order-free. Driver-side single-file export just concatenates one block.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterable, Mapping
+
+from jena_ray import term as T
+
+Triple = tuple[str, str, str]
+Quad = tuple[str, str, str, str]
+
+DEFAULT_GRAPH = "<urn:x-arq:DefaultGraph>"
+
+# conservative PN_LOCAL subset: compress only when the local part is safely
+# a Turtle prefixed-name (no escaping needed); otherwise fall back to <IRI>
+_PN_LOCAL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_-]*$")
+
+
+def _pname(iri_term: str, prefixes: Mapping[str, str]) -> str:
+    """<IRI> → pfx:local when a prefix matches and the local part is safe."""
+    iri = iri_term[1:-1]
+    for pfx, ns in prefixes.items():
+        if iri.startswith(ns):
+            local = iri[len(ns):]
+            if _PN_LOCAL_RE.match(local):
+                return f"{pfx}:{local}"
+    return iri_term
+
+
+def _turtle_term(t: str, prefixes: Mapping[str, str]) -> str:
+    if t.startswith("<"):
+        return _pname(t, prefixes)
+    if t.startswith('"'):
+        lex, lang, dt = T.split_literal(t)
+        if dt:
+            body = t[: t.rindex("^^")]
+            return f"{body}^^{_pname(f'<{dt}>', prefixes)}"
+    return t
+
+
+def serialize_turtle(
+    triples: Iterable[Triple],
+    prefixes: Mapping[str, str] | None = None,
+    *,
+    header: bool = True,
+) -> str:
+    """Turtle document: @prefix header + subject-grouped predicate lists
+    (WriterTurtle's `;`/`,` shape without its object-list inlining)."""
+    prefixes = dict(prefixes or {})
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in prefixes.items()] if header else []
+    if out:
+        out.append("")
+    by_subj: dict[str, list[tuple[str, str]]] = {}
+    order: list[str] = []
+    for s, p, o in triples:
+        if s not in by_subj:
+            by_subj[s] = []
+            order.append(s)
+        by_subj[s].append((p, o))
+    for s in order:
+        st = _turtle_term(s, prefixes)
+        po = by_subj[s]
+        by_pred: dict[str, list[str]] = {}
+        porder: list[str] = []
+        for p, o in po:
+            if p not in by_pred:
+                by_pred[p] = []
+                porder.append(p)
+            by_pred[p].append(o)
+        lines = []
+        for p in porder:
+            pt = (
+                "a"
+                if p == "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+                else _turtle_term(p, prefixes)
+            )
+            objs = ", ".join(_turtle_term(o, prefixes) for o in by_pred[p])
+            lines.append(f"{pt} {objs}")
+        out.append(f"{st} " + " ;\n        ".join(lines) + " .")
+    return "\n".join(out) + "\n"
+
+
+def serialize_trig(
+    quads: Iterable[Quad], prefixes: Mapping[str, str] | None = None
+) -> str:
+    """TriG document: default-graph triples bare, named graphs as
+    ``<g> { ... }`` blocks (WriterTriG layout)."""
+    prefixes = dict(prefixes or {})
+    by_graph: dict[str, list[Triple]] = {}
+    order: list[str] = []
+    for g, s, p, o in quads:
+        if g not in by_graph:
+            by_graph[g] = []
+            order.append(g)
+        by_graph[g].append((s, p, o))
+    parts = []
+    header = [f"@prefix {p}: <{ns}> ." for p, ns in prefixes.items()]
+    if header:
+        parts.append("\n".join(header))
+    for g in order:
+        body = serialize_turtle(by_graph[g], prefixes, header=False).strip("\n")
+        if g == DEFAULT_GRAPH:
+            parts.append(body)
+        else:
+            gt = _turtle_term(g, prefixes)
+            indented = "\n".join("    " + ln for ln in body.splitlines())
+            parts.append(f"{gt} {{\n{indented}\n}}")
+    return "\n\n".join(parts) + "\n"
+
+
+def _xml_escape(s: str, attr: bool = False) -> str:
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if attr:
+        s = s.replace('"', "&quot;")
+    return s
+
+
+def _trix_term(t: str) -> str:
+    if t.startswith("<"):
+        return f"<uri>{_xml_escape(t[1:-1])}</uri>"
+    if t.startswith("_:"):
+        return f"<id>{_xml_escape(t[2:])}</id>"
+    lex, lang, dt = T.split_literal(t)
+    if dt:
+        return f'<typedLiteral datatype="{_xml_escape(dt, attr=True)}">{_xml_escape(lex)}</typedLiteral>'
+    if lang:
+        return f'<plainLiteral xml:lang="{_xml_escape(lang, attr=True)}">{_xml_escape(lex)}</plainLiteral>'
+    return f"<plainLiteral>{_xml_escape(lex)}</plainLiteral>"
+
+
+def serialize_trix(quads: Iterable[Quad]) -> str:
+    """TriX document (StreamWriterTriX layout: one <graph> per named graph,
+    default graph unnamed)."""
+    by_graph: dict[str, list[Triple]] = {}
+    order: list[str] = []
+    for g, s, p, o in quads:
+        if g not in by_graph:
+            by_graph[g] = []
+            order.append(g)
+        by_graph[g].append((s, p, o))
+    out = ['<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">']
+    for g in order:
+        out.append("  <graph>")
+        if g != DEFAULT_GRAPH:
+            out.append("    " + _trix_term(g))
+        for s, p, o in by_graph[g]:
+            out.append("    <triple>")
+            for t in (s, p, o):
+                out.append("      " + _trix_term(t))
+            out.append("    </triple>")
+        out.append("  </graph>")
+    out.append("</TriX>")
+    return "\n".join(out) + "\n"
+
+
+def serialize_rdfjson(triples: Iterable[Triple]) -> str:
+    """RDF/JSON document (WriterRDFJSON layout: subject → predicate →
+    value-object array)."""
+    doc: dict[str, dict[str, list[dict]]] = {}
+    for s, p, o in triples:
+        skey = s[1:-1] if s.startswith("<") else s
+        pkey = p[1:-1]
+        if o.startswith("<"):
+            v: dict = {"type": "uri", "value": o[1:-1]}
+        elif o.startswith("_:"):
+            v = {"type": "bnode", "value": o}
+        else:
+            lex, lang, dt = T.split_literal(o)
+            v = {"type": "literal", "value": lex}
+            if lang:
+                v["lang"] = lang
+            elif dt:
+                v["datatype"] = dt
+        doc.setdefault(skey, {}).setdefault(pkey, []).append(v)
+    return json.dumps(doc, indent=2, ensure_ascii=False) + "\n"
+
+
+def format_nq_batch(batch):
+    """Quad rows → N-Quads lines (vectorized; default-graph rows omit the
+    graph term per N-Quads grammar)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spo = pc.binary_join_element_wise(
+        batch.column("subj"), batch.column("pred"), batch.column("obj"), " "
+    )
+    is_default = pc.equal(batch.column("graph"), DEFAULT_GRAPH)
+    with_g = pc.binary_join_element_wise(spo, batch.column("graph"), " ")
+    line = pc.if_else(is_default, spo, with_g)
+    line = pc.binary_join_element_wise(line, ".", " ")
+    return pa.table({"text": line})
+
+
+def write_nquads(quads, path: str):
+    """Export a quads Dataset to a directory of .nq part files (same
+    content-hash-named, idempotent layout as write_ntriples)."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        lines = format_nq_batch(batch).column("text").to_pylist()
+        data = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+        h1, _ = T.murmur3_128(data)
+        fname = os.path.join(path, f"part-{h1:016x}.nq")
+        with open(fname, "wb") as f:
+            f.write(data)
+        return pa.table({"path": pa.array([fname]), "rows": pa.array([len(lines)])})
+
+    quads.map_batches(write_block, batch_format="pyarrow").take_all()
+    return path
+
+
+# ---------------------------------------------------------------------------
+# registry (RDFWriterRegistry analog): format → (unit, serializer)
+# unit "triples": fn(list[Triple]) -> str; unit "quads": fn(list[Quad]) -> str
+# ---------------------------------------------------------------------------
+
+
+def _nt_doc(triples: Iterable[Triple]) -> str:
+    return "".join(f"{s} {p} {o} .\n" for s, p, o in triples)
+
+
+def _nq_doc(quads: Iterable[Quad]) -> str:
+    return "".join(
+        (f"{s} {p} {o} .\n" if g == DEFAULT_GRAPH else f"{s} {p} {o} {g} .\n")
+        for g, s, p, o in quads
+    )
+
+
+WRITERS: dict[str, tuple[str, object]] = {
+    "nt": ("triples", _nt_doc),
+    "ntriples": ("triples", _nt_doc),
+    "nq": ("quads", _nq_doc),
+    "nquads": ("quads", _nq_doc),
+    "ttl": ("triples", serialize_turtle),
+    "turtle": ("triples", serialize_turtle),
+    "trig": ("quads", serialize_trig),
+    "trix": ("quads", serialize_trix),
+    "rj": ("triples", serialize_rdfjson),
+    "rdfjson": ("triples", serialize_rdfjson),
+}
+
+
+def register_writer(name: str, unit: str, fn) -> None:
+    """Extension hook (RDFWriterRegistry.register analog)."""
+    WRITERS[name] = (unit, fn)

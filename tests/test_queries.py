@@ -35,6 +35,7 @@ REPRESENTATIVE = [
     "media_features",
     "bgp_star_docs",
     "bgp_cooccur_path",
+    "text_search_docs",
 ]
 
 
