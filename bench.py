@@ -76,9 +76,9 @@ def run_benchmarks() -> dict:
     timings["kg_construct"] = round(kg_sec, 3)
     triples_out = sum(s["triples_out"] for s in metrics["shards"].values())
 
-    # secondary pipelines (operator coverage at bench scale)
-    qs = E.queries()
-    for name in (
+    # secondary pipelines (operator coverage at bench scale); skipped in
+    # scaling children (GRAFT_HEADLINE_ONLY), which only time the headline
+    names = () if os.environ.get("GRAFT_HEADLINE_ONLY") else (
         "q1_pricing_summary",
         "lineitem_order_join",
         "revenue_by_nation",
@@ -88,7 +88,9 @@ def run_benchmarks() -> dict:
         "minhash_candidate_pairs",
         "ann_topk",
         "events_tumbling_window",
-    ):
+    )
+    qs = E.queries()
+    for name in names:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume to force execution
@@ -112,39 +114,97 @@ def run_benchmarks() -> dict:
     }
 
 
+def _hw_throughput(nproc: int, seconds: float = 6.0) -> float:
+    """Aggregate pure-CPU throughput (single-thread matmuls/sec summed over
+    `nproc` processes) — the machine's actual capacity at that parallelism.
+    This sandbox runs both 'cluster sizes' on ONE box whose 32 vCPUs are
+    SMT siblings of ~16 physical cores: the measured 8→32-process ceiling
+    is ~2.5-3.3x, NOT 4x, and it drifts minutes apart (shared host). The
+    probe runs in the same minute as each trial so the job's speedup can be
+    compared against what the hardware actually offered."""
+    import multiprocessing as mp
+
+    def work(q):
+        os.environ["OMP_NUM_THREADS"] = "1"
+        import numpy as np
+
+        a = np.random.RandomState(0).normal(size=(256, 256)).astype(np.float32)
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            a @ a
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=work, args=(q,)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
+
+
 def run_scaling() -> dict:
-    """Same headline at num_cpus=8 vs 32 in fresh processes (median of
-    `GRAFT_SCALING_TRIALS` trials, default 3); efficiency=(T8/T32)/4."""
+    """Headline at num_cpus=N vs 4N in fresh processes, trials INTERLEAVED
+    (lo, hi, lo, hi, ...) so shared-host drift hits both levels equally;
+    medians reported. Efficiency is reported twice:
+
+    - raw:       (T_lo/T_hi) / 4          — the north-rule formula
+    - vs_hw:     (T_lo/T_hi) / hw_speedup — normalized to the measured
+                  pure-CPU capacity ratio of the SAME machine in the same
+                  minutes (SMT + host throttling cap the denominator; a
+                  4x-core VIRTUAL allocation on one box is not 4x compute)
+    """
     import statistics
 
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+    repeat = os.environ.get("GRAFT_BENCH_REPEAT", "24")
+    lo_cpus, hi_cpus = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
 
-    repeat = os.environ.get("GRAFT_BENCH_REPEAT", "8")
+    def one(ncpu: int) -> float:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_REPEAT=repeat,
+            GRAFT_HEADLINE_ONLY="1",
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])["value"]
 
-    def one(ncpu: int) -> list[float]:
-        out = []
-        for _ in range(trials):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEAT=repeat)
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            out.append(json.loads(r.stdout.strip().splitlines()[-1])["value"])
-        return out
+    lo_secs, hi_secs, hw_ratios = [], [], []
+    for _ in range(trials):
+        hw_lo = _hw_throughput(lo_cpus)
+        lo_secs.append(one(lo_cpus))
+        hw_hi = _hw_throughput(hi_cpus)
+        hi_secs.append(one(hi_cpus))
+        hw_ratios.append(hw_hi / hw_lo)
 
-    lo_cpus, hi_cpus = 8, 32
-    t_lo = statistics.median(one(lo_cpus))
-    t_hi = statistics.median(one(hi_cpus))
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    t_lo = statistics.median(lo_secs)
+    t_hi = statistics.median(hi_secs)
+    hw_speedup = statistics.median(hw_ratios)
+    speedup = t_lo / t_hi
+    eff_raw = speedup / (hi_cpus / lo_cpus)
+    eff_hw = speedup / hw_speedup
     result = {
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round(eff, 3),
+        f"sec_{lo_cpus}": round(t_lo, 2),
+        f"sec_{hi_cpus}": round(t_hi, 2),
+        "all_lo": [round(x, 1) for x in lo_secs],
+        "all_hi": [round(x, 1) for x in hi_secs],
+        "speedup": round(speedup, 3),
+        "hw_speedup": round(hw_speedup, 3),
+        "scaling_efficiency": round(eff_raw, 3),
+        "scaling_efficiency_vs_hw": round(eff_hw, 3),
         "trials": trials,
         "sf": SF_DIR,
         "repeat": int(repeat),
@@ -152,11 +212,15 @@ def run_scaling() -> dict:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## scaling run (sf={SF_DIR}, trials={trials}, repeat={repeat})\n\n"
-            f"| num_cpus | headline sec | |\n|---|---|---|\n"
-            f"| 8 | {t_lo:.2f} | |\n| 32 | {t_hi:.2f} | |\n\n"
-            f"speedup {t_lo / t_hi:.2f}x over 4x CPUs → scaling efficiency "
-            f"**{eff:.3f}**\n"
+            f"\n## scaling run (sf={SF_DIR}, trials={trials}, repeat={repeat},"
+            f" interleaved)\n\n"
+            f"| num_cpus | headline sec (median) | all trials |\n|---|---|---|\n"
+            f"| {lo_cpus} | {t_lo:.2f} | {result['all_lo']} |\n"
+            f"| {hi_cpus} | {t_hi:.2f} | {result['all_hi']} |\n\n"
+            f"speedup {speedup:.2f}x over {hi_cpus // lo_cpus}x CPUs → raw scaling "
+            f"efficiency **{eff_raw:.3f}**; measured pure-CPU hardware ceiling "
+            f"{hw_speedup:.2f}x (SMT/shared-host) → efficiency vs hardware "
+            f"**{eff_hw:.3f}**\n"
         )
     return result
 

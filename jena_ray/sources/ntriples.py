@@ -53,6 +53,84 @@ class ParseNTriplesBatch:
         )
 
 
+class ParseNTriplesChecked:
+    """Checker side-channel (riot/system/Checker.java:28 + elephas
+    ValidTripleFilterMapper semantics): strict per-line checking where bad
+    lines are ROUTED, not raised — every input line becomes either a triple
+    row (error null) or an error row (term columns null, error = message).
+    Split downstream with ``split_checked``."""
+
+    def __init__(self, *, base: str | None = None):
+        self.base = base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = "text" if "text" in batch.schema.names else batch.schema.names[0]
+        subjs: list = []
+        preds: list = []
+        objs: list = []
+        errs: list = []
+        lines_out: list = []
+        for line in batch.column(col).to_pylist():
+            if T._BLANK_RE.match(line):
+                continue
+            try:
+                triples = T.parse_ntriples(line, strict=True, base=self.base)
+            except T.TermError as e:
+                subjs.append(None)
+                preds.append(None)
+                objs.append(None)
+                errs.append(str(e))
+                lines_out.append(line)
+                continue
+            for s, p, o in triples:
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+                errs.append(None)
+                lines_out.append(line)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, type=pa.string()),
+                "pred": pa.array(preds, type=pa.string()),
+                "obj": pa.array(objs, type=pa.string()),
+                "error": pa.array(errs, type=pa.string()),
+                "line": pa.array(lines_out, type=pa.string()),
+            }
+        )
+
+
+def split_checked(checked):
+    """(valid triples Dataset, error Dataset) from a ParseNTriplesChecked
+    output — the valid/invalid side channels of the elephas filter mappers."""
+    import pyarrow.compute as pc
+
+    def good(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("error"))).select(list(TRIPLE_COLS))
+
+    def bad(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("error"))).select(["line", "error"])
+
+    return (
+        checked.map_batches(good, batch_format="pyarrow"),
+        checked.map_batches(bad, batch_format="pyarrow"),
+    )
+
+
+def read_ntriples_checked(paths, *, base: str | None = None, concurrency=(1, 4)):
+    """Dataset of (subj, pred, obj, error, line) rows: strict checking with
+    an error side-channel instead of a hard stop."""
+    import ray.data as rd
+
+    lines = rd.read_text(paths)
+    return lines.map_batches(
+        ParseNTriplesChecked,
+        fn_constructor_kwargs={"base": base},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def read_ntriples(paths, *, strict: bool = True, base: str | None = None, concurrency=(1, 4)):
     """Dataset of canonical triples from .nt files (splittable by line).
 

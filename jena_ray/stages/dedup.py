@@ -30,24 +30,49 @@ from collections.abc import Sequence
 import pyarrow as pa
 
 
+def _int_cols(batch: pa.Table, cols: Sequence[str]):
+    """The key columns as null-free int64 numpy arrays, or None when any
+    column is non-integer / has nulls (string path applies then)."""
+    import numpy as np
+
+    out = []
+    for c in cols:
+        a = batch.column(c)
+        if not pa.types.is_integer(a.type) or a.null_count:
+            return None
+        out.append(
+            a.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        )
+    return out
+
+
 def dedup_batch(batch: pa.Table, cols: Sequence[str]) -> pa.Table:
     """Vectorized within-block dedup: keep the first row per key.
 
-    First-occurrence indices come from dictionary-encoding the concatenated
-    key (pyarrow kernels only — no Python row loop).
+    Integer keys (the id-triple hot path — 3×int64 at crawl scale) dedup
+    EXACTLY via np.unique over a packed void view (C memcmp sort — ~100×
+    faster than stringifying int64s); other keys dictionary-encode the
+    concatenated string key (pyarrow kernels only — no Python row loop).
     """
     if batch.num_rows == 0:
         return batch
     import numpy as np
     import pyarrow.compute as pc
 
-    joined = pc.binary_join_element_wise(
-        *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
-    )
-    d = pc.dictionary_encode(joined)
-    codes = d.combine_chunks().indices if isinstance(d, pa.ChunkedArray) else d.indices
-    codes_np = codes.to_numpy(zero_copy_only=False)
-    _, first_idx = np.unique(codes_np, return_index=True)
+    ints = _int_cols(batch, cols)
+    if ints is not None:
+        packed = np.ascontiguousarray(np.column_stack(ints)).view(
+            [("", np.int64)] * len(ints)
+        )
+        _, first_idx = np.unique(packed, return_index=True)
+    else:
+        joined = pc.binary_join_element_wise(
+            *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
+        )
+        d = pc.dictionary_encode(joined)
+        codes = d.combine_chunks().indices if isinstance(d, pa.ChunkedArray) else d.indices
+        codes_np = codes.to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(codes_np, return_index=True)
     if len(first_idx) == batch.num_rows:
         return batch
     return batch.take(pa.array(np.sort(first_idx)))
@@ -60,11 +85,23 @@ def _key_hash(batch: pa.Table, cols: Sequence[str]):
     library hash whose key could drift across versions: on a heterogeneous
     cluster a pandas/polars version skew would silently split equal keys
     across buckets. Collisions only affect bucket balance, never results
-    (each bucket is exactly deduped/grouped downstream)."""
+    (each bucket is exactly deduped/grouped downstream).
+
+    All-integer keys chain splitmix64 over the raw values (~100× faster
+    than the cast-to-string path, measured 116 s → 1.2 s on 5.7M id
+    triples — the id-index shuffles were spending more time stringifying
+    int64s than sorting)."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    from jena_ray.functions.hashing import hash_string_array
+    from jena_ray.functions.hashing import hash_string_array, splitmix64
 
+    ints = _int_cols(batch, cols)
+    if ints is not None:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for v in ints:
+            h = splitmix64(h ^ splitmix64(v.view(np.uint64)))
+        return h
     joined = pc.binary_join_element_wise(
         *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
     )

@@ -105,23 +105,42 @@ def _add_ids(batch):
     return batch
 
 
-def _build_bucketed_ids(ds, order: str, path: str, num_buckets: int, min_rows_per_file: int):
-    """id-triple Dataset → bucketed, in-bucket-sorted index layout."""
+def _build_bucketed_ids(
+    ds,
+    order: str,
+    path: str,
+    num_buckets: int,
+    min_rows_per_file: int,
+    *,
+    dedup: bool = False,
+):
+    """id-triple Dataset → bucketed, in-bucket-sorted index layout.
+
+    ``dedup=True`` fuses the GLOBAL exact dedup (tdbloader2 ``sort -u``)
+    into this build's single shuffle: identical triples hash to the same
+    bucket (the bucket key is a subset of the triple), so a block-local
+    combiner before the shuffle plus one per-bucket dedup after it is
+    globally exact — one all-to-all instead of dedup_exact's + this one's.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from jena_ray.stages.dedup import add_bucket
+    from jena_ray.stages.dedup import add_bucket, dedup_batch
 
     keys = ID_ORDERS[order]
     bkeys = ID_BUCKET_KEYS[order]
 
     def bucketize(t: pa.Table) -> pa.Table:
         t = t.select(["s_id", "p_id", "o_id"])
+        if dedup:
+            t = dedup_batch(t, keys)  # combiner: collapse repeats pre-shuffle
         return add_bucket(t, bkeys, num_buckets).rename_columns(
             ["s_id", "p_id", "o_id", "bucket"]
         )
 
     def sort_within(g: pa.Table) -> pa.Table:
+        if dedup:
+            g = dedup_batch(g, keys)
         idx = pc.sort_indices(g, sort_keys=[(k, "ascending") for k in keys])
         return g.take(idx)
 
@@ -257,11 +276,12 @@ def materialize_indexes(
             lambda t: _add_ids(t).select(["s_id", "p_id", "o_id"]),
             batch_format="pyarrow",
         )
-    if not assume_deduped:
-        ids = dedup_exact(ids, cols=("s_id", "p_id", "o_id"))
     primary_path = os.path.join(out_dir, primary)
     shutil.rmtree(primary_path, ignore_errors=True)
-    _build_bucketed_ids(ids, primary, primary_path, num_buckets, min_rows_per_file)
+    _build_bucketed_ids(
+        ids, primary, primary_path, num_buckets, min_rows_per_file,
+        dedup=not assume_deduped,
+    )
     stats[primary] = primary_path
     for order in secondary:
         sds = rd.read_parquet(primary_path, columns=["s_id", "p_id", "o_id"])

@@ -113,16 +113,23 @@ def load_pages(
     (offset by REPEAT_STRIDE per copy) — deterministic work amplification for
     benchmarking; every downstream stage (urls, bnodes, dedup keys) sees
     distinct documents."""
+    import ray
     import ray.data as rd
 
+    # Block granularity sets actor-pool load balance: the annotator pool has
+    # ~cpus actors and the task is the scheduling unit, so blocks-per-copy
+    # scales with the cluster (≥2 tasks per actor per copy keeps the pool's
+    # tail short — 8 fixed blocks left a 27-actor pool 50% idle at 32 CPUs).
+    # Floor of 8 keeps tiny-cluster behavior; at crawl scale fragments are
+    # 128 MB+ and the Ray default (no override) is right.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks_per_copy = max(8, cpus)
+
     def one_copy(offset: int):
-        # the testdata files are tiny — without a cap Ray splits each read
-        # into ~64 micro-blocks and per-block task overhead dominates
-        # (at crawl scale fragments are 128MB+ and the default is right)
         ds = rd.read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source", "n_chars"],
-            override_num_blocks=8,
+            override_num_blocks=blocks_per_copy,
         )
         if offset:
             def shift(t: pa.Table) -> pa.Table:

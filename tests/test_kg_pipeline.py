@@ -144,10 +144,10 @@ def test_stage_pools_leave_scheduling_headroom():
     from jena_ray.pipelines.kg import _stage_pools
 
     for hi in range(1, 129):
-        extract, annotate = _stage_pools(hi)
-        reserved = (extract or 0) + (annotate or 0)
+        pool = _stage_pools(hi)
+        reserved = pool or 0
         assert reserved < hi or reserved == 0, (
-            f"hi={hi}: pools reserve {reserved} of {hi} CPUs — task stages starve"
+            f"hi={hi}: pool reserves {reserved} of {hi} CPUs — task stages starve"
         )
 
 

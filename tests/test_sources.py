@@ -100,3 +100,45 @@ def test_tdb_loader_fixtures(ray_session):
     assert nq.count() > 0
     ttl = read_turtle([f"{d}/data-4.ttl"])
     assert ttl.count() > 0
+
+
+def test_checked_reader_side_channel(ray_session, tmp_path):
+    """Checker error side-channel (riot/system/Checker.java semantics, the
+    elephas Valid/Ground filter mappers): bad lines become error rows, good
+    lines parse, nothing raises, nothing is silently dropped."""
+    from jena_ray.sources.ntriples import read_ntriples_checked, split_checked
+
+    f = tmp_path / "mixed.nt"
+    f.write_text(
+        "<http://e/s> <http://e/p> <http://e/o> .\n"
+        "this is not a triple\n"
+        "<http://e/s> <http://e/p> \"lit\" .\n"
+        "<relative> <http://e/p> <http://e/o> .\n"
+    )
+    valid, errors = split_checked(read_ntriples_checked([str(f)]))
+    good = sorted(tuple(r.values()) for r in valid.take_all())
+    bad = errors.take_all()
+    assert good == [
+        ("<http://e/s>", "<http://e/p>", '"lit"'),
+        ("<http://e/s>", "<http://e/p>", "<http://e/o>"),
+    ]
+    assert len(bad) == 2
+    assert all(r["error"] for r in bad)
+
+
+def test_checked_reader_on_reference_bad_fixture(ray_session):
+    """A W3C negative-syntax file yields only error rows."""
+    import glob
+
+    from jena_ray.sources.ntriples import read_ntriples_checked, split_checked
+
+    bads = sorted(
+        glob.glob(
+            "/root/reference/jena-arq/testing/RIOT/Lang/NTriplesStd/nt-syntax-bad-struct-*.nt"
+        )
+    )
+    if not bads:
+        return
+    valid, errors = split_checked(read_ntriples_checked(bads[:1]))
+    assert valid.count() == 0
+    assert errors.count() > 0
