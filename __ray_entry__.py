@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_lineitem": R.filter_project_lineitem,
         "events_tumbling_window": R.events_tumbling_window,
         "events_sessionize": R.events_sessionize,
+        "sample_docs": R.sample_docs,
         # --- training-data ops ---
         "exact_dedup_docs": dedup_ops.exact_dedup_docs,
         "minhash_candidate_pairs": dedup_ops.minhash_candidate_pairs,
@@ -549,6 +550,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_idx
             FROM events ORDER BY user_id, run_idx
+        """,
+        # deterministic md5-prefix sampling (~10%); membership is a string
+        # compare both engines evaluate identically
+        "sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+            ORDER BY doc_id
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,

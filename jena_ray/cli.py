@@ -63,12 +63,13 @@ def cmd_riot(argv: list[str]) -> int:
     rdf_files = [f for f in args.files if f.endswith((".rdf", ".owl", ".xml"))]
     trix_files = [f for f in args.files if f.endswith((".trix",))]
     rj_files = [f for f in args.files if f.endswith((".rj",))]
+    jsonld_files = [f for f in args.files if f.endswith((".jsonld",))]
     other = [
         f
         for f in args.files
         if f
         not in nt_files + nq_files + ttl_files + trig_files + rdf_files
-        + trix_files + rj_files
+        + trix_files + rj_files + jsonld_files
     ]
     if other:
         print(f"unsupported syntax (by extension): {other}", file=sys.stderr)
@@ -96,10 +97,11 @@ def cmd_riot(argv: list[str]) -> int:
         from jena_ray.rdfxml import read_rdfxml
 
         datasets.append(read_rdfxml(rdf_files).drop_columns(["src"]))
-    if trix_files or rj_files:
+    if trix_files or rj_files or jsonld_files:
         import pyarrow as pa
         import ray.data as rd
 
+        from jena_ray.jsonld import parse_jsonld
         from jena_ray.rdfjson import parse_rdfjson
         from jena_ray.trix import parse_trix
 
@@ -108,6 +110,8 @@ def cmd_riot(argv: list[str]) -> int:
             rows += [(s, p, o) for _, s, p, o in parse_trix(open(f).read())]
         for f in rj_files:
             rows += parse_rdfjson(open(f).read())
+        for f in jsonld_files:
+            rows += [(s, p, o) for _, s, p, o in parse_jsonld(open(f).read())]
         cols = list(zip(*rows)) if rows else ([], [], [])
         datasets.append(
             rd.from_arrow(

@@ -396,3 +396,54 @@ def order_priority_aggs(sf_dir: str):
         AGGREGATES["sample"]("o_orderkey", "sample_orderkey"),
     )
     return _round_cols(out, {"median_price": 6}).sort("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# sampling (OpSlice/Sampler analog) + OpReduced
+# --------------------------------------------------------------------------
+
+
+SAMPLE_THRESHOLD = "19999999"  # hex prefix < this ≈ 10% keep rate
+
+
+def sample_docs(sf_dir: str):
+    """Deterministic hash sampling: keep documents whose md5(doc_id) hex
+    digest sorts below a fixed prefix — ~10% in expectation, stable across
+    engines and runs (the distributed replacement for the reference's
+    RandomSample/OpSlice sampling iterator, which cannot be oracle-checked;
+    the md5-prefix string compare is reproduced verbatim in DuckDB)."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:8] < SAMPLE_THRESHOLD
+            for i in ids
+        ]
+        return batch.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def reduced(ds, cols):
+    """OpReduced (sparql/algebra/op/OpReduced.java semantics): drop ADJACENT
+    duplicate rows only — a streaming, shuffle-free cheapening of DISTINCT
+    that never reorders. Block-local by construction (the reference's
+    QueryIterReduced holds one previous row; per-block adjacency is the
+    distributed equivalent since blocks preserve order)."""
+    cols = list(cols)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        same = None
+        for c in cols:
+            a = t.column(c)
+            eq = pc.equal(a.slice(1), a.slice(0, len(a) - 1))
+            eq = pc.fill_null(eq, False)
+            same = eq if same is None else pc.and_(same, eq)
+        keep = pa.chunked_array([[True], pc.invert(same)])
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -259,7 +259,7 @@ def page_triples(
             )
 
     urls_all = np.concatenate(prov)
-    parts_all = np.array([url_part[u] for u in urls_all], dtype=np.int64)
+    parts_all = pd.Series(urls_all).map(url_part).to_numpy(dtype=np.int64)
     return pa.table(
         {
             "subj": pa.array(np.concatenate(subj), type=pa.string()),

@@ -36,6 +36,7 @@ REPRESENTATIVE = [
     "bgp_star_docs",
     "bgp_cooccur_path",
     "text_search_docs",
+    "sample_docs",
 ]
 
 
@@ -87,3 +88,45 @@ def test_fingerprints_deterministic(ray_session, sf_dir):
     a = to_pandas(E.queries()["doc_fingerprints"](sf_dir))
     b = to_pandas(E.queries()["doc_fingerprints"](sf_dir))
     assert a.equals(b)
+
+
+def test_kg_triples_all_closed_form(ray_session, sf_dir, oracle_con):
+    """kg_triples_all (rows-only for the driver — skolem labels aren't
+    SQL-reproducible) verified by closed form: the bnode provenance adds
+    exactly 4 triples per distinct linked mention (type / ofEntity / inDoc /
+    surface, one bnode per (url, pos)), so
+    |all| == |bnode-free| + 4 × |distinct mentions|."""
+    import __ray_entry__ as E
+    from jena_ray import vocab as V
+
+    qs = E.queries()
+    n_all = qs["kg_triples_all"](sf_dir).count()
+    n_base = len(qs["kg_triples"](sf_dir).to_pandas())
+    m = oracle_con.execute(
+        f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        alias(word, eid) AS {V.alias_sql_values()},
+        tok AS (
+          SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS w
+          FROM docs
+        )
+        SELECT count(*) FROM (
+          SELECT DISTINCT t.doc_id, t.pos FROM tok t JOIN alias a ON t.w = a.word
+        )
+        """
+    ).fetchone()[0]
+    assert n_all == n_base + 4 * m
+
+
+def test_reduced_semantics(ray_session):
+    """OpReduced: adjacent duplicates dropped, non-adjacent kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.pipelines.relational import reduced
+
+    t = pa.table({"x": ["a", "a", "b", "b", "a", "c", "c", "c"]})
+    out = reduced(rd.from_arrow(t), ["x"]).to_pandas()["x"].tolist()
+    assert out == ["a", "b", "a", "c"]
