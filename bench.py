@@ -59,8 +59,17 @@ def run_benchmarks() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: flagship KG construction end-to-end (pages → indexes)
-    out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
+    # headline: flagship KG construction end-to-end (pages → indexes).
+    # Full runs build into the shared per-tier index cache so the stats
+    # queries below reuse the freshly-built indexes (build once, query
+    # many — kg_predicate_counts measures the stats pipeline, not a
+    # redundant rebuild); scaling children keep per-level scratch dirs.
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
+    else:
+        out_dir = os.path.join(
+            "/tmp/jena_ray_idx", os.path.basename(os.path.normpath(SF_DIR))
+        )
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     metrics = run_kg(

@@ -179,13 +179,31 @@ def cmd_kgload(argv: list[str]) -> int:
     return 0
 
 
+def cmd_tdbstats(argv: list[str]) -> int:
+    """tdbstats analog: scan a materialized index, write + print the
+    stats side-car the BGP planner consumes (tdb/solver/stats/Stats.java,
+    tdbstats command)."""
+    ap = argparse.ArgumentParser(prog="jena_ray tdbstats")
+    ap.add_argument("--loc", required=True, help="index dir (kgload --out)")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+
+    from jena_ray.pipelines.tdbstats import collect_stats
+
+    print(json.dumps(collect_stats(args.loc)))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("riot", "kgload"):
+    cmds = {"riot": cmd_riot, "kgload": cmd_kgload, "tdbstats": cmd_tdbstats}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         return 2
-    if sys.argv[1] == "riot":
-        return cmd_riot(sys.argv[2:])
-    return cmd_kgload(sys.argv[2:])
+    return cmds[sys.argv[1]](sys.argv[2:])
 
 
 if __name__ == "__main__":

@@ -118,36 +118,47 @@ def bgp_execute(
     *,
     num_partitions: int = 16,
     distinct: bool = True,
+    stats: dict | None | bool = None,
 ):
     """Execute a BGP; returns a Dataset whose columns are the selected
     variable names holding canonical term STRINGS (resolved via the terms
-    NodeTable), distinct and unsorted (callers sort)."""
-    import ray.data as rd
+    NodeTable), distinct and unsorted (callers sort).
 
+    Join order: cardinality-greedy when a stats side-car exists for the
+    index (tdbstats.reorder_patterns — the TDB StatsMatcher/
+    ReorderTransformationSubstitution path), else most-bound-first
+    (ReorderFixed, the reference's fallback when no stats.opt is present).
+    """
+    from jena_ray.pipelines.tdbstats import load_stats, reorder_patterns
     from jena_ray.stages.dedup import dedup_exact
 
     info = read_layout(out_dir)
 
-    # most-bound-first join order (greedy selectivity heuristic)
-    def n_bound(p: Pattern) -> int:
-        return sum(0 if is_var(t) else 1 for t in p)
+    if stats is None:
+        stats = load_stats(out_dir)
+    if stats:  # pass stats=False to force the fixed-order fallback
+        plan = reorder_patterns(list(patterns), stats)
+    else:
+        # most-bound-first join order (greedy selectivity heuristic)
+        def n_bound(p: Pattern) -> int:
+            return sum(0 if is_var(t) else 1 for t in p)
 
-    remaining = sorted(patterns, key=n_bound, reverse=True)
-    plan: list[Pattern] = []
-    seen_vars: set[str] = set()
-    while remaining:
-        # prefer a pattern sharing a variable with the bindings so far
-        pick = None
-        for cand in remaining:
-            cvars = {t[1:] for t in cand if is_var(t)}
-            if not plan or (cvars & seen_vars):
-                pick = cand
-                break
-        if pick is None:  # disconnected pattern (cartesian) — take as-is
-            pick = remaining[0]
-        remaining.remove(pick)
-        plan.append(pick)
-        seen_vars |= {t[1:] for t in pick if is_var(t)}
+        remaining = sorted(patterns, key=n_bound, reverse=True)
+        plan = []
+        seen_vars: set[str] = set()
+        while remaining:
+            # prefer a pattern sharing a variable with the bindings so far
+            pick = None
+            for cand in remaining:
+                cvars = {t[1:] for t in cand if is_var(t)}
+                if not plan or (cvars & seen_vars):
+                    pick = cand
+                    break
+            if pick is None:  # disconnected pattern (cartesian) — take as-is
+                pick = remaining[0]
+            remaining.remove(pick)
+            plan.append(pick)
+            seen_vars |= {t[1:] for t in pick if is_var(t)}
 
     res = None
     res_vars: set[str] = set()
@@ -190,28 +201,44 @@ def bgp_execute(
     if distinct:
         res = dedup_exact(res, cols=tuple(select))
 
-    # resolve ids → terms: one id-keyed hash join per selected variable
-    # against the bucketed NodeTable (string payload moves once, at the end)
-    terms = rd.read_parquet(os.path.join(out_dir, "terms"))
+    # resolve ids → terms per selected variable with the BUCKET-ALIGNED
+    # map-side join (the scale path promised at materialize.py:270-275):
+    # bindings shuffle by the same id-hash bucket the terms table was
+    # written with, then each bucket group joins IN MEMORY against its
+    # aligned terms/bucket=k parquet file. The NodeTable itself never
+    # moves — only the (small) binding rows shuffle, and each group reads
+    # one |terms|/num_buckets file (size the bucket count so that fits a
+    # worker heap). Also sidesteps a ray 2.49 edge: groupby().map_groups()
+    # emits zero-column blocks for empty hash partitions, which a
+    # downstream Dataset.join rejects ("No match for FieldRef") — the
+    # groupby path tolerates them.
+    terms_root = os.path.join(out_dir, "terms")
+    nb = info["num_buckets"]
 
-    def trim(tb: pa.Table) -> pa.Table:
-        return tb.select(["id", "term"])  # drop the hive 'bucket' column
+    from jena_ray.stages.dedup import add_bucket
 
-    terms = terms.map_batches(trim, batch_format="pyarrow")
     for var in select:
-        res = safe_join(
-            res, terms, num_partitions=num_partitions, on=(var,), right_on=("id",)
+
+        def bucketize(tb: pa.Table, _v=var) -> pa.Table:
+            return add_bucket(tb, [_v], nb)
+
+        def resolve_bucket(g: pa.Table, _v=var) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            b = g.column("_bucket")[0].as_py()
+            tt = pq.read_table(
+                os.path.join(terms_root, f"bucket={b}"), columns=["id", "term"]
+            )
+            idx = pc.index_in(g.column(_v), value_set=tt.column("id"))
+            resolved = pc.take(tt.column("term"), idx)
+            g = g.drop_columns(["_bucket", _v])
+            return g.append_column(_v, resolved)
+
+        res = res.map_batches(bucketize, batch_format="pyarrow")
+        res = res.groupby("_bucket").map_groups(
+            resolve_bucket, batch_format="pyarrow"
         )
-
-        def resolve(tb: pa.Table, _v=var) -> pa.Table:
-            cols = {}
-            for c in tb.schema.names:
-                if c in ("id", _v):
-                    continue
-                cols[_v if c == "term" else c] = tb.column(c)
-            return pa.table(cols)
-
-        res = res.map_batches(resolve, batch_format="pyarrow")
     return res
 
 
@@ -231,4 +258,8 @@ def kg_index_dir(sf_dir: str, *, num_shards: int = 4) -> str:
         from jena_ray.pipelines.kg import run_kg
 
         run_kg(sf_dir, base, num_shards=num_shards, build_indexes=True, resume=True)
+    if not os.path.exists(os.path.join(base, "stats.json")):
+        from jena_ray.pipelines.tdbstats import collect_stats
+
+        collect_stats(base)  # tdbstats pass: one-time, id-space aggregates
     return base
