@@ -236,6 +236,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(sf_dir)
 
+    def shacl_report(sf_dir):
+        """SHACL core validation of the KG against the fixture shapes
+        (jena-shacl ShaclValidator semantics, distributed per focus-node
+        bucket); violation rows are SQL-reproducible from documents."""
+        from jena_ray.shacl import shacl_validate_dataset
+
+        return shacl_validate_dataset(
+            _kg_triples(sf_dir), list(V.SHACL_FIXTURE_SHAPES)
+        ).sort(["focus", "component"])
+
     return {
         # --- KG construction + elephas-style stats (SURVEY §2.1-2.7, §3.3) ---
         "kg_triples": kg_triples,
@@ -253,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- named graphs: TriG parse + GSPO/GPOS/GOSP quad store (§2.1, §2.3) ---
         "trig_doc_quads": trig_doc_quads,
         "quad_lang_scan": quad_lang_scan,
+        "shacl_report": shacl_report,
         # --- relational operator parity (SURVEY §2.4-2.6) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "agg_minmax_orders": R.agg_minmax_orders,
@@ -269,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": R.events_tumbling_window,
         "events_sessionize": R.events_sessionize,
         "sample_docs": R.sample_docs,
+        "orders_page2": R.orders_page2,
         # --- training-data ops ---
         "exact_dedup_docs": dedup_ops.exact_dedup_docs,
         "minhash_candidate_pairs": dedup_ops.minhash_candidate_pairs,
@@ -457,6 +469,24 @@ def oracle_sql() -> dict[str, str]:
                    '<http://' || source || '.example.org/doc/' || doc_id || '>' AS subj
             FROM documents WHERE lang = 'en' ORDER BY graph, subj
         """,
+        "shacl_report": f"""
+            WITH docs AS (
+              SELECT '<http://' || source || '.example.org/doc/'
+                     || CAST(doc_id AS VARCHAR) || '>' AS focus,
+                     lang, n_chars
+              FROM documents
+            )
+            SELECT * FROM (
+              SELECT focus, '<{V.P_CHARS}>' AS path,
+                     '<{V.SH}MinInclusiveConstraintComponent>' AS component,
+                     '<{V.SHAPE_CHARS}>' AS source_shape
+              FROM docs WHERE n_chars < {V.SHACL_MIN_CHARS}
+              UNION ALL
+              SELECT focus, '<{V.P_LANG}>',
+                     '<{V.SH}InConstraintComponent>', '<{V.SHAPE_LANG}>'
+              FROM docs WHERE lang NOT IN {V.SHACL_ALLOWED_LANGS!r}
+            ) ORDER BY focus, component
+        """,
         "customer_order_totals": """
             SELECT c.c_custkey, c.c_name,
                    count(o.o_custkey) AS n_orders,
@@ -557,6 +587,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
             ORDER BY doc_id
+        """,
+        "orders_page2": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,

@@ -426,6 +426,26 @@ def sample_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+def slice_rows(ds, offset: int, limit: int):
+    """OpSlice with a non-zero offset (sparql/algebra/op/OpSlice.java;
+    QueryIterSlice skips `offset` rows then yields `limit`). Distributed
+    shape: `Dataset.limit(offset+limit)` bounds the materialized set to
+    offset+limit rows BY CONSTRUCTION, then the skip happens driver-side —
+    identical O(offset+limit) cost to the reference's iterator. Only
+    meaningful after a total-order sort upstream (same caveat as SPARQL's
+    OFFSET without ORDER BY)."""
+    head = ds.limit(offset + limit).to_pandas()
+    return head.iloc[offset:].reset_index(drop=True)
+
+
+def orders_page2(sf_dir: str):
+    """Slice page 2: ORDER BY totalprice DESC, orderkey LIMIT 10 OFFSET 10
+    (orderkey tie-break makes the order total, so the page is stable)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    srt = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+    return slice_rows(srt, 10, 10)
+
+
 def reduced(ds, cols):
     """OpReduced (sparql/algebra/op/OpReduced.java semantics): drop ADJACENT
     duplicate rows only — a streaming, shuffle-free cheapening of DISTINCT

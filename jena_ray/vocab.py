@@ -106,3 +106,44 @@ RDFS_FIXTURE_VOCAB: tuple[tuple[str, str, str], ...] = (
     (_t(P_MENTIONS), _t("http://www.w3.org/2000/01/rdf-schema#range"), _t(C_ENTITY_CLS)),
     (_t(P_SOURCE), _t("http://www.w3.org/2000/01/rdf-schema#range"), _t(C_SOURCE_CLS)),
 )
+
+
+# SHACL fixture shapes for the driver contract: a NodeShape over Document
+# with two violable property shapes whose verdicts are SQL-reproducible
+# (n_chars < 100 → MinInclusive; lang outside the allowed set → In).
+# Shape nodes get explicit IRIs so the report's source_shape column is
+# deterministic across engines.
+SH = "http://www.w3.org/ns/shacl#"
+SHAPE_DOC = KG + "shape/Document"
+SHAPE_CHARS = KG + "shape/chars"
+SHAPE_LANG = KG + "shape/lang"
+SHACL_ALLOWED_LANGS: tuple[str, ...] = ("en", "de", "fr", "es")
+SHACL_MIN_CHARS = 100
+
+
+def _shacl_lang_list() -> tuple[tuple[str, str, str], ...]:
+    rows = []
+    labels = [f"_:langs{i}" for i in range(len(SHACL_ALLOWED_LANGS))]
+    nil = _t(RDF_NS + "nil")
+    for i, lang in enumerate(SHACL_ALLOWED_LANGS):
+        rows.append((labels[i], _t(RDF_NS + "first"), f'"{lang}"'))
+        rows.append(
+            (labels[i], _t(RDF_NS + "rest"), labels[i + 1] if i + 1 < len(labels) else nil)
+        )
+    return tuple(rows)
+
+
+SHACL_FIXTURE_SHAPES: tuple[tuple[str, str, str], ...] = (
+    (_t(SHAPE_DOC), _t(RDF_TYPE), _t(SH + "NodeShape")),
+    (_t(SHAPE_DOC), _t(SH + "targetClass"), _t(C_DOCUMENT)),
+    (_t(SHAPE_DOC), _t(SH + "property"), _t(SHAPE_CHARS)),
+    (_t(SHAPE_DOC), _t(SH + "property"), _t(SHAPE_LANG)),
+    (_t(SHAPE_CHARS), _t(SH + "path"), _t(P_CHARS)),
+    (
+        _t(SHAPE_CHARS),
+        _t(SH + "minInclusive"),
+        f'"{SHACL_MIN_CHARS}"^^<{XSD}integer>',
+    ),
+    (_t(SHAPE_LANG), _t(SH + "path"), _t(P_LANG)),
+    (_t(SHAPE_LANG), _t(SH + "in"), "_:langs0"),
+) + _shacl_lang_list()

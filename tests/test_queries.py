@@ -37,6 +37,8 @@ REPRESENTATIVE = [
     "bgp_cooccur_path",
     "text_search_docs",
     "sample_docs",
+    "orders_page2",
+    "shacl_report",
 ]
 
 
