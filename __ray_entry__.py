@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": R.events_sessionize,
         "sample_docs": R.sample_docs,
         "orders_page2": R.orders_page2,
+        "lineitem_except_orders": R.lineitem_except_orders,
         # --- training-data ops ---
         "exact_dedup_docs": dedup_ops.exact_dedup_docs,
         "minhash_candidate_pairs": dedup_ops.minhash_candidate_pairs,
@@ -591,6 +592,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_page2": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10
+        """,
+        "lineitem_except_orders": """
+            SELECT * FROM (
+              SELECT l_orderkey FROM lineitem
+              EXCEPT ALL
+              SELECT o_orderkey FROM orders
+            ) ORDER BY l_orderkey
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,

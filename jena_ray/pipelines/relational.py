@@ -426,6 +426,61 @@ def sample_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+def except_all(left, right, cols, *, num_partitions: int = 16):
+    """Bag difference — OpDiff with multiset semantics (sparql/algebra/op/
+    OpDiff.java; SQL EXCEPT ALL): each distinct row survives with
+    max(0, count_left − count_right) copies.
+
+    Distributed shape: both sides collapse to (key, count) via map-side
+    pre-aggregation BEFORE anything shuffles (hub rows move as one row), a
+    left-outer join aligns the counts, and the surviving multiplicities are
+    re-expanded vectorized (np.repeat over take indices). The expansion is
+    the only stage whose output exceeds its input — bounded by the left
+    multiset itself."""
+    import numpy as np
+
+    from jena_ray.stages.dedup import pre_aggregated_count
+    from jena_ray.stages.joins import safe_join
+
+    cols = list(cols)
+    lc = pre_aggregated_count(left, cols, alias="_nl")
+    rc = pre_aggregated_count(right, cols, alias="_nr")
+    j = safe_join(
+        lc,
+        rc,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=tuple(cols),
+        right_on=tuple(cols),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_nl" not in t.schema.names:
+            return t.select(cols) if set(cols) <= set(t.schema.names) else t
+        nl = t.column("_nl").to_numpy(zero_copy_only=False)
+        nr = t.column("_nr").to_numpy(zero_copy_only=False)
+        nr = np.nan_to_num(nr.astype("float64"), nan=0.0).astype("int64")
+        keep = np.maximum(nl - nr, 0)
+        idx = np.repeat(np.arange(t.num_rows), keep)
+        return t.select(cols).take(pa.array(idx, type=pa.int64()))
+
+    return j.map_batches(expand, batch_format="pyarrow")
+
+
+def lineitem_except_orders(sf_dir: str):
+    """EXCEPT ALL: the lineitem orderkey multiset minus the (unique) orders
+    keys — each orderkey survives (#lineitems − 1) times."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_orderkey"])
+
+    return except_all(li, od.map_batches(ren, batch_format="pyarrow"), ["l_orderkey"]).sort(
+        "l_orderkey"
+    )
+
+
 def slice_rows(ds, offset: int, limit: int):
     """OpSlice with a non-zero offset (sparql/algebra/op/OpSlice.java;
     QueryIterSlice skips `offset` rows then yields `limit`). Distributed

@@ -152,12 +152,33 @@ def read_ntriples(paths, *, strict: bool = True, base: str | None = None, concur
     )
 
 
-def read_ntriples_files(paths, *, strict: bool = True, base: str | None = None, job_seed: str = "jena-ray", concurrency: int = 4):
-    """Whole-file N-Triples read with per-file skolemized blank nodes
-    (LabelToNode.createScopeByDocumentHash with a fixed seed —
-    riot/lang/LabelToNode.java:46-50): labels depend only on (job seed,
-    file path, label), so shard boundaries never change them."""
+def read_ntriples_files(
+    paths,
+    *,
+    strict: bool = True,
+    base: str | None = None,
+    job_seed: str = "jena-ray",
+    concurrency: int = 4,
+    label_policy: str = "scope_by_file_hash",
+):
+    """Whole-file N-Triples read; ``label_policy`` selects the LabelToNode
+    strategy (riot/lang/LabelToNode.java:46-75):
+
+    - ``"scope_by_file_hash"`` (default) — createScopeByDocumentHash with a
+      fixed seed: labels depend only on (job seed, file path, label), so
+      shard boundaries and worker placement never change them — the only
+      strategy that is deterministic under distributed re-execution.
+    - ``"as_given"`` — createUseLabelAsGiven: labels kept verbatim; caller
+      owns cross-file collision avoidance (matches single-process Jena when
+      all files share one label namespace).
+    - ``"global"`` — createScopeGlobal: one shared scope for the whole job,
+      hashed with a constant scope key: the same label in two files IS the
+      same node (N-Quads "dataset scope" reading).
+    """
     import ray.data as rd
+
+    if label_policy not in ("scope_by_file_hash", "as_given", "global"):
+        raise ValueError(f"unknown label_policy: {label_policy}")
 
     files = rd.read_binary_files(paths, include_paths=True)
 
@@ -166,7 +187,12 @@ def read_ntriples_files(paths, *, strict: bool = True, base: str | None = None, 
         for path, data in zip(
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
-            seed = T.bnode_seed(job_seed, path)
+            if label_policy == "as_given":
+                seed = None
+            elif label_policy == "global":
+                seed = T.bnode_seed(job_seed, "")
+            else:
+                seed = T.bnode_seed(job_seed, path)
             for s, p, o in T.parse_ntriples(
                 data.decode("utf-8"), strict=strict, skolem_seed=seed, base=base
             ):

@@ -122,6 +122,19 @@ def test_kg_triples_all_closed_form(ray_session, sf_dir, oracle_con):
     assert n_all == n_base + 4 * m
 
 
+def test_except_all_multiset(ray_session):
+    """Bag difference keeps max(0, nl - nr) copies per distinct row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.pipelines.relational import except_all
+
+    left = rd.from_arrow(pa.table({"x": ["a"] * 3 + ["b"] * 2 + ["c"]}))
+    right = rd.from_arrow(pa.table({"x": ["a", "b", "b", "b", "d"]}))
+    out = sorted(except_all(left, right, ["x"]).to_pandas()["x"].tolist())
+    assert out == ["a", "a", "c"]
+
+
 def test_reduced_semantics(ray_session):
     """OpReduced: adjacent duplicates dropped, non-adjacent kept."""
     import pyarrow as pa

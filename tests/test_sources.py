@@ -52,6 +52,29 @@ def test_read_nt_files_skolemizes_per_file(ray_session, tmp_path):
         assert s.startswith("_:") and len(s) == 34
 
 
+def test_label_to_node_strategies(ray_session, tmp_path):
+    """LabelToNode.java:46-75 strategy parity: as-given keeps labels
+    verbatim; global scope merges the same label across files; the default
+    file-hash scope separates them (covered above)."""
+    from jena_ray.sources.ntriples import read_ntriples_files
+
+    (tmp_path / "a.nt").write_text('_:x <http://e/p> "1" .\n')
+    (tmp_path / "b.nt").write_text('_:x <http://e/p> "2" .\n')
+    paths = [str(tmp_path / "a.nt"), str(tmp_path / "b.nt")]
+
+    as_given = {r["subj"] for r in read_ntriples_files(paths, label_policy="as_given").take_all()}
+    assert as_given == {"_:x"}
+
+    glob_scope = {r["subj"] for r in read_ntriples_files(paths, label_policy="global").take_all()}
+    assert len(glob_scope) == 1  # same label, same job scope → same node
+    assert next(iter(glob_scope)).startswith("_:") and next(iter(glob_scope)) != "_:x"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_ntriples_files(paths, label_policy="bogus")
+
+
 def test_read_nquads(ray_session, tmp_path):
     from jena_ray.sources.ntriples import quads_to_triples, read_nquads, triples_to_quads
 
