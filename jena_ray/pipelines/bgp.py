@@ -201,45 +201,16 @@ def bgp_execute(
     if distinct:
         res = dedup_exact(res, cols=tuple(select))
 
-    # resolve ids → terms per selected variable with the BUCKET-ALIGNED
-    # map-side join (the scale path promised at materialize.py:270-275):
-    # bindings shuffle by the same id-hash bucket the terms table was
-    # written with, then each bucket group joins IN MEMORY against its
-    # aligned terms/bucket=k parquet file. The NodeTable itself never
-    # moves — only the (small) binding rows shuffle, and each group reads
-    # one |terms|/num_buckets file (size the bucket count so that fits a
-    # worker heap). Also sidesteps a ray 2.49 edge: groupby().map_groups()
-    # emits zero-column blocks for empty hash partitions, which a
-    # downstream Dataset.join rejects ("No match for FieldRef") — the
-    # groupby path tolerates them.
-    terms_root = os.path.join(out_dir, "terms")
-    nb = info["num_buckets"]
+    # resolve ids → terms per selected variable with the bucket-aligned
+    # map-side join (resolve_id_columns): bindings shuffle by the same
+    # id-hash bucket the terms table was written with; the NodeTable never
+    # moves. Also sidesteps a ray 2.49 edge: groupby().map_groups() emits
+    # zero-column blocks for empty hash partitions, which a downstream
+    # Dataset.join rejects ("No match for FieldRef") — the groupby path
+    # tolerates them.
+    from jena_ray.stages.materialize import resolve_id_columns
 
-    from jena_ray.stages.dedup import add_bucket
-
-    for var in select:
-
-        def bucketize(tb: pa.Table, _v=var) -> pa.Table:
-            return add_bucket(tb, [_v], nb)
-
-        def resolve_bucket(g: pa.Table, _v=var) -> pa.Table:
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-
-            b = g.column("_bucket")[0].as_py()
-            tt = pq.read_table(
-                os.path.join(terms_root, f"bucket={b}"), columns=["id", "term"]
-            )
-            idx = pc.index_in(g.column(_v), value_set=tt.column("id"))
-            resolved = pc.take(tt.column("term"), idx)
-            g = g.drop_columns(["_bucket", _v])
-            return g.append_column(_v, resolved)
-
-        res = res.map_batches(bucketize, batch_format="pyarrow")
-        res = res.groupby("_bucket").map_groups(
-            resolve_bucket, batch_format="pyarrow"
-        )
-    return res
+    return resolve_id_columns(res, out_dir, {v: v for v in select})
 
 
 def kg_index_dir(sf_dir: str, *, num_shards: int = 4) -> str:

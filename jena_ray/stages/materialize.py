@@ -404,65 +404,64 @@ def pattern_scan(
     if not resolve_terms:
         return ds
 
-    # resolve ids → terms (broadcast the needed slice of the terms table)
-    import numpy as np
-    import pyarrow as pa
-
-    batches = list(ds.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(batches) if batches else None
-    if tbl is None or tbl.num_rows == 0:
-        empty = pa.table(
-            {c: pa.array([], type=pa.string()) for c in ("subj", "pred", "obj")}
-        )
-        return rd.from_arrow(empty)
-    all_ids = np.unique(
-        np.concatenate([tbl.column(c).to_numpy() for c in cols])
-    ).tolist()
-    mapping = lookup_terms(out_dir, all_ids)
-    out = pa.table(
-        {
-            name: pa.array([mapping[i] for i in tbl.column(c).to_pylist()], type=pa.string())
-            for c, name in (("s_id", "subj"), ("p_id", "pred"), ("o_id", "obj"))
-        }
+    # resolve ids → terms with the bucket-aligned map-side join (streams;
+    # never materializes the match set on the driver)
+    return resolve_id_columns(
+        ds, out_dir, {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
     )
-    return rd.from_arrow(out)
+
+
+def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
+    """Resolve id columns → canonical term strings with the BUCKET-ALIGNED
+    map-side join: one bucketed shuffle per id column (rows move by the
+    same id-hash the terms table was written with), then each bucket group
+    joins IN MEMORY against its aligned ``terms/bucket=k`` parquet file via
+    a vectorized ``index_in``/``take``. The NodeTable itself never moves —
+    the distributed id→term path (replaces NodeTable B+Tree point lookups,
+    jena-tdb store/nodetable/NodeTableNative.java) for results too large to
+    broadcast or fetch driver-side. Each group's memory = its binding rows
+    + one |terms|/num_buckets file; size num_buckets accordingly.
+
+    ``col_map`` maps id column → output term column; columns resolve in
+    dict order, each dropped and re-appended, so ``{"s_id": "subj",
+    "p_id": "pred", "o_id": "obj"}`` yields (subj, pred, obj)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from jena_ray.stages.dedup import add_bucket
+
+    info = read_layout(out_dir)
+    nb = info["num_buckets"]
+    terms_root = os.path.join(out_dir, "terms")
+
+    for idc, name in col_map.items():
+
+        def bucketize(t, _c=idc):
+            return add_bucket(t, [_c], nb)
+
+        def resolve(g, _c=idc, _n=name):
+            b = g.column("_bucket")[0].as_py()
+            tt = pq.read_table(
+                os.path.join(terms_root, f"bucket={b}"), columns=["id", "term"]
+            )
+            idx = pc.index_in(g.column(_c), value_set=tt.column("id"))
+            out = g.drop_columns(["_bucket", _c])
+            return out.append_column(_n, pc.take(tt.column("term"), idx))
+
+        ds = ds.map_batches(bucketize, batch_format="pyarrow")
+        ds = ds.groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+    return ds
 
 
 def read_index_terms(out_dir: str, order: str = "spo"):
-    """Full index as term-string triples (for tests / exports): bucket-wise
-    map-side join of id-triples against the co-bucketed terms table would be
-    the scale path; here the terms table is broadcast (it is the small side
-    relative to the triple table)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray
+    """Full index as term-string triples via the bucket-aligned map-side
+    join (resolve_id_columns) — no broadcast, no driver materialization."""
+    import ray.data as rd
 
     info = read_layout(out_dir)
     if info["layout"] == "global":
-        import ray.data as rd
-
         return rd.read_parquet(os.path.join(out_dir, order), columns=["subj", "pred", "obj"])
-    terms = pq.read_table(os.path.join(out_dir, "terms"), columns=["id", "term"])
-    mapping = dict(zip(terms.column("id").to_pylist(), terms.column("term").to_pylist()))
-    ref = ray.put(mapping)
-
-    import ray.data as rd
-
     ds = rd.read_parquet(os.path.join(out_dir, order), columns=["s_id", "p_id", "o_id"])
-
-    class Resolve:
-        def __init__(self, r):
-            self.m = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    name: pa.array(
-                        [self.m[i] for i in t.column(c).to_pylist()], type=pa.string()
-                    )
-                    for c, name in (("s_id", "subj"), ("p_id", "pred"), ("o_id", "obj"))
-                }
-            )
-
-    return ds.map_batches(Resolve, fn_constructor_args=(ref,), batch_format="pyarrow",
-                          concurrency=(1, 4), num_cpus=1)
+    return resolve_id_columns(
+        ds, out_dir, {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
+    )
