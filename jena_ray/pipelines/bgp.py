@@ -46,6 +46,49 @@ def is_var(t: str) -> bool:
     return t.startswith("?")
 
 
+def _reorder_fixed(patterns: list[Pattern], _stats) -> list[Pattern]:
+    """Most-bound-first join order (ReorderFixed.java semantics: static
+    selectivity, no stats), preferring patterns connected to already-bound
+    variables to avoid cartesian joins."""
+
+    def n_bound(p: Pattern) -> int:
+        return sum(0 if is_var(t) else 1 for t in p)
+
+    remaining = sorted(patterns, key=n_bound, reverse=True)
+    plan: list[Pattern] = []
+    seen_vars: set[str] = set()
+    while remaining:
+        pick = None
+        for cand in remaining:
+            cvars = {t[1:] for t in cand if is_var(t)}
+            if not plan or (cvars & seen_vars):
+                pick = cand
+                break
+        if pick is None:  # disconnected pattern (cartesian) — take as-is
+            pick = remaining[0]
+        remaining.remove(pick)
+        plan.append(pick)
+        seen_vars |= {t[1:] for t in pick if is_var(t)}
+    return plan
+
+
+def _reorder_stats(patterns: list[Pattern], stats) -> list[Pattern]:
+    from jena_ray.pipelines.tdbstats import reorder_patterns
+
+    return reorder_patterns(patterns, stats)
+
+
+# ReorderTransformation injection point (the reference swaps reorder
+# strategies via setup — ReorderLib.java / ReorderTransformation; forks
+# register e.g. ReorderWeighted). register_reorder("mine", fn) then pick
+# per-call or replace a default.
+REORDER_STRATEGIES: dict = {"fixed": _reorder_fixed, "stats": _reorder_stats}
+
+
+def register_reorder(name: str, fn) -> None:
+    REORDER_STRATEGIES[name] = fn
+
+
 def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
     """One triple pattern → Dataset of bindings (var columns, id space)."""
     import pyarrow.compute as pc
@@ -129,7 +172,7 @@ def bgp_execute(
     ReorderTransformationSubstitution path), else most-bound-first
     (ReorderFixed, the reference's fallback when no stats.opt is present).
     """
-    from jena_ray.pipelines.tdbstats import load_stats, reorder_patterns
+    from jena_ray.pipelines.tdbstats import load_stats
     from jena_ray.stages.dedup import dedup_exact
 
     info = read_layout(out_dir)
@@ -137,28 +180,9 @@ def bgp_execute(
     if stats is None:
         stats = load_stats(out_dir)
     if stats:  # pass stats=False to force the fixed-order fallback
-        plan = reorder_patterns(list(patterns), stats)
+        plan = REORDER_STRATEGIES["stats"](list(patterns), stats)
     else:
-        # most-bound-first join order (greedy selectivity heuristic)
-        def n_bound(p: Pattern) -> int:
-            return sum(0 if is_var(t) else 1 for t in p)
-
-        remaining = sorted(patterns, key=n_bound, reverse=True)
-        plan = []
-        seen_vars: set[str] = set()
-        while remaining:
-            # prefer a pattern sharing a variable with the bindings so far
-            pick = None
-            for cand in remaining:
-                cvars = {t[1:] for t in cand if is_var(t)}
-                if not plan or (cvars & seen_vars):
-                    pick = cand
-                    break
-            if pick is None:  # disconnected pattern (cartesian) — take as-is
-                pick = remaining[0]
-            remaining.remove(pick)
-            plan.append(pick)
-            seen_vars |= {t[1:] for t in pick if is_var(t)}
+        plan = REORDER_STRATEGIES["fixed"](list(patterns), None)
 
     res = None
     res_vars: set[str] = set()

@@ -295,3 +295,36 @@ def triples_to_quads(triples, graph_iri: str = "urn:x-arq:DefaultGraph"):
         )
 
     return triples.map_batches(add, batch_format="pyarrow")
+
+
+def ground_triples(triples):
+    """GroundTripleFilterMapper (jena-elephas filter mappers): keep only
+    triples with no blank node in subject or object (predicates are always
+    IRIs post-check). Vectorized prefix test per batch."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.invert(pc.starts_with(batch.column("subj"), "_:")),
+            pc.invert(pc.starts_with(batch.column("obj"), "_:")),
+        )
+        return batch.filter(mask)
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def ground_quads(quads):
+    """GroundQuadFilterMapper: ground triple + non-bnode graph name."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.invert(pc.starts_with(batch.column("subj"), "_:")),
+                pc.invert(pc.starts_with(batch.column("obj"), "_:")),
+            ),
+            pc.invert(pc.starts_with(batch.column("graph"), "_:")),
+        )
+        return batch.filter(mask)
+
+    return quads.map_batches(f, batch_format="pyarrow")

@@ -165,3 +165,32 @@ def test_checked_reader_on_reference_bad_fixture(ray_session):
     valid, errors = split_checked(read_ntriples_checked(bads[:1]))
     assert valid.count() == 0
     assert errors.count() > 0
+
+
+def test_ground_filters(ray_session):
+    """Elephas Valid/Ground filter mapper semantics: bnode rows dropped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.sources.ntriples import ground_quads, ground_triples
+
+    t = pa.table(
+        {
+            "subj": ["<http://e/s>", "_:b", "<http://e/s2>"],
+            "pred": ["<http://e/p>"] * 3,
+            "obj": ['"x"', '"y"', "_:c"],
+        }
+    )
+    out = ground_triples(rd.from_arrow(t)).to_pandas()
+    assert out["subj"].tolist() == ["<http://e/s>"]
+
+    q = pa.table(
+        {
+            "graph": ["<http://g>", "_:g"],
+            "subj": ["<http://e/s>"] * 2,
+            "pred": ["<http://e/p>"] * 2,
+            "obj": ['"x"'] * 2,
+        }
+    )
+    outq = ground_quads(rd.from_arrow(q)).to_pandas()
+    assert outq["graph"].tolist() == ["<http://g>"]
