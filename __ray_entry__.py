@@ -186,6 +186,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return bgp_execute(idx, pats, ["e1", "mid"]).sort(["e1", "mid"])
 
+    def bgp_optional_mentions(sf_dir):
+        """OPTIONAL (OpLeftJoin): zh docs with their (optional) mentioned
+        entities — required BGP keeps every doc; the optional BGP binds ?e
+        where it matches (left-join oracle)."""
+        from jena_ray.pipelines.bgp import bgp_optional, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        return bgp_optional(
+            idx,
+            [("?d", f"<{V.RDF_TYPE}>", f"<{V.C_DOCUMENT}>"), ("?d", f"<{V.P_LANG}>", '"zh"')],
+            [("?d", f"<{V.P_MENTIONS}>", "?e")],
+            ["d", "e"],
+        ).sort(["d", "e"])
+
     def rdfs_materialize(sf_dir):
         from jena_ray.stages.inference import rdfs_materialize as rm
 
@@ -257,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_char_sets": kg_char_sets,
         "bgp_star_docs": bgp_star_docs,
         "bgp_cooccur_path": bgp_cooccur_path,
+        "bgp_optional_mentions": bgp_optional_mentions,
         "rdfs_materialize": rdfs_materialize,
         "media_features": media_features,
         "text_search_docs": text_search_docs,
@@ -470,6 +485,24 @@ def oracle_sql() -> dict[str, str]:
                    '<http://' || source || '.example.org/doc/' || doc_id || '>' AS subj
             FROM documents WHERE lang = 'en' ORDER BY graph, subj
         """,
+        "bgp_optional_mentions": f"""
+            WITH docs AS (
+              SELECT doc_id, lang,
+                     'http://' || source || '.example.org/doc/'
+                     || CAST(doc_id AS VARCHAR) AS durl,
+                     string_split(text, ' ') AS ts
+              FROM documents
+            ),
+            alias(word, eid) AS {{alias_values}},
+            tok AS (SELECT doc_id, durl, unnest(ts) AS w FROM docs),
+            ment AS (SELECT DISTINCT durl, eid FROM tok JOIN alias ON w = word)
+            SELECT '<' || d.durl || '>' AS d,
+                   CASE WHEN m.eid IS NULL THEN NULL
+                        ELSE '<{V.ENT}' || m.eid || '>' END AS e
+            FROM docs d LEFT JOIN ment m ON d.durl = m.durl
+            WHERE d.lang = 'zh'
+            ORDER BY d, e
+        """.replace("{alias_values}", V.alias_sql_values()),
         "shacl_report": f"""
             WITH docs AS (
               SELECT '<http://' || source || '.example.org/doc/'

@@ -154,28 +154,18 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def bgp_execute(
+def _execute_bgp_ids(
     out_dir: str,
     patterns: list[Pattern],
-    select: list[str],
+    info: dict,
     *,
     num_partitions: int = 16,
-    distinct: bool = True,
     stats: dict | None | bool = None,
 ):
-    """Execute a BGP; returns a Dataset whose columns are the selected
-    variable names holding canonical term STRINGS (resolved via the terms
-    NodeTable), distinct and unsorted (callers sort).
-
-    Join order: cardinality-greedy when a stats side-car exists for the
-    index (tdbstats.reorder_patterns — the TDB StatsMatcher/
-    ReorderTransformationSubstitution path), else most-bound-first
-    (ReorderFixed, the reference's fallback when no stats.opt is present).
-    """
+    """Execute a BGP in id space → (bindings Dataset of int64 var columns,
+    bound var set). The inner-join chain shared by bgp_execute and
+    bgp_optional (OpBGP inside OpJoin/OpLeftJoin — OpExecutor.java:62)."""
     from jena_ray.pipelines.tdbstats import load_stats
-    from jena_ray.stages.dedup import dedup_exact
-
-    info = read_layout(out_dir)
 
     if stats is None:
         stats = load_stats(out_dir)
@@ -195,7 +185,6 @@ def bgp_execute(
         shared = sorted(res_vars & pvars)
         if not shared:
             raise ValueError(f"cartesian product pattern not supported: {pat}")
-        new = sorted(pvars - res_vars)
         # suffix the right side's shared columns out of the way, then drop
         res = safe_join(
             res,
@@ -213,6 +202,17 @@ def bgp_execute(
 
         res = res.map_batches(tidy, batch_format="pyarrow")
         res_vars |= pvars
+    return res, res_vars
+
+
+def _project_resolve(res, res_vars, select, out_dir, *, distinct):
+    """Common tail: project to `select`, optional distinct, resolve ids →
+    terms with the bucket-aligned map-side join (resolve_id_columns: the
+    NodeTable never moves; also sidesteps a ray 2.49 edge where
+    groupby().map_groups() emits zero-column blocks for empty hash
+    partitions, which a downstream Dataset.join rejects)."""
+    from jena_ray.stages.dedup import dedup_exact
+    from jena_ray.stages.materialize import resolve_id_columns
 
     missing = [v for v in select if v not in res_vars]
     if missing:
@@ -224,17 +224,78 @@ def bgp_execute(
     res = res.map_batches(proj, batch_format="pyarrow")
     if distinct:
         res = dedup_exact(res, cols=tuple(select))
-
-    # resolve ids → terms per selected variable with the bucket-aligned
-    # map-side join (resolve_id_columns): bindings shuffle by the same
-    # id-hash bucket the terms table was written with; the NodeTable never
-    # moves. Also sidesteps a ray 2.49 edge: groupby().map_groups() emits
-    # zero-column blocks for empty hash partitions, which a downstream
-    # Dataset.join rejects ("No match for FieldRef") — the groupby path
-    # tolerates them.
-    from jena_ray.stages.materialize import resolve_id_columns
-
     return resolve_id_columns(res, out_dir, {v: v for v in select})
+
+
+def bgp_execute(
+    out_dir: str,
+    patterns: list[Pattern],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+):
+    """Execute a BGP; returns a Dataset whose columns are the selected
+    variable names holding canonical term STRINGS (resolved via the terms
+    NodeTable), distinct and unsorted (callers sort).
+
+    Join order: cardinality-greedy when a stats side-car exists for the
+    index (tdbstats.reorder_patterns — the TDB StatsMatcher/
+    ReorderTransformationSubstitution path), else most-bound-first
+    (ReorderFixed, the reference's fallback when no stats.opt is present).
+    """
+    info = read_layout(out_dir)
+    res, res_vars = _execute_bgp_ids(
+        out_dir, patterns, info, num_partitions=num_partitions, stats=stats
+    )
+    return _project_resolve(res, res_vars, select, out_dir, distinct=distinct)
+
+
+def bgp_optional(
+    out_dir: str,
+    patterns: list[Pattern],
+    optional: list[Pattern],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+):
+    """OPTIONAL — OpLeftJoin over two BGPs (QueryIterHashLeftJoin_Left
+    semantics, engine/join/): the required BGP's bindings survive whether or
+    not the optional BGP matches; optional-only variables are null where it
+    does not. Both sides run as id-space BGPs; the left-outer join is
+    hash-partitioned on the shared variables (8-byte keys); null ids resolve
+    to null terms (index_in propagates nulls)."""
+    info = read_layout(out_dir)
+    req, req_vars = _execute_bgp_ids(
+        out_dir, patterns, info, num_partitions=num_partitions, stats=stats
+    )
+    opt, opt_vars = _execute_bgp_ids(
+        out_dir, optional, info, num_partitions=num_partitions, stats=stats
+    )
+    shared = sorted(req_vars & opt_vars)
+    if not shared:
+        raise ValueError("OPTIONAL must share at least one variable")
+    res = safe_join(
+        req,
+        opt,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=tuple(shared),
+        right_on=tuple(shared),
+        right_suffix="__r",
+    )
+    drop = [f"{v}__r" for v in shared]
+
+    def tidy(tb: pa.Table, _drop=tuple(drop)) -> pa.Table:
+        return tb.select([c for c in tb.schema.names if c not in _drop])
+
+    res = res.map_batches(tidy, batch_format="pyarrow")
+    return _project_resolve(
+        res, req_vars | opt_vars, select, out_dir, distinct=distinct
+    )
 
 
 def kg_index_dir(sf_dir: str, *, num_shards: int = 4) -> str:

@@ -66,8 +66,16 @@ def dedup_batch(batch: pa.Table, cols: Sequence[str]) -> pa.Table:
         )
         _, first_idx = np.unique(packed, return_index=True)
     else:
+        # null_handling="replace": a NULL key column must stay a DISTINCT
+        # key value per row-key, not poison the whole joined key to null —
+        # emit_null would make every null-containing row share one key
+        # (np.unique collapses the null codes), silently dropping rows
+        # (bit OPTIONAL/left-join outputs, where unmatched vars are null)
         joined = pc.binary_join_element_wise(
-            *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
+            *[pc.cast(batch.column(c), pa.string()) for c in cols],
+            "\x1f",
+            null_handling="replace",
+            null_replacement="\x00\x00"
         )
         d = pc.dictionary_encode(joined)
         codes = d.combine_chunks().indices if isinstance(d, pa.ChunkedArray) else d.indices
@@ -90,7 +98,13 @@ def _key_hash(batch: pa.Table, cols: Sequence[str]):
     All-integer keys chain splitmix64 over the raw values (~100× faster
     than the cast-to-string path, measured 116 s → 1.2 s on 5.7M id
     triples — the id-index shuffles were spending more time stringifying
-    int64s than sorting)."""
+    int64s than sorting).
+
+    HAZARD: a single null in an int column flips the whole batch to the
+    string path, which hashes DIFFERENT bucket values than the int path.
+    Callers that must stay bucket-aligned with an int-hashed layout (the
+    terms NodeTable) must fill nulls before bucketing — see
+    materialize.resolve_id_columns."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -103,7 +117,10 @@ def _key_hash(batch: pa.Table, cols: Sequence[str]):
             h = splitmix64(h ^ splitmix64(v.view(np.uint64)))
         return h
     joined = pc.binary_join_element_wise(
-        *[pc.cast(batch.column(c), pa.string()) for c in cols], "\x1f"
+        *[pc.cast(batch.column(c), pa.string()) for c in cols],
+        "\x1f",
+        null_handling="replace",
+        null_replacement="\x00\x00",
     )
     return hash_string_array(joined)
 

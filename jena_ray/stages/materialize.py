@@ -437,6 +437,16 @@ def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
     for idc, name in col_map.items():
 
         def bucketize(t, _c=idc):
+            # nulls (unmatched OPTIONAL bindings) must not flip _key_hash
+            # to the string path — that would desync bucket assignment from
+            # the int-hash layout the terms table was written with. Fill
+            # nulls for BUCKETING only (any bucket resolves null → null);
+            # the column itself keeps its nulls.
+            col = t.column(_c)
+            if col.null_count:
+                i = t.schema.get_field_index(_c)
+                filled = t.set_column(i, _c, pc.fill_null(col, 0))
+                return add_bucket(filled, [_c], nb).set_column(i, _c, col)
             return add_bucket(t, [_c], nb)
 
         def resolve(g, _c=idc, _n=name):

@@ -86,3 +86,29 @@ def test_bgp_uses_stats_same_answer(small_index):
     got = sorted(with_stats["d"].tolist())
     assert got == sorted(no_stats["d"].tolist())
     assert got == ["<http://ex.org/d0>", "<http://ex.org/d1>"]
+
+
+def test_bgp_optional_left_join(small_index):
+    """OPTIONAL (OpLeftJoin): required bindings survive with nulls where
+    the optional BGP does not match."""
+    from jena_ray.pipelines.bgp import bgp_optional
+
+    out = bgp_optional(
+        small_index,
+        [("?d", T, DOC)],
+        [("?d", MEN, E1)],
+        ["d"],
+    ).to_pandas()
+    assert len(out) == 30  # every doc survives
+
+    out2 = bgp_optional(
+        small_index,
+        [("?d", T, DOC)],
+        [("?d", MEN, "?e")],
+        ["d", "e"],
+    ).to_pandas()
+    assert len(out2) == 30
+    matched = out2[out2["e"].notna()]
+    assert sorted(matched["d"]) == ["<http://ex.org/d0>", "<http://ex.org/d1>"]
+    assert set(matched["e"]) == {E1}
+    assert out2["e"].isna().sum() == 28
