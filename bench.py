@@ -83,6 +83,8 @@ def run_benchmarks() -> dict:
     )
     kg_sec = time.perf_counter() - t0
     timings["kg_construct"] = round(kg_sec, 3)
+    timings["kg_index"] = round(metrics.get("index_sec", 0.0), 3)
+    timings["kg_wave"] = round(kg_sec - metrics.get("index_sec", 0.0), 3)
     triples_out = sum(s["triples_out"] for s in metrics["shards"].values())
 
     # secondary pipelines (operator coverage at bench scale); skipped in

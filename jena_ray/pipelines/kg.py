@@ -247,10 +247,22 @@ def run_kg(
             keep_part=True,
             global_dedup=False,  # global dedup runs in id space at materialize
             stamp_ids=True,
+            # the repeat-amplification stage FUSES into the actor pool, so
+            # a task of N INPUT rows carries N×repeat docs of work; Ray
+            # bundles input blocks per actor task up to batch_size rows, so
+            # the batch must ALSO scale down by the amplification factor
+            # (together with load_pages' block scaling) to keep per-task
+            # work constant — fixed 256 at repeat=24 bundled the whole
+            # corpus into 19 tasks for a 28-actor pool
+            batch_size=max(16, 256 // max(1, repeat)),
         )
         triples.write_parquet(
             os.path.join(out_dir, "triples"), partition_cols=["part"]
         )
+        if os.environ.get("GRAFT_WAVE_STATS"):
+            import sys
+
+            print(triples.stats(), file=sys.stderr)
         wave_sec = time.perf_counter() - t0
         for part_id in pending:
             part_path = os.path.join(out_dir, "triples", f"part={part_id}")

@@ -109,52 +109,64 @@ def load_pages(
     of a crawl (at scale a shard is a set of parquet fragments and this mask
     disappears).
 
-    `repeat=R` unions R copies of the corpus with distinct doc_id ranges
-    (offset by REPEAT_STRIDE per copy) — deterministic work amplification for
-    benchmarking; every downstream stage (urls, bnodes, dedup keys) sees
-    distinct documents."""
+    `repeat=R` amplifies each batch into R copies with distinct doc_id
+    ranges (offset by REPEAT_STRIDE per copy) — deterministic work
+    amplification for benchmarking; every downstream stage (urls, bnodes,
+    dedup keys) sees distinct documents. The amplification is ONE cheap
+    task stage over a SINGLE read — round 2 first built it as an R-branch
+    union of reads, and the branches trickling through the small task lane
+    starved the fused actor pool to ~50% utilization at 32 CPUs (measured
+    via ds.stats(): 2901 CPU-s of actor work spread over 208 s wall)."""
     import ray
     import ray.data as rd
 
-    # Block granularity sets actor-pool load balance: the annotator pool has
-    # ~cpus actors and the task is the scheduling unit, so blocks-per-copy
-    # scales with the cluster (≥2 tasks per actor per copy keeps the pool's
-    # tail short — 8 fixed blocks left a 27-actor pool 50% idle at 32 CPUs).
-    # Floor of 8 keeps tiny-cluster behavior; at crawl scale fragments are
-    # 128 MB+ and the Ray default (no override) is right.
+    # Block granularity sets actor-pool load balance: the task is the
+    # scheduling unit and the repeat-amplification stage FUSES into the
+    # actor pool, so one input block carries block_rows × repeat docs of
+    # work. Split the read so a task holds ~400 docs of post-amplification
+    # work (several tasks per actor keeps the pool's tail short — one
+    # block per 156 raw rows at repeat=24 made 32 × 94 s tasks for a
+    # 28-actor pool: stragglers pinned the wall clock). At crawl scale
+    # fragments are 128 MB+, repeat=1, and the Ray default is right.
+    import pyarrow.parquet as pq
+
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    blocks_per_copy = max(8, cpus)
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    blocks = max(max(8, cpus), min(4096, (n_rows * repeat) // 400 or 1))
 
-    def one_copy(offset: int):
-        ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text", "lang", "source", "n_chars"],
-            override_num_blocks=blocks_per_copy,
-        )
-        if offset:
-            def shift(t: pa.Table) -> pa.Table:
-                i = t.schema.get_field_index("doc_id")
-                import pyarrow.compute as pc
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        override_num_blocks=blocks,
+    )
 
-                return t.set_column(
-                    i, "doc_id", pc.add(t.column("doc_id"), pa.scalar(offset))
+    if repeat > 1:
+        import pyarrow.compute as pc
+
+        def amplify(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("doc_id")
+            copies = [t]
+            for r in range(1, repeat):
+                copies.append(
+                    t.set_column(
+                        i,
+                        "doc_id",
+                        pc.add(t.column("doc_id"), pa.scalar(r * REPEAT_STRIDE)),
+                    )
                 )
+            return pa.concat_tables(copies)
 
-            ds = ds.map_batches(shift, batch_format="pyarrow")
-        if shard is not None:
-            k, nshards = shard
-            wanted = np.array(sorted(k) if isinstance(k, (set, frozenset)) else [k])
+        ds = ds.map_batches(amplify, batch_format="pyarrow")
 
-            def shard_mask(t: pa.Table) -> pa.Table:
-                ids = t.column("doc_id").to_numpy()
-                return t.filter(pa.array(np.isin(ids % nshards, wanted)))
+    if shard is not None:
+        k, nshards = shard
+        wanted = np.array(sorted(k) if isinstance(k, (set, frozenset)) else [k])
 
-            ds = ds.map_batches(shard_mask, batch_format="pyarrow")
-        return ds
+        def shard_mask(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return t.filter(pa.array(np.isin(ids % nshards, wanted)))
 
-    ds = one_copy(0)
-    for r in range(1, repeat):
-        ds = ds.union(one_copy(r * REPEAT_STRIDE))
+        ds = ds.map_batches(shard_mask, batch_format="pyarrow")
     pages = ds.map_batches(pages_from_documents, batch_format="pyarrow")
     if not with_expected_text:
         pages = pages.drop_columns(["text"])
