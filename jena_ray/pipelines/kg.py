@@ -28,7 +28,7 @@ from jena_ray.stages.dedup import dedup_exact
 from jena_ray.stages.extract import ExtractText
 from jena_ray.stages.materialize import materialize_indexes
 from jena_ray.state import manifest as M
-from jena_ray.testgen import load_pages
+from jena_ray.testgen import load_pages, wave_granularity
 from jena_ray import vocab as V
 
 
@@ -247,14 +247,9 @@ def run_kg(
             keep_part=True,
             global_dedup=False,  # global dedup runs in id space at materialize
             stamp_ids=True,
-            # the repeat-amplification stage FUSES into the actor pool, so
-            # a task of N INPUT rows carries N×repeat docs of work; Ray
-            # bundles input blocks per actor task up to batch_size rows, so
-            # the batch must ALSO scale down by the amplification factor
-            # (together with load_pages' block scaling) to keep per-task
-            # work constant — fixed 256 at repeat=24 bundled the whole
-            # corpus into 19 tasks for a 28-actor pool
-            batch_size=max(16, 256 // max(1, repeat)),
+            # batch_size must agree with load_pages' block split — see
+            # testgen.wave_granularity for the two-knob rationale
+            batch_size=wave_granularity(sf_dir, repeat)[1],
         )
         triples.write_parquet(
             os.path.join(out_dir, "triples"), partition_cols=["part"]

@@ -94,6 +94,38 @@ def pages_from_documents(batch: pa.Table) -> pa.Table:
 REPEAT_STRIDE = 10_000_000  # doc_id offset per repeat copy (bench amplification)
 
 
+def wave_granularity(sf_dir: str, repeat: int = 1) -> tuple[int, int]:
+    """(read blocks, actor batch_size) for the fused wave over a tier.
+
+    The task is the scheduling unit, and the repeat-amplification stage
+    FUSES into the wave actor pool, so one task of B raw rows carries
+    B × repeat docs of work. Two interacting knobs must agree:
+
+    - the READ must be split so a block holds ~150 docs of
+      post-amplification work (several tasks per actor keeps the pool's
+      tail short — 32 × 94 s tasks for a 28-actor pool left stragglers
+      pinning the wall clock);
+    - the actor ``batch_size`` must not exceed the block's raw rows,
+      because Ray BUNDLES input blocks per actor task until batch_size
+      rows — a fixed 256 re-coalesced 300 fine blocks into 19 coarse
+      tasks.
+
+    Inside a task the fused UDF chain still amplifies before the wave
+    kernels run, so per-call vectorization sees batch × repeat docs.
+    At crawl scale fragments are 128 MB+, repeat=1, and Ray's defaults
+    take over (blocks ≈ fragments).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    blocks = min(4096, max(3 * max(8, cpus), (n_rows * repeat) // 150 or 1))
+    blocks = min(blocks, max(1, n_rows))
+    batch = max(1, n_rows // blocks)
+    return blocks, batch
+
+
 def load_pages(
     sf_dir: str,
     *,
@@ -120,19 +152,7 @@ def load_pages(
     import ray
     import ray.data as rd
 
-    # Block granularity sets actor-pool load balance: the task is the
-    # scheduling unit and the repeat-amplification stage FUSES into the
-    # actor pool, so one input block carries block_rows × repeat docs of
-    # work. Split the read so a task holds ~400 docs of post-amplification
-    # work (several tasks per actor keeps the pool's tail short — one
-    # block per 156 raw rows at repeat=24 made 32 × 94 s tasks for a
-    # 28-actor pool: stragglers pinned the wall clock). At crawl scale
-    # fragments are 128 MB+, repeat=1, and the Ray default is right.
-    import pyarrow.parquet as pq
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    blocks = max(max(8, cpus), min(4096, (n_rows * repeat) // 400 or 1))
+    blocks, _batch = wave_granularity(sf_dir, repeat)
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
