@@ -200,6 +200,135 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["d", "e"],
         ).sort(["d", "e"])
 
+    def bgp_filter_chars(sf_dir):
+        """FILTER (OpFilter): numeric compare on a typed literal binding +
+        substring test on the SPARQL str() of an IRI binding, both
+        vectorized (value filters resolve only their variables via the
+        bucket-aligned terms join)."""
+        from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        return bgp_execute(
+            idx,
+            [("?d", f"<{V.RDF_TYPE}>", f"<{V.C_DOCUMENT}>"), ("?d", f"<{V.P_CHARS}>", "?c")],
+            ["d", "c"],
+            filters=[(">", "?c", 400), ("contains", "?d", "example.org/doc/1")],
+        ).sort("d")
+
+    def bgp_union_mentions(sf_dir):
+        """UNION (OpUnion): two single-pattern branches, null-padded id-space
+        concat, one distinct + resolve."""
+        from jena_ray.pipelines.bgp import bgp_union, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        return bgp_union(
+            idx,
+            [
+                [("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}spark>")],
+                [("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}vector>")],
+            ],
+            ["d"],
+        ).sort("d")
+
+    def bgp_minus_mentions(sf_dir):
+        """MINUS (OpMinus): docs mentioning spark minus docs in English —
+        id-space hash anti-join on the shared variable."""
+        from jena_ray.pipelines.bgp import bgp_minus, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        return bgp_minus(
+            idx,
+            [("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}spark>")],
+            [("?d", f"<{V.P_LANG}>", '"en"')],
+            ["d"],
+        ).sort("d")
+
+    def bgp_text_query(sf_dir):
+        """text:query property function INSIDE a BGP (TextQueryPF dispatch):
+        the inverted-index side-car generates ?d bindings in term-id space,
+        joined with an index-scan pattern."""
+        from jena_ray.pipelines.bgp import (
+            TEXT_QUERY_IRI,
+            bgp_execute,
+            kg_index_dir,
+            kg_text_index_dir,
+        )
+
+        idx = kg_index_dir(sf_dir)
+        tix = kg_text_index_dir(sf_dir)
+        return bgp_execute(
+            idx,
+            [("?d", f"<{TEXT_QUERY_IRI}>", '"spark"'), ("?d", f"<{V.P_LANG}>", '"en"')],
+            ["d"],
+            pf_context={"text_index": tix},
+        ).sort("d")
+
+    def quad_bgp_source(sf_dir):
+        """Quad BGP (GRAPH ?g { ... }): two 4-slot patterns joined on
+        (?g, ?d) over the GSPO/GPOS/GOSP store."""
+        from jena_ray.pipelines.bgp import quad_bgp_execute
+        from jena_ray.pipelines.named_graphs import quad_store_dir
+
+        store = quad_store_dir(sf_dir)
+        return quad_bgp_execute(
+            store,
+            [
+                ("?g", "?d", f"<{V.P_SOURCE}>", f"<{V.SRC}src3>"),
+                ("?g", "?d", f"<{V.P_CHARS}>", "?c"),
+            ],
+            ["g", "d", "c"],
+        ).sort("g")
+
+    def bgp_values_mentions(sf_dir):
+        """VALUES (OpTable): inline binding rows joined into the BGP chain."""
+        from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        return bgp_execute(
+            idx,
+            [("?d", f"<{V.P_MENTIONS}>", "?e")],
+            ["d", "e"],
+            values=[{"e": f"<{V.ENT}spark>"}, {"e": f"<{V.ENT}sorting>"}],
+        ).sort(["d", "e"])
+
+    def bgp_construct_mentions(sf_dir):
+        """CONSTRUCT: template instantiation over the solution stream —
+        inverted mentionedIn edges + entity typing from one WHERE BGP."""
+        from jena_ray.pipelines.bgp import bgp_construct, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        return bgp_construct(
+            idx,
+            [("?d", f"<{V.P_MENTIONS}>", "?e"), ("?d", f"<{V.P_LANG}>", '"en"')],
+            [
+                ("?e", f"<{V.REL}mentionedIn>", "?d"),
+                ("?e", f"<{V.RDF_TYPE}>", f"<{V.C_ENTITY_CLS}>"),
+            ],
+        ).sort(["subj", "pred", "obj"])
+
+    def path_cooccur_closure(sf_dir):
+        """Property path (P_OneOrMore): entities transitively reachable from
+        ent:spark via coOccursWith+ — semi-naive distributed BFS."""
+        from jena_ray.pipelines.bgp import kg_index_dir, path_closure
+
+        idx = kg_index_dir(sf_dir)
+        return path_closure(idx, f"<{V.P_COOCCURS}>", f"<{V.ENT}spark>").sort("y")
+
+    def bgp_group_entity_docs(sf_dir):
+        """GROUP BY over BGP solutions (OpGroup downstream of OpBGP): number
+        of distinct documents mentioning each entity."""
+        from ray.data.aggregate import Count
+
+        from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
+
+        idx = kg_index_dir(sf_dir)
+        sols = bgp_execute(idx, [("?d", f"<{V.P_MENTIONS}>", "?e")], ["e", "d"])
+        return (
+            sols.groupby("e")
+            .aggregate(Count(alias_name="n_docs"))
+            .sort("e")
+        )
+
     def rdfs_materialize(sf_dir):
         from jena_ray.stages.inference import rdfs_materialize as rm
 
@@ -272,6 +401,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_star_docs": bgp_star_docs,
         "bgp_cooccur_path": bgp_cooccur_path,
         "bgp_optional_mentions": bgp_optional_mentions,
+        "bgp_filter_chars": bgp_filter_chars,
+        "bgp_union_mentions": bgp_union_mentions,
+        "bgp_minus_mentions": bgp_minus_mentions,
+        "bgp_text_query": bgp_text_query,
+        "bgp_values_mentions": bgp_values_mentions,
+        "bgp_construct_mentions": bgp_construct_mentions,
+        "bgp_group_entity_docs": bgp_group_entity_docs,
+        "path_cooccur_closure": path_cooccur_closure,
+        "quad_bgp_source": quad_bgp_source,
         "rdfs_materialize": rdfs_materialize,
         "media_features": media_features,
         "text_search_docs": text_search_docs,
@@ -503,6 +641,92 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.lang = 'zh'
             ORDER BY d, e
         """.replace("{alias_values}", V.alias_sql_values()),
+        # FILTER: ?c > 400 (numeric value of the typed literal) AND
+        # contains(str(?d), 'example.org/doc/1')
+        "bgp_filter_chars": """
+            SELECT '<http://' || source || '.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) || '>' AS d,
+                   '"' || CAST(n_chars AS VARCHAR)
+                   || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS c
+            FROM documents
+            WHERE n_chars > 400
+              AND contains('http://' || source || '.example.org/doc/'
+                           || CAST(doc_id AS VARCHAR), 'example.org/doc/1')
+            ORDER BY d
+        """,
+        "bgp_union_mentions": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT subj AS d FROM triples
+            WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}spark>'
+            UNION
+            SELECT subj FROM triples
+            WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}vector>'
+            ORDER BY d
+        """,
+        "bgp_minus_mentions": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT subj AS d FROM triples
+            WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}spark>'
+            EXCEPT
+            SELECT subj FROM triples
+            WHERE pred = '<{V.P_LANG}>' AND obj = '"en"'
+            ORDER BY d
+        """,
+        "bgp_values_mentions": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT DISTINCT subj AS d, obj AS e FROM triples
+            WHERE pred = '<{V.P_MENTIONS}>'
+              AND obj IN ('<{V.ENT}spark>', '<{V.ENT}sorting>')
+            ORDER BY d, e
+        """,
+        "bgp_construct_mentions": f"""
+            WITH {_TRIPLES_CTE},
+            m AS (
+              SELECT DISTINCT subj AS d, obj AS e FROM triples t
+              WHERE pred = '<{V.P_MENTIONS}>'
+                AND EXISTS (SELECT 1 FROM triples l WHERE l.subj = t.subj
+                            AND l.pred = '<{V.P_LANG}>' AND l.obj = '"en"')
+            )
+            SELECT DISTINCT * FROM (
+              SELECT e AS subj, '<{V.REL}mentionedIn>' AS pred, d AS obj FROM m
+              UNION ALL
+              SELECT e, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                     '<{V.C_ENTITY_CLS}>' FROM m
+            ) ORDER BY subj, pred, obj
+        """,
+        "bgp_group_entity_docs": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT obj AS e, count(DISTINCT subj) AS n_docs FROM triples
+            WHERE pred = '<{V.P_MENTIONS}>' GROUP BY obj ORDER BY e
+        """,
+        "path_cooccur_closure": f"""
+            WITH RECURSIVE {_TRIPLES_CTE},
+            reach(y) AS (
+              SELECT obj FROM triples
+              WHERE pred = '<{V.P_COOCCURS}>' AND subj = '<{V.ENT}spark>'
+              UNION
+              SELECT t.obj FROM triples t JOIN reach r ON t.subj = r.y
+              WHERE t.pred = '<{V.P_COOCCURS}>'
+            )
+            SELECT y FROM reach ORDER BY y
+        """,
+        # text:query OR-match = token membership over the whitespace
+        # tokenization the index was built with
+        "bgp_text_query": """
+            SELECT DISTINCT '<http://' || source || '.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) || '>' AS d
+            FROM documents
+            WHERE lang = 'en' AND list_contains(string_split(text, ' '), 'spark')
+            ORDER BY d
+        """,
+        "quad_bgp_source": f"""
+            SELECT '<{GRAPH_NS}' || CAST(doc_id AS VARCHAR) || '>' AS g,
+                   '<http://' || source || '.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) || '>' AS d,
+                   '"' || CAST(n_chars AS VARCHAR)
+                   || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS c
+            FROM documents WHERE source = 'src3' ORDER BY g
+        """,
         "shacl_report": f"""
             WITH docs AS (
               SELECT '<http://' || source || '.example.org/doc/'

@@ -11,13 +11,31 @@ forward). Ray-Data-first mapping:
   columns are bound serves a filtered parquet read (bucket-pruned when the
   bucket key is fully bound) producing a Dataset of VARIABLE BINDINGS in
   id space — int64 columns named by variable;
-- patterns join left-to-right on shared variables with hash-partitioned
-  ``Dataset.join`` — 8-byte id keys, never term strings (the join order
+- patterns join left-to-right on shared variables with the hash-bucketed
+  groupby join (``binding_join`` — one shuffle, vectorized per-bucket
+  ``pa.Table.join``) — 8-byte id keys, never term strings (the join order
   heuristic is most-bound-first; a StatsMatcher-style cardinality planner
   slots in here);
 - selected variables resolve ids → terms at the END, one hash join per
   variable against the bucketed ``terms/`` NodeTable — the distributed
   replacement for the driver-side lookup in materialize.read_index_terms.
+
+Algebra breadth on top of plain BGPs (each maps to the reference's
+algebra op and executes as a composition of the same id-space primitives):
+
+- ``filters=`` on every execute — **OpFilter** (sparql/algebra/op/OpFilter
+  + expr/E_*.java): sameTerm/bound tests run in id space; value tests
+  (numeric compare, regex, lang) resolve ONLY the filtered variables via
+  the bucket-aligned map-side join and evaluate vectorized;
+- ``bgp_union`` — **OpUnion** (null-padded id-space concat, one resolve);
+- ``bgp_minus`` — **OpMinus** (hash anti-join on the shared variables);
+- ``bgp_optional`` — **OpLeftJoin**;
+- property-function patterns — a concrete predicate registered in
+  ``BGP_PROPERTY_FUNCTIONS`` executes as a binding GENERATOR instead of an
+  index scan (PropertyFunctionRegistry + jena-text TextQueryPF:
+  text:query dispatches to the inverted-index side-car);
+- ``quad_bgp_execute`` — the same join chain over 4-slot patterns against
+  the GSPO/GPOS/GOSP quad store (SolverLib.solve for named graphs).
 
 Variables are spelled ``?name``; any other string is a concrete term in
 canonical N-Triples form.
@@ -29,7 +47,6 @@ import os
 
 import pyarrow as pa
 
-from jena_ray.stages.joins import safe_join
 from jena_ray.stages.materialize import (
     ID_BUCKET_KEYS,
     ID_ORDERS,
@@ -39,7 +56,7 @@ from jena_ray.stages.materialize import (
     term_id,
 )
 
-Pattern = tuple[str, str, str]
+Pattern = tuple[str, ...]  # 3 slots (s, p, o) or 4 (g, s, p, o)
 
 
 def is_var(t: str) -> bool:
@@ -89,29 +106,63 @@ def register_reorder(name: str, fn) -> None:
     REORDER_STRATEGIES[name] = fn
 
 
+def _pick_triple_order(bound: dict) -> str:
+    if "subj" in bound:
+        return "spo"
+    if "pred" in bound:
+        return "pos"
+    if "obj" in bound:
+        return "osp"
+    return "spo"
+
+
+def _pick_quad_order(bound: dict) -> str:
+    # all quad permutations lead with g_id; the second key decides
+    # (SolverLib's index choice over the G* indexes).
+    if "subj" in bound:
+        return "gspo"
+    if "pred" in bound:
+        return "gpos"
+    if "obj" in bound:
+        return "gosp"
+    return "gspo"
+
+
 def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
-    """One triple pattern → Dataset of bindings (var columns, id space)."""
+    """One pattern → Dataset of bindings (var columns, id space).
+
+    3-slot patterns scan the SPO/POS/OSP triple indexes; 4-slot patterns
+    scan the GSPO/GPOS/GOSP quad indexes (stages/quads.py) — same layout
+    contract (hash-bucketed on the leading key, id filters pushed to the
+    parquet read, bucket-pruned when the bucket key is fully bound)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    s, p, o = pattern
-    terms = {"subj": s, "pred": p, "obj": o}
-    bound = {k: v for k, v in terms.items() if not is_var(v)}
-    if "subj" in bound:
-        order = "spo"
-    elif "pred" in bound:
-        order = "pos"
-    elif "obj" in bound:
-        order = "osp"
+    if len(pattern) == 4:
+        from jena_ray.stages.quads import QUAD_BUCKET_KEYS, _TERM_FOR_QID
+
+        g, s, p, o = pattern
+        terms = {"graph": g, "subj": s, "pred": p, "obj": o}
+        term_for_id = _TERM_FOR_QID
+        bucket_keys = QUAD_BUCKET_KEYS
+        bound = {k: v for k, v in terms.items() if not is_var(v)}
+        order = _pick_quad_order(bound)
+        id_cols = ["g_id", "s_id", "p_id", "o_id"]
     else:
-        order = "spo"
+        s, p, o = pattern
+        terms = {"subj": s, "pred": p, "obj": o}
+        term_for_id = _TERM_FOR_ID
+        bucket_keys = ID_BUCKET_KEYS
+        bound = {k: v for k, v in terms.items() if not is_var(v)}
+        order = _pick_triple_order(bound)
+        id_cols = ["s_id", "p_id", "o_id"]
     path = os.path.join(out_dir, order)
 
     bound_ids = {
-        idc: (term_id(terms[t]) if t in ("subj", "pred", "obj") and not is_var(terms[t]) else None)
-        for idc, t in _TERM_FOR_ID.items()
+        idc: (None if is_var(terms[t]) else term_id(terms[t]))
+        for idc, t in term_for_id.items()
     }
-    bkeys = ID_BUCKET_KEYS[order]
+    bkeys = bucket_keys[order]
     if all(bound_ids[c] is not None for c in bkeys):
         b = _term_bucket_ids([bound_ids[c] for c in bkeys], info["num_buckets"])
         bpath = os.path.join(path, f"bucket={b}")
@@ -120,7 +171,7 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         else:
             return rd.from_arrow(
                 pa.table({terms[t][1:]: pa.array([], type=pa.int64())
-                          for idc, t in _TERM_FOR_ID.items() if is_var(terms[t])})
+                          for idc, t in term_for_id.items() if is_var(terms[t])})
             )
     expr = None
     for idc, val in bound_ids.items():
@@ -129,7 +180,7 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         e = pc.field(idc) == val
         expr = e if expr is None else (expr & e)
     ds = rd.read_parquet(
-        path, columns=["s_id", "p_id", "o_id"],
+        path, columns=id_cols,
         **({"filter": expr} if expr is not None else {}),
     )
 
@@ -137,7 +188,7 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
     # same-var-twice patterns (?x p ?x) keep only rows where both match.
     var_cols = {}  # var name (no '?') → id column
     dupes = []
-    for idc, t in _TERM_FOR_ID.items():
+    for idc, t in term_for_id.items():
         term = terms[t]
         if is_var(term):
             name = term[1:]
@@ -154,6 +205,305 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# property functions inside BGPs (PropertyFunctionRegistry dispatch from the
+# engine — jena-arq pfunction/PropertyFunctionRegistry.java wired into
+# OpExecutor via transformProperty; jena-text registers text:query there,
+# TextQueryPF.java). A registered predicate IRI turns its pattern into a
+# binding GENERATOR: fn(out_dir, pattern, info, context) → Dataset of
+# int64 id columns named by the pattern's variables.
+# ---------------------------------------------------------------------------
+
+TEXT_QUERY_IRI = "http://jena.apache.org/text#query"
+
+
+def _text_query_pf(out_dir: str, pattern: Pattern, info: dict, context: dict):
+    """text:query — ``(?d <text#query> "term term ...")`` binds ?d to every
+    document whose text matches ANY term (Lucene OR semantics), served from
+    the inverted-index side-car (stages/textindex.text_match). The side-car
+    must be keyed by TERM ID (build it over term_id(doc IRI)) so the
+    bindings join the other patterns in id space with no extra resolve."""
+    from jena_ray.stages.textindex import text_match
+    from jena_ray.term import split_literal
+
+    s, _, o = pattern
+    if not is_var(s) or is_var(o) or not o.startswith('"'):
+        raise ValueError(f"text:query needs (?var, text:query, \"terms\"): {pattern}")
+    index_dir = context.get("text_index") if context else None
+    if not index_dir:
+        raise ValueError("text:query needs pf_context={'text_index': <dir>}")
+    terms = split_literal(o)[0].split()
+    return text_match(index_dir, terms, id_col=s[1:])
+
+
+BGP_PROPERTY_FUNCTIONS: dict = {TEXT_QUERY_IRI: _text_query_pf}
+
+
+def register_bgp_property_fn(iri: str, fn) -> None:
+    BGP_PROPERTY_FUNCTIONS[iri] = fn
+
+
+def _is_pf_pattern(p: Pattern) -> bool:
+    pred = p[-2]
+    return (
+        len(p) == 3
+        and not is_var(pred)
+        and pred.startswith("<")
+        and pred[1:-1] in BGP_PROPERTY_FUNCTIONS
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTER (OpFilter + the E_* expression kernels, vectorized)
+#
+# A filter is a tuple ("op", "?var"[, operand]):
+#   id space   — ("=" | "!=", "?v", <concrete term> | "?w")  sameTerm on
+#                canonical terms (ids are injective over canonical forms, so
+#                id equality IS value equality — E_SameTerm / E_Equals);
+#                ("bound" | "!bound", "?v") null-ness of the id column.
+#   value space — ("<" | "<=" | ">" | ">=", "?v", number) numeric compare of
+#                the literal value (E_GreaterThan…, xsd numeric promotion via
+#                float64); ("regex" | "strstarts" | "strends" | "contains",
+#                "?v", str) on the SPARQL str() of the term (E_Regex,
+#                E_StrStartsWith…); ("lang", "?v", "tag") exact lang match.
+# Value filters resolve ONLY their variables (a COPY of the id column goes
+# through the bucket-aligned map-side terms join) and evaluate as pyarrow
+# kernels; a null/invalid operand evaluates to false (SPARQL error → row
+# dropped), matching FILTER semantics over OPTIONAL nulls.
+# ---------------------------------------------------------------------------
+
+_ID_FILTER_OPS = {"=", "!=", "bound", "!bound"}
+_NUM_FILTER_OPS = {"<", "<=", ">", ">=", "=", "!="}
+_STR_FILTER_OPS = {"regex", "strstarts", "strends", "contains", "lang"}
+
+# canonical-NT lexical extraction: IRI <...>, literal "..." (suffix ignored)
+_RE_IRI = r"^<(?P<v>.*)>$"
+_RE_LEX = r'^"(?P<v>(?:[^"\\]|\\.)*)"'
+
+
+def _is_id_filter(f: tuple) -> bool:
+    op = f[0]
+    if op in ("bound", "!bound"):
+        return True
+    if op in ("=", "!=") and isinstance(f[2], str):
+        return True  # var-var or var-term: sameTerm in id space
+    return False
+
+
+def _filter_vars(f: tuple) -> set[str]:
+    return {a[1:] for a in f[1:] if isinstance(a, str) and a.startswith("?")}
+
+
+def _str_value(col):
+    """Vectorized SPARQL str(): IRIs drop <>, literals take the lexical form
+    (common escapes unescaped vectorized; the rare backslash-heavy row falls
+    back to the exact per-row unescape), bnodes keep their label."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    iri = pc.struct_field(pc.extract_regex(s, _RE_IRI), "v")
+    lex = pc.struct_field(pc.extract_regex(s, _RE_LEX), "v")
+    has_esc = pc.any(pc.fill_null(pc.match_substring(lex, "\\"), False)).as_py()
+    if has_esc:
+        from jena_ray.term import split_literal
+
+        lex = pa.array(
+            [
+                split_literal(v)[0] if v is not None and v.startswith('"') else None
+                for v in s.to_pylist()
+            ],
+            type=pa.string(),
+        )
+    return pc.coalesce(iri, lex, s)
+
+
+def _num_value(col):
+    """Literal numeric value (canonical xsd integer/decimal/double lexical
+    forms cast to float64; non-numeric → null)."""
+    import pyarrow.compute as pc
+
+    lex = pc.struct_field(pc.extract_regex(pc.cast(col, pa.string()), _RE_LEX), "v")
+    num = pc.struct_field(
+        pc.extract_regex(lex, r"^(?P<v>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)$"),
+        "v",
+    )
+    return pc.cast(num, pa.float64())
+
+
+def _lang_value(col):
+    import pyarrow.compute as pc
+
+    tag = pc.extract_regex(
+        pc.cast(col, pa.string()), r'^".*"@(?P<v>[A-Za-z0-9\-]+)$'
+    )
+    return pc.fill_null(pc.struct_field(tag, "v"), "")
+
+
+def _id_filter_mask(tb: pa.Table, f: tuple):
+    import pyarrow.compute as pc
+
+    op, var = f[0], f[1][1:]
+    col = tb.column(var)
+    if op == "bound":
+        return pc.is_valid(col)
+    if op == "!bound":
+        return pc.is_null(col)
+    rhs = f[2]
+    other = tb.column(rhs[1:]) if rhs.startswith("?") else term_id(rhs)
+    mask = pc.equal(col, other)
+    if op == "!=":
+        mask = pc.invert(mask)
+    return pc.fill_null(mask, False)
+
+
+def _value_filter_mask(tb: pa.Table, f: tuple, term_col: str):
+    import pyarrow.compute as pc
+
+    op = f[0]
+    col = tb.column(term_col)
+    if op in _NUM_FILTER_OPS:
+        v = _num_value(col)
+        kern = {
+            "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+            ">=": pc.greater_equal, "=": pc.equal, "!=": pc.not_equal,
+        }[op]
+        mask = kern(v, float(f[2]))
+    elif op == "lang":
+        mask = pc.equal(_lang_value(col), f[2])
+    else:
+        sv = _str_value(col)
+        if op == "regex":
+            mask = pc.match_substring_regex(sv, f[2])
+        elif op == "strstarts":
+            mask = pc.starts_with(sv, f[2])
+        elif op == "strends":
+            mask = pc.ends_with(sv, f[2])
+        else:  # contains
+            mask = pc.match_substring(sv, f[2])
+    return pc.fill_null(mask, False)
+
+
+def _apply_filters(res, res_vars: set[str], filters, out_dir: str):
+    """Apply OpFilter expressions to an id-space binding Dataset."""
+    import pyarrow.compute as pc
+
+    from jena_ray.stages.materialize import resolve_id_columns
+
+    filters = list(filters or [])
+    for f in filters:
+        missing = _filter_vars(f) - res_vars
+        if missing:
+            raise ValueError(f"filter {f} references unbound vars {sorted(missing)}")
+
+    id_f = [f for f in filters if _is_id_filter(f)]
+    val_f = [f for f in filters if not _is_id_filter(f)]
+    for f in val_f:
+        if f[0] not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
+            raise ValueError(f"unknown filter op: {f[0]}")
+
+    if id_f:
+
+        def apply_id(tb: pa.Table, _fs=tuple(id_f)) -> pa.Table:
+            for f in _fs:
+                tb = tb.filter(_id_filter_mask(tb, f))
+            return tb
+
+        res = res.map_batches(apply_id, batch_format="pyarrow")
+
+    if val_f:
+        vvars = sorted({v for f in val_f for v in _filter_vars(f)})
+
+        def dup(tb: pa.Table, _vs=tuple(vvars)) -> pa.Table:
+            for v in _vs:
+                tb = tb.append_column(f"__fid_{v}", tb.column(v))
+            return tb
+
+        res = res.map_batches(dup, batch_format="pyarrow")
+        res = resolve_id_columns(
+            res, out_dir, {f"__fid_{v}": f"__ft_{v}" for v in vvars}
+        )
+
+        def apply_val(tb: pa.Table, _fs=tuple(val_f), _vs=tuple(vvars)) -> pa.Table:
+            for f in _fs:
+                var = next(iter(_filter_vars(f)))
+                tb = tb.filter(_value_filter_mask(tb, f, f"__ft_{var}"))
+            return tb.drop_columns([f"__ft_{v}" for v in _vs])
+
+        res = res.map_batches(apply_val, batch_format="pyarrow")
+    return res
+
+
+def binding_join(
+    left,
+    lvars: set[str],
+    right,
+    rvars: set[str],
+    on: list[str],
+    *,
+    how: str = "inner",
+    num_buckets: int = 16,
+    right_extra: tuple[str, ...] = (),
+):
+    """Hash-bucketed join of two id-space binding Datasets.
+
+    NOT ``Dataset.join``: ray 2.49's native hash join derives each
+    aggregator's schema from the first data block each side submits, and an
+    EMPTY first block eats the one-shot schema broadcast
+    (hash_shuffle._shuffle_block returns before honoring
+    ``send_empty_blocks``), so a side whose first-arriving block is empty —
+    a pattern that matched nothing, a filtered read — crashes the join with
+    "No match for FieldRef". Binding schemas here are fully known (int64
+    per variable), so the bucketed-groupby join is both immune and
+    idiomatic: pad both sides to the combined column set, tag the side,
+    hash-bucket on the join keys, co-locate with ONE groupby shuffle, and
+    run the vectorized ``pa.Table.join`` per bucket (the same per-partition
+    arrow join ray's aggregators run). Empty buckets never call the UDF,
+    and the zero-column empty blocks map_groups emits for empty hash
+    partitions are tolerated by every downstream stage we use (map_batches
+    skips them; groupby shuffles accept them).
+
+    Skew note: buckets are keyed by the shared-variable ids; a hub binding
+    (one entity joining millions of docs) lands one bucket — the same
+    property as any hash join. At crawl scale raise num_buckets and salt
+    hub keys upstream (the POS-bucketing story in stages/materialize.py).
+    """
+    import pyarrow.compute as pc
+
+    from jena_ray.stages.dedup import add_bucket
+
+    lcols = sorted(lvars)
+    rcols = sorted(set(rvars) | set(right_extra))
+    all_cols = sorted(set(lcols) | set(rcols))
+
+    def prep(side: int, own: tuple[str, ...]):
+        def f(tb: pa.Table, _own=own, _side=side) -> pa.Table:
+            for c in all_cols:
+                if c not in _own:
+                    tb = tb.append_column(c, pa.nulls(tb.num_rows, type=pa.int64()))
+            tb = tb.select(all_cols)
+            tb = tb.append_column(
+                "_side", pa.array([_side] * tb.num_rows, type=pa.int8())
+            )
+            return add_bucket(tb, list(on), num_buckets)
+
+        return f
+
+    u = left.map_batches(prep(0, tuple(lcols)), batch_format="pyarrow").union(
+        right.map_batches(prep(1, tuple(rcols)), batch_format="pyarrow")
+    )
+
+    arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
+
+    def per_bucket(g: pa.Table, _l=tuple(lcols), _r=tuple(rcols)) -> pa.Table:
+        side = g.column("_side")
+        lt = g.filter(pc.equal(side, 0)).select(list(_l))
+        rt = g.filter(pc.equal(side, 1)).select(list(_r))
+        out = lt.join(rt, keys=list(on), right_keys=list(on), join_type=arrow_how)
+        return out.select(sorted(out.schema.names))
+
+    return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def _execute_bgp_ids(
     out_dir: str,
     patterns: list[Pattern],
@@ -161,23 +511,40 @@ def _execute_bgp_ids(
     *,
     num_partitions: int = 16,
     stats: dict | None | bool = None,
+    pf_context: dict | None = None,
 ):
     """Execute a BGP in id space → (bindings Dataset of int64 var columns,
     bound var set). The inner-join chain shared by bgp_execute and
-    bgp_optional (OpBGP inside OpJoin/OpLeftJoin — OpExecutor.java:62)."""
+    bgp_optional (OpBGP inside OpJoin/OpLeftJoin — OpExecutor.java:62).
+
+    Property-function patterns run FIRST (they are binding generators with
+    no index cardinality — the reference also lifts them out of the BGP via
+    transformProperty); the remaining scan patterns are reordered by stats
+    when a side-car exists (triples only — quad patterns use the fixed
+    most-bound-first order)."""
     from jena_ray.pipelines.tdbstats import load_stats
 
+    pf_pats = [p for p in patterns if _is_pf_pattern(p)]
+    scan_pats = [p for p in patterns if not _is_pf_pattern(p)]
+
+    if any(len(p) == 4 for p in scan_pats):
+        stats = False  # stats side-car models triple predicates only
     if stats is None:
         stats = load_stats(out_dir)
     if stats:  # pass stats=False to force the fixed-order fallback
-        plan = REORDER_STRATEGIES["stats"](list(patterns), stats)
+        plan = REORDER_STRATEGIES["stats"](scan_pats, stats)
     else:
-        plan = REORDER_STRATEGIES["fixed"](list(patterns), None)
+        plan = REORDER_STRATEGIES["fixed"](scan_pats, None)
+    plan = pf_pats + plan
 
     res = None
     res_vars: set[str] = set()
     for pat in plan:
-        ds = _scan_pattern(out_dir, pat, info)
+        if _is_pf_pattern(pat):
+            fn = BGP_PROPERTY_FUNCTIONS[pat[-2][1:-1]]
+            ds = fn(out_dir, pat, info, pf_context or {})
+        else:
+            ds = _scan_pattern(out_dir, pat, info)
         pvars = {t[1:] for t in pat if is_var(t)}
         if res is None:
             res, res_vars = ds, pvars
@@ -185,22 +552,9 @@ def _execute_bgp_ids(
         shared = sorted(res_vars & pvars)
         if not shared:
             raise ValueError(f"cartesian product pattern not supported: {pat}")
-        # suffix the right side's shared columns out of the way, then drop
-        res = safe_join(
-            res,
-            ds,
-            num_partitions=num_partitions,
-            on=tuple(shared),
-            right_on=tuple(shared),
-            right_suffix="__r",
+        res = binding_join(
+            res, res_vars, ds, pvars, shared, num_buckets=num_partitions
         )
-        drop = [f"{v}__r" for v in shared]
-
-        def tidy(tb: pa.Table, _drop=tuple(drop)) -> pa.Table:
-            keep = [c for c in tb.schema.names if c not in _drop]
-            return tb.select(keep)
-
-        res = res.map_batches(tidy, batch_format="pyarrow")
         res_vars |= pvars
     return res, res_vars
 
@@ -235,6 +589,9 @@ def bgp_execute(
     num_partitions: int = 16,
     distinct: bool = True,
     stats: dict | None | bool = None,
+    filters: list[tuple] | None = None,
+    pf_context: dict | None = None,
+    values: list[dict[str, str]] | None = None,
 ):
     """Execute a BGP; returns a Dataset whose columns are the selected
     variable names holding canonical term STRINGS (resolved via the terms
@@ -244,12 +601,155 @@ def bgp_execute(
     index (tdbstats.reorder_patterns — the TDB StatsMatcher/
     ReorderTransformationSubstitution path), else most-bound-first
     (ReorderFixed, the reference's fallback when no stats.opt is present).
+
+    ``filters`` — OpFilter expressions (see module docstring);
+    ``pf_context`` — side-car handles for property-function patterns
+    (e.g. ``{"text_index": dir}`` for text:query);
+    ``values`` — VALUES rows (OpTable) joined into the solution stream.
     """
     info = read_layout(out_dir)
     res, res_vars = _execute_bgp_ids(
+        out_dir, patterns, info, num_partitions=num_partitions, stats=stats,
+        pf_context=pf_context,
+    )
+    if values:
+        vds, vvars = values_bindings(values)
+        shared = sorted(res_vars & vvars)
+        if not shared:
+            raise ValueError("VALUES must share at least one variable with the BGP")
+        res = binding_join(
+            res, res_vars, vds, vvars, shared, num_buckets=num_partitions
+        )
+        res_vars |= vvars
+    if filters:
+        res = _apply_filters(res, res_vars, filters, out_dir)
+    return _project_resolve(res, res_vars, select, out_dir, distinct=distinct)
+
+
+def quad_bgp_execute(
+    out_dir: str,
+    patterns: list[Pattern],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    filters: list[tuple] | None = None,
+):
+    """BGP over QUAD patterns ``(g, s, p, o)`` against the GSPO/GPOS/GOSP
+    store (stages/quads.py) — named-graph solving (SolverLib's quad path;
+    GRAPH ?g { ... } with every pattern in the same graph term/variable).
+    Same id-space join chain, filters, and bucket-aligned term resolution
+    as the triple path; quad stores carry their own terms/ NodeTable."""
+    for p in patterns:
+        if len(p) != 4:
+            raise ValueError(f"quad pattern must have 4 slots: {p}")
+    return bgp_execute(
+        out_dir, patterns, select,
+        num_partitions=num_partitions, distinct=distinct, stats=False,
+        filters=filters,
+    )
+
+
+def bgp_union(
+    out_dir: str,
+    branches: list[list[Pattern]],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+    filters: list[list[tuple] | None] | None = None,
+    pf_context: dict | None = None,
+):
+    """OpUnion — each branch executes as its own id-space BGP; binding
+    schemas are aligned by NULL-padding variables the branch does not bind
+    (SPARQL UNION keeps per-branch bindings partial), then concatenated
+    with ``Dataset.union`` (a metadata-only merge — no shuffle) and resolved
+    once. ``filters`` optionally carries one OpFilter list per branch
+    (FILTER scopes inside the braces of its branch)."""
+    info = read_layout(out_dir)
+    results = []
+    all_vars: set[str] = set()
+    for i, pats in enumerate(branches):
+        res, rv = _execute_bgp_ids(
+            out_dir, pats, info, num_partitions=num_partitions, stats=stats,
+            pf_context=pf_context,
+        )
+        fl = filters[i] if filters else None
+        if fl:
+            res = _apply_filters(res, rv, fl, out_dir)
+        results.append((res, rv))
+        all_vars |= rv
+
+    cols = sorted(all_vars)
+    padded = []
+    for res, rv in results:
+
+        def pad(tb: pa.Table, _missing=tuple(sorted(all_vars - rv)), _cols=tuple(cols)) -> pa.Table:
+            for m in _missing:
+                tb = tb.append_column(m, pa.nulls(tb.num_rows, type=pa.int64()))
+            return tb.select(list(_cols))
+
+        padded.append(res.map_batches(pad, batch_format="pyarrow"))
+    u = padded[0] if len(padded) == 1 else padded[0].union(*padded[1:])
+    return _project_resolve(u, all_vars, select, out_dir, distinct=distinct)
+
+
+def bgp_minus(
+    out_dir: str,
+    patterns: list[Pattern],
+    minus: list[Pattern],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+    filters: list[tuple] | None = None,
+):
+    """OpMinus — remove left bindings compatible with any right binding on
+    the shared variables (QueryIterMinus semantics; both sides here are
+    plain BGPs so every shared variable is bound → compatibility is exact
+    key equality). Hash anti-join in id space: left_outer on the shared
+    vars, keep rows whose right-side key came back null. Disjoint domains
+    remove nothing (SPARQL MINUS with no shared vars is a no-op)."""
+    info = read_layout(out_dir)
+    left, lvars = _execute_bgp_ids(
         out_dir, patterns, info, num_partitions=num_partitions, stats=stats
     )
-    return _project_resolve(res, res_vars, select, out_dir, distinct=distinct)
+    if filters:
+        left = _apply_filters(left, lvars, filters, out_dir)
+    right, rvars = _execute_bgp_ids(
+        out_dir, minus, info, num_partitions=num_partitions, stats=stats
+    )
+    shared = sorted(lvars & rvars)
+    if not shared:
+        return _project_resolve(left, lvars, select, out_dir, distinct=distinct)
+
+    import pyarrow.compute as pc
+
+    def keys_only(tb: pa.Table, _k=tuple(shared)) -> pa.Table:
+        # block-local dedup only (duplicate right keys only multiply MATCHED
+        # left rows, which the anti filter drops anyway); __m=1 marks
+        # existence so the left-outer probe distinguishes matched rows
+        from jena_ray.stages.dedup import dedup_batch
+
+        out = dedup_batch(tb.select(list(_k)), list(_k))
+        return out.append_column(
+            "__m", pa.array([1] * out.num_rows, type=pa.int64())
+        )
+
+    rkeys = right.map_batches(keys_only, batch_format="pyarrow")
+    j = binding_join(
+        left, lvars, rkeys, set(shared), shared,
+        how="left_outer", num_buckets=num_partitions, right_extra=("__m",),
+    )
+
+    def anti(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.is_null(tb.column("__m")))
+        return tb.drop_columns(["__m"])
+
+    res = j.map_batches(anti, batch_format="pyarrow")
+    return _project_resolve(res, lvars, select, out_dir, distinct=distinct)
 
 
 def bgp_optional(
@@ -261,6 +761,7 @@ def bgp_optional(
     num_partitions: int = 16,
     distinct: bool = True,
     stats: dict | None | bool = None,
+    filters: list[tuple] | None = None,
 ):
     """OPTIONAL — OpLeftJoin over two BGPs (QueryIterHashLeftJoin_Left
     semantics, engine/join/): the required BGP's bindings survive whether or
@@ -278,24 +779,212 @@ def bgp_optional(
     shared = sorted(req_vars & opt_vars)
     if not shared:
         raise ValueError("OPTIONAL must share at least one variable")
-    res = safe_join(
-        req,
-        opt,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=tuple(shared),
-        right_on=tuple(shared),
-        right_suffix="__r",
+    res = binding_join(
+        req, req_vars, opt, opt_vars, shared,
+        how="left_outer", num_buckets=num_partitions,
     )
-    drop = [f"{v}__r" for v in shared]
-
-    def tidy(tb: pa.Table, _drop=tuple(drop)) -> pa.Table:
-        return tb.select([c for c in tb.schema.names if c not in _drop])
-
-    res = res.map_batches(tidy, batch_format="pyarrow")
+    if filters:
+        # post-join filter scope: sees optional vars as null where unmatched
+        # (the FILTER-outside-OPTIONAL shape; !bound(?x) expresses negation)
+        res = _apply_filters(res, req_vars | opt_vars, filters, out_dir)
     return _project_resolve(
         res, req_vars | opt_vars, select, out_dir, distinct=distinct
     )
+
+
+def values_bindings(rows: list[dict[str, str]]):
+    """VALUES (OpTable / inline data — sparql/algebra/op/OpTable.java):
+    literal binding rows become an id-space Dataset joined into the BGP
+    chain like any pattern result. Keys are variable names ('?' optional);
+    values are concrete terms in canonical N-Triples form. UNDEF is not
+    supported (every row must bind every listed variable — an UNDEF key
+    would need null-compatible join semantics)."""
+    import ray.data as rd
+
+    if not rows:
+        raise ValueError("VALUES needs at least one row")
+    vars_ = sorted({k.lstrip("?") for k in rows[0]})
+    cols: dict[str, list[int]] = {v: [] for v in vars_}
+    for r in rows:
+        got = {k.lstrip("?"): t for k, t in r.items()}
+        if sorted(got) != vars_:
+            raise ValueError(f"VALUES row binds {sorted(got)}, expected {vars_}")
+        for v in vars_:
+            cols[v].append(term_id(got[v]))
+    tbl = pa.table({v: pa.array(cols[v], type=pa.int64()) for v in vars_})
+    return rd.from_arrow(tbl), set(vars_)
+
+
+def bgp_construct(
+    out_dir: str,
+    patterns: list[Pattern],
+    template: list[tuple[str, str, str]],
+    *,
+    num_partitions: int = 16,
+    filters: list[tuple] | None = None,
+    stats: dict | None | bool = None,
+    pf_context: dict | None = None,
+):
+    """CONSTRUCT — execute the WHERE BGP, then instantiate the template
+    triples per solution (TemplateLib.subst over the binding stream —
+    jena-arq sparql/syntax/Template.java / modify/TemplateLib.java).
+    Returns a distinct (subj, pred, obj) Dataset of canonical term strings.
+    Solutions binding a template variable to null never occur here (plain
+    BGP solutions are total); template slots may be variables or concrete
+    terms."""
+    from jena_ray.stages.dedup import dedup_exact
+    from jena_ray.stages.materialize import resolve_id_columns
+
+    info = read_layout(out_dir)
+    res, res_vars = _execute_bgp_ids(
+        out_dir, patterns, info, num_partitions=num_partitions, stats=stats,
+        pf_context=pf_context,
+    )
+    if filters:
+        res = _apply_filters(res, res_vars, filters, out_dir)
+
+    tvars = sorted({t[1:] for trip in template for t in trip if is_var(t)})
+    missing = [v for v in tvars if v not in res_vars]
+    if missing:
+        raise ValueError(f"template vars not bound by the BGP: {missing}")
+
+    def proj(tb: pa.Table, _v=tuple(tvars)) -> pa.Table:
+        return tb.select(list(_v))
+
+    res = res.map_batches(proj, batch_format="pyarrow")
+    res = dedup_exact(res, cols=tuple(tvars))
+    res = resolve_id_columns(res, out_dir, {v: v for v in tvars})
+
+    outs = []
+    for trip in template:
+
+        def emit(tb: pa.Table, _t=tuple(trip)) -> pa.Table:
+            n = tb.num_rows
+            cols = {}
+            for slot, name in zip(_t, ("subj", "pred", "obj")):
+                if is_var(slot):
+                    cols[name] = tb.column(slot[1:])
+                else:
+                    cols[name] = pa.array([slot] * n, type=pa.string())
+            return pa.table(cols)
+
+        outs.append(res.map_batches(emit, batch_format="pyarrow"))
+    u = outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
+    return dedup_exact(u, cols=("subj", "pred", "obj"))
+
+
+def path_closure(
+    out_dir: str,
+    pred: str,
+    source: str,
+    *,
+    max_iters: int = 25,
+    num_partitions: int = 16,
+    var: str = "y",
+):
+    """Property path ``source (pred)+ ?y`` — P_OneOrMore transitive closure
+    (jena-arq sparql/path/P_OneOrMore1 evaluated by PathEngine's BFS with a
+    visited set). Semi-naive distributed iteration in id space: the frontier
+    joins the edge scan (one bucketed shuffle per hop), already-visited
+    nodes are anti-joined away, and each level is materialized (levels are
+    closure-sized — tiny next to the corpus; the loop runs at most graph
+    diameter ≤ max_iters hops). Returns a Dataset with one term-string
+    column ``var``."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import dedup_batch, dedup_exact
+    from jena_ray.stages.materialize import resolve_id_columns
+
+    info = read_layout(out_dir)
+    edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info)
+
+    frontier = rd.from_arrow(
+        pa.table({"x": pa.array([term_id(source)], type=pa.int64())})
+    )
+    visited = None
+    for _ in range(max_iters):
+        nxt = binding_join(
+            frontier, {"x"}, edges, {"x", "y"}, ["x"], num_buckets=num_partitions
+        )
+
+        def ys(tb: pa.Table) -> pa.Table:
+            return dedup_batch(tb.select(["y"]), ["y"])
+
+        nxt = dedup_exact(nxt.map_batches(ys, batch_format="pyarrow"), cols=("y",))
+        if visited is not None:
+
+            def mark(tb: pa.Table) -> pa.Table:
+                return tb.append_column(
+                    "__m", pa.array([1] * tb.num_rows, type=pa.int64())
+                )
+
+            vk = visited.map_batches(mark, batch_format="pyarrow")
+            j = binding_join(
+                nxt, {"y"}, vk, {"y"}, ["y"],
+                how="left_outer", num_buckets=num_partitions, right_extra=("__m",),
+            )
+
+            def fresh(tb: pa.Table) -> pa.Table:
+                return tb.filter(pc.is_null(tb.column("__m"))).drop_columns(["__m"])
+
+            nxt = j.map_batches(fresh, batch_format="pyarrow")
+        nxt = nxt.materialize()
+        if nxt.count() == 0:
+            break
+        visited = nxt if visited is None else visited.union(nxt).materialize()
+
+        def as_frontier(tb: pa.Table) -> pa.Table:
+            return tb.rename_columns(["x"])
+
+        frontier = nxt.map_batches(as_frontier, batch_format="pyarrow")
+    else:
+        raise RuntimeError(f"path closure did not converge in {max_iters} hops")
+
+    if visited is None:
+        return rd.from_arrow(pa.table({var: pa.array([], type=pa.string())}))
+    out = resolve_id_columns(visited, out_dir, {"y": var})
+    return out
+
+
+def kg_text_index_dir(sf_dir: str) -> str:
+    """text:query side-car for the KG tier: an inverted index whose doc key
+    is ``term_id(<doc IRI>)`` — int64, the same id space as the triple
+    indexes, so text:query bindings join the BGP chain with no resolve
+    (jena-text builds its Lucene index next to the TDB dataset the same
+    way: TextDatasetFactory wires index and graph into one dataset).
+    Built once per tier under /tmp and reused."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.stages.materialize import term_id_array
+    from jena_ray.stages.textindex import build_text_index
+
+    base = os.path.join(
+        "/tmp/jena_ray_textpf", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+    def keyed(tb: pa.Table) -> pa.Table:
+        iris = pc.binary_join_element_wise(
+            "<http://",
+            pc.cast(tb.column("source"), pa.string()),
+            ".example.org/doc/",
+            pc.cast(tb.column("doc_id"), pa.string()),
+            ">",
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(term_id_array(iris)),
+                "text": tb.column("text"),
+            }
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    ).map_batches(keyed, batch_format="pyarrow")
+    build_text_index(docs, base)
+    return base
 
 
 def kg_index_dir(sf_dir: str, *, num_shards: int = 4) -> str:

@@ -168,7 +168,6 @@ def quad_pattern_scan(
 
     from jena_ray.stages.materialize import (
         _term_bucket_ids,
-        lookup_terms,
         read_layout,
         term_id,
     )
@@ -208,25 +207,15 @@ def quad_pattern_scan(
     if not resolve_terms:
         return ds
 
-    import numpy as np
+    # distributed id→term resolution: the bucket-aligned map-side join
+    # against this store's terms/ NodeTable (materialize.resolve_id_columns
+    # — the quad store shares the triple layout contract), replacing the
+    # former driver-side iter_batches + lookup_terms materialization
+    from jena_ray.stages.materialize import resolve_id_columns
 
-    batches = list(ds.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(batches) if batches else None
-    if tbl is None or tbl.num_rows == 0:
-        empty = pa.table(
-            {c: pa.array([], type=pa.string()) for c in ("graph", "subj", "pred", "obj")}
-        )
-        return rd.from_arrow(empty)
-    all_ids = np.unique(
-        np.concatenate([tbl.column(c).to_numpy() for c in _QUAD_ID_COLS])
-    ).tolist()
-    mapping = lookup_terms(out_dir, all_ids)
-    out = pa.table(
-        {
-            name: pa.array(
-                [mapping[i] for i in tbl.column(c).to_pylist()], type=pa.string()
-            )
-            for c, name in _TERM_FOR_QID.items()
-        }
-    )
-    return rd.from_arrow(out)
+    out = resolve_id_columns(ds, out_dir, dict(_TERM_FOR_QID))
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(["graph", "subj", "pred", "obj"])
+
+    return out.map_batches(reorder, batch_format="pyarrow")

@@ -133,6 +133,49 @@ def _token_bucket(token: str, num_buckets: int) -> int:
     return int(h[0]) % num_buckets
 
 
+def text_match(index_dir: str, terms: list[str], *, id_col: str = "doc_id"):
+    """Unranked OR match (the text:query property-function shape — jena-text
+    TextQueryPF binds the subject var to every index hit): one int64 column
+    ``id_col`` of doc keys whose text contains ANY query term. Only the
+    terms' hash buckets are read. Dedup is BLOCK-LOCAL only — a doc matching
+    several terms can appear once per term — because the result feeds
+    ``Dataset.join`` in the BGP chain, and ray 2.49 joins reject the
+    zero-column empty blocks a groupby().map_groups global dedup emits for
+    empty partitions; the BGP's final distinct collapses the duplicates."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import dedup_batch
+
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    nb = meta["num_buckets"]
+
+    terms = sorted(set(terms))
+    by_bucket: dict[int, list[str]] = {}
+    for t in terms:
+        by_bucket.setdefault(_token_bucket(t, nb), []).append(t)
+
+    datasets = []
+    for b, ts in by_bucket.items():
+        path = os.path.join(index_dir, "text", f"bucket={b}")
+        if not os.path.isdir(path):
+            continue
+        datasets.append(
+            rd.read_parquet(
+                path, columns=["doc_id"], filter=pc.field("token").isin(ts)
+            )
+        )
+    if not datasets:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+    matches = datasets[0] if len(datasets) == 1 else datasets[0].union(*datasets[1:])
+
+    def local(tb: pa.Table, _n=id_col) -> pa.Table:
+        return dedup_batch(tb, ["doc_id"]).rename_columns([_n])
+
+    return matches.map_batches(local, batch_format="pyarrow")
+
+
 def text_search(index_dir: str, terms: list[str], k: int = 20):
     """Ranked OR-query (Lucene/text:query semantics): docs matching any term,
     scored Σ tf·idf with idf = ln(1 + N/df), top-k by (score desc, doc_id).
