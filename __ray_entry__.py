@@ -743,6 +743,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT focus, '<{V.P_LANG}>',
                      '<{V.SH}InConstraintComponent>', '<{V.SHAPE_LANG}>'
               FROM docs WHERE lang NOT IN {V.SHACL_ALLOWED_LANGS!r}
+              UNION ALL
+              SELECT focus, '<{V.P_CHARS}>',
+                     '<{V.SH}OrConstraintComponent>', '<{V.SHAPE_CHARS_OR}>'
+              FROM docs
+              WHERE n_chars > {V.SHACL_OR_LO} AND n_chars < {V.SHACL_OR_HI}
             ) ORDER BY focus, component
         """,
         "customer_order_totals": """

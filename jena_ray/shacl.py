@@ -13,7 +13,11 @@ implicit class targets, sh:targetNode, sh:targetSubjectsOf,
 sh:targetObjectsOf) and constraints sh:minCount, sh:maxCount, sh:datatype,
 sh:class, sh:nodeKind, sh:hasValue, sh:in, sh:pattern (+sh:flags),
 sh:minLength/maxLength, sh:minInclusive/maxInclusive/minExclusive/
-maxExclusive — on property shapes (IRI paths) and node shapes.
+maxExclusive, the pair components sh:equals/disjoint/lessThan/
+lessThanOrEquals, sh:languageIn/uniqueLang, sh:closed
+(+sh:ignoredProperties), and the shape-valued components sh:node, sh:not,
+sh:and, sh:or, sh:xone (recursive conformance evaluation) — on property
+shapes (IRI paths) and node shapes.
 
 Ray-Data-first use: ``shacl_validate_dataset`` broadcasts the (small)
 shapes graph and validates focus-node groups co-located by a subject-hash
@@ -88,7 +92,12 @@ _CONSTRAINT_PROPS = (
     "minCount", "maxCount", "datatype", "class", "nodeKind", "hasValue",
     "in", "pattern", "flags", "minLength", "maxLength",
     "minInclusive", "maxInclusive", "minExclusive", "maxExclusive",
+    "equals", "disjoint", "lessThan", "lessThanOrEquals",
+    "languageIn", "uniqueLang", "closed",
 )
+# shape-valued constraints (ShaclValidator evaluates these recursively:
+# constraint/ConstraintOp.java — Not/And/Or/Xone/Node hold sub-shapes)
+_LIST_PROPS = frozenset({"in", "languageIn"})
 
 
 def _lex(term: str) -> str:
@@ -133,6 +142,7 @@ def _datatype_of(term: str) -> str | None:
 
 class Shape:
     def __init__(self, g: Graph, node: str, *, is_property: bool):
+        self.g = g  # shapes graph handle — logical sub-shapes resolve lazily
         self.node = node
         self.is_property = is_property
         self.path = g.obj(node, _sh("path")) if is_property else None
@@ -140,10 +150,38 @@ class Shape:
         for c in _CONSTRAINT_PROPS:
             v = g.objs(node, _sh(c))
             if v:
-                self.constraints[c] = g.rdf_list(v[0]) if c == "in" else v[0]
+                self.constraints[c] = g.rdf_list(v[0]) if c in _LIST_PROPS else v[0]
+        # shape-valued constraints: refs only (cycles in a shapes graph must
+        # not recurse at parse time; _sub_shape builds on demand)
+        self.node_refs = g.objs(node, _sh("node"))
+        self.not_refs = g.objs(node, _sh("not"))
+        self.and_lists = [g.rdf_list(h) for h in g.objs(node, _sh("and"))]
+        self.or_lists = [g.rdf_list(h) for h in g.objs(node, _sh("or"))]
+        self.xone_lists = [g.rdf_list(h) for h in g.objs(node, _sh("xone"))]
+        self.ignored = (
+            g.rdf_list(g.obj(node, _sh("ignoredProperties")))
+            if g.obj(node, _sh("ignoredProperties"))
+            else []
+        )
         self.property_shapes = [
             Shape(g, ps, is_property=True) for ps in g.objs(node, _sh("property"))
         ]
+
+    def _sub_shape(self, ref: str) -> "Shape":
+        return Shape(self.g, ref, is_property=self.g.obj(ref, _sh("path")) is not None)
+
+
+def _conforms(data: Graph, node: str, shape: Shape, depth: int = 0) -> bool:
+    """Does ``node`` conform to ``shape``? (recursive shape evaluation —
+    the ValidationEngine's nested validation for Not/And/Or/Xone/Node.)"""
+    if depth > 50:
+        raise RecursionError(f"shape recursion depth exceeded at {shape.node}")
+    tmp: list = []
+    _check_values(data, node, shape, tmp, depth=depth + 1)
+    if not shape.is_property:
+        for ps in shape.property_shapes:
+            _check_values(data, node, ps, tmp, depth=depth + 1)
+    return not tmp
 
 
 def _value_nodes(data: Graph, focus: str, shape: Shape):
@@ -154,15 +192,17 @@ def _value_nodes(data: Graph, focus: str, shape: Shape):
     return [focus]
 
 
-def _check_values(data: Graph, focus: str, shape: Shape, out: list):
+def _check_values(data: Graph, focus: str, shape: Shape, out: list, depth: int = 0):
     """Evaluate one shape's constraints for one focus node."""
     values = _value_nodes(data, focus, shape)
     if values is None:
         return
     path_iri = shape.path if shape.is_property else None
 
-    def report(component: str, value: str | None = None):
-        out.append((focus, path_iri, _sh(component + "ConstraintComponent"), shape.node))
+    def report(component: str, value: str | None = None, path: str | None = None):
+        out.append(
+            (focus, path or path_iri, _sh(component + "ConstraintComponent"), shape.node)
+        )
 
     c = shape.constraints
     if "minCount" in c and len(values) < int(_lex(c["minCount"])):
@@ -222,6 +262,117 @@ def _check_values(data: Graph, focus: str, shape: Shape, out: list):
                     report(comp[0].upper() + comp[1:], v)
     if "hasValue" in c and c["hasValue"] not in values:
         report("HasValue")
+
+    # ---- pair constraints (Equals/Disjoint/LessThan* — property shapes) --
+    if "equals" in c:
+        other = set(data.objs(focus, c["equals"]))
+        for v in set(values) ^ other:  # symmetric difference, both directions
+            report("Equals", v)
+    if "disjoint" in c:
+        other = set(data.objs(focus, c["disjoint"]))
+        for v in values:
+            if v in other:
+                report("Disjoint", v)
+    for comp, op in (
+        ("lessThan", lambda a, b: a < b),
+        ("lessThanOrEquals", lambda a, b: a <= b),
+    ):
+        if comp in c:
+            others = data.objs(focus, c[comp])
+            for v in values:
+                for o in others:
+                    a, b = _num(v), _num(o)
+                    if a is None or b is None:
+                        # fall back to string compare of same-kind plain
+                        # literals, else incomparable → violation
+                        la, lb = _lex(v), _lex(o)
+                        ok = (
+                            v.startswith('"')
+                            and o.startswith('"')
+                            and _num(v) is None
+                            and _num(o) is None
+                            and op(la, lb)
+                        )
+                    else:
+                        try:
+                            ok = op(a, b)
+                        except TypeError:
+                            ok = False
+                    if not ok:
+                        report(comp[0].upper() + comp[1:], v)
+
+    # ---- language constraints --------------------------------------------
+    if "languageIn" in c:
+        ranges = [_lex(t).lower() for t in c["languageIn"]]
+
+        def lang_matches(tag: str) -> bool:
+            # langMatches basic filtering (RFC 4647 §3.3.1): "en" matches
+            # "en" and "en-NZ"; "*" matches any tag
+            t = tag.lower()
+            return any(
+                r == "*" or t == r or t.startswith(r + "-") for r in ranges
+            )
+
+        for v in values:
+            lang = T.split_literal(v)[1] if v.startswith('"') else None
+            if not lang or not lang_matches(lang):
+                report("LanguageIn", v)
+    if "uniqueLang" in c and _lex(c["uniqueLang"]) in ("true", "1"):
+        seen: dict[str, int] = {}
+        for v in values:
+            lang = T.split_literal(v)[1] if v.startswith('"') else None
+            if lang:
+                seen[lang] = seen.get(lang, 0) + 1
+        for lang, n in sorted(seen.items()):
+            if n > 1:
+                report("UniqueLang", lang)
+
+    # ---- shape-valued constraints (Node/Not/And/Or/Xone) ------------------
+    if shape.node_refs or shape.not_refs or shape.and_lists or shape.or_lists or shape.xone_lists:
+        for v in values:
+            for ref in shape.node_refs:
+                if not _conforms(data, v, shape._sub_shape(ref), depth):
+                    report("Node", v)
+            for ref in shape.not_refs:
+                if _conforms(data, v, shape._sub_shape(ref), depth):
+                    report("Not", v)
+            for members in shape.and_lists:
+                if not all(
+                    _conforms(data, v, shape._sub_shape(m), depth) for m in members
+                ):
+                    report("And", v)
+            for members in shape.or_lists:
+                if not any(
+                    _conforms(data, v, shape._sub_shape(m), depth) for m in members
+                ):
+                    report("Or", v)
+            for members in shape.xone_lists:
+                n_ok = sum(
+                    1 for m in members if _conforms(data, v, shape._sub_shape(m), depth)
+                )
+                if n_ok != 1:
+                    report("Xone", v)
+
+    # ---- nested property shapes on a PROPERTY shape: each value node
+    # becomes the focus of the sub-shapes (property-001.ttl — person →
+    # address → city chain; node shapes handle theirs in validate())
+    if shape.is_property and shape.property_shapes:
+        if depth > 50:
+            raise RecursionError(f"shape recursion depth exceeded at {shape.node}")
+        for v in values:
+            if not v.startswith('"'):
+                for ps in shape.property_shapes:
+                    _check_values(data, v, ps, out, depth=depth + 1)
+
+    # ---- sh:closed (node shapes): every predicate must be declared --------
+    if "closed" in c and _lex(c["closed"]) in ("true", "1") and not shape.is_property:
+        declared = {
+            ps.path for ps in shape.property_shapes if ps.path
+        } | set(shape.ignored)
+        for v in values:  # value == focus for node shapes
+            for p in sorted(data.spo.get(v, {})):
+                if p not in declared:
+                    report("Closed", path=p)
 
 
 _WF = {

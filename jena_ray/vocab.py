@@ -109,16 +109,20 @@ RDFS_FIXTURE_VOCAB: tuple[tuple[str, str, str], ...] = (
 
 
 # SHACL fixture shapes for the driver contract: a NodeShape over Document
-# with two violable property shapes whose verdicts are SQL-reproducible
-# (n_chars < 100 → MinInclusive; lang outside the allowed set → In).
+# with three violable property shapes whose verdicts are SQL-reproducible
+# (n_chars < 100 → MinInclusive; lang outside the allowed set → In;
+# 120 < n_chars < 200 → Or over two disjunct range sub-shapes).
 # Shape nodes get explicit IRIs so the report's source_shape column is
 # deterministic across engines.
 SH = "http://www.w3.org/ns/shacl#"
 SHAPE_DOC = KG + "shape/Document"
 SHAPE_CHARS = KG + "shape/chars"
 SHAPE_LANG = KG + "shape/lang"
+SHAPE_CHARS_OR = KG + "shape/charsOr"
 SHACL_ALLOWED_LANGS: tuple[str, ...] = ("en", "de", "fr", "es")
 SHACL_MIN_CHARS = 100
+SHACL_OR_LO = 120  # conforms when n_chars <= LO (small-doc branch) ...
+SHACL_OR_HI = 200  # ... or n_chars >= HI (large-doc branch)
 
 
 def _shacl_lang_list() -> tuple[tuple[str, str, str], ...]:
@@ -138,6 +142,7 @@ SHACL_FIXTURE_SHAPES: tuple[tuple[str, str, str], ...] = (
     (_t(SHAPE_DOC), _t(SH + "targetClass"), _t(C_DOCUMENT)),
     (_t(SHAPE_DOC), _t(SH + "property"), _t(SHAPE_CHARS)),
     (_t(SHAPE_DOC), _t(SH + "property"), _t(SHAPE_LANG)),
+    (_t(SHAPE_DOC), _t(SH + "property"), _t(SHAPE_CHARS_OR)),
     (_t(SHAPE_CHARS), _t(SH + "path"), _t(P_CHARS)),
     (
         _t(SHAPE_CHARS),
@@ -146,4 +151,14 @@ SHACL_FIXTURE_SHAPES: tuple[tuple[str, str, str], ...] = (
     ),
     (_t(SHAPE_LANG), _t(SH + "path"), _t(P_LANG)),
     (_t(SHAPE_LANG), _t(SH + "in"), "_:langs0"),
+    # sh:or disjunction: charCount must sit in the small-doc OR large-doc
+    # band (violated when SHACL_OR_LO < n_chars < SHACL_OR_HI)
+    (_t(SHAPE_CHARS_OR), _t(SH + "path"), _t(P_CHARS)),
+    (_t(SHAPE_CHARS_OR), _t(SH + "or"), "_:or0"),
+    ("_:or0", _t(RDF_NS + "first"), "_:orSmall"),
+    ("_:or0", _t(RDF_NS + "rest"), "_:or1"),
+    ("_:or1", _t(RDF_NS + "first"), "_:orLarge"),
+    ("_:or1", _t(RDF_NS + "rest"), _t(RDF_NS + "nil")),
+    ("_:orSmall", _t(SH + "maxInclusive"), f'"{SHACL_OR_LO}"^^<{XSD}integer>'),
+    ("_:orLarge", _t(SH + "minInclusive"), f'"{SHACL_OR_HI}"^^<{XSD}integer>'),
 ) + _shacl_lang_list()

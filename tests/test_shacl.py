@@ -26,10 +26,22 @@ CASES = [
         "maxInclusive-001", "minExclusive-001", "maxExclusive-001",
     )
 ] + [
+    ("property", n)
+    for n in (
+        "and-001", "or-001", "or-datatypes-001", "not-001", "node-001",
+        "node-002", "equals-001", "disjoint-001", "lessThan-001",
+        "lessThan-002", "lessThanOrEquals-001", "uniqueLang-001",
+        "languageIn-001", "property-001",
+    )
+] + [
     ("node", n)
     for n in (
         "class-001", "datatype-001", "hasValue-001", "in-001",
         "minInclusive-001", "minInclusive-002", "nodeKind-001",
+        "not-001", "not-002", "and-001", "and-002", "or-001",
+        "xone-001", "node-001", "languageIn-001", "closed-001",
+        "closed-002", "disjoint-001", "equals-001",
+        "minLength-001", "maxLength-001",
     )
 ] + [
     ("targets", n)
