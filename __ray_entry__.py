@@ -329,6 +329,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort("e")
         )
 
+    def sparql_star_docs(sf_dir):
+        """SPARQL text front-end end-to-end (sparql.py: tokenize → parse →
+        algebra → id-index execution; the ParserSPARQL11/AlgebraGenerator/
+        OpExecutor chain): same star query as bgp_star_docs but from a
+        query STRING."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                PREFIX ent: <{V.ENT}>
+                SELECT ?d WHERE {{
+                  ?d rel:mentions ent:spark ;
+                     rel:mentions ent:query ;
+                     rel:language "en" .
+                }} ORDER BY ?d""",
+        )
+
+    def sparql_group_chars(sf_dir):
+        """SPARQL GROUP BY + COUNT/SUM aggregates from query text
+        (OpGroup + AggCount/AggSum lowered onto the bucketed groupby)."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                SELECT ?l (COUNT(*) AS ?n_docs) (SUM(?c) AS ?total_chars)
+                WHERE {{ ?d rel:language ?l ; rel:charCount ?c }}
+                GROUP BY ?l ORDER BY ?l""",
+        )
+
     def rdfs_materialize(sf_dir):
         from jena_ray.stages.inference import rdfs_materialize as rm
 
@@ -408,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_values_mentions": bgp_values_mentions,
         "bgp_construct_mentions": bgp_construct_mentions,
         "bgp_group_entity_docs": bgp_group_entity_docs,
+        "sparql_star_docs": sparql_star_docs,
+        "sparql_group_chars": sparql_group_chars,
         "path_cooccur_closure": path_cooccur_closure,
         "quad_bgp_source": quad_bgp_source,
         "rdfs_materialize": rdfs_materialize,
@@ -698,6 +735,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TRIPLES_CTE}
             SELECT obj AS e, count(DISTINCT subj) AS n_docs FROM triples
             WHERE pred = '<{V.P_MENTIONS}>' GROUP BY obj ORDER BY e
+        """,
+        "sparql_star_docs": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT DISTINCT a.subj AS d
+            FROM triples a
+            JOIN triples b ON b.subj = a.subj
+             AND b.pred = '<{V.P_MENTIONS}>' AND b.obj = '<{V.ENT}query>'
+            JOIN triples c ON c.subj = a.subj
+             AND c.pred = '<{V.P_LANG}>' AND c.obj = '"en"'
+            WHERE a.pred = '<{V.P_MENTIONS}>' AND a.obj = '<{V.ENT}spark>'
+            ORDER BY d
+        """,
+        "sparql_group_chars": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT a.obj AS l, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(regexp_extract(b.obj, '"([0-9]+)"', 1)
+                                 AS BIGINT)) AS BIGINT) AS total_chars
+            FROM triples a
+            JOIN triples b ON b.subj = a.subj AND b.pred = '<{V.P_CHARS}>'
+            WHERE a.pred = '<{V.P_LANG}>'
+            GROUP BY a.obj ORDER BY l
         """,
         "path_cooccur_closure": f"""
             WITH RECURSIVE {_TRIPLES_CTE},

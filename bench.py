@@ -99,6 +99,9 @@ def run_benchmarks() -> dict:
         "minhash_candidate_pairs",
         "ann_topk",
         "events_tumbling_window",
+        # query layer over the just-built index cache (BGP joins + SHACL)
+        "bgp_star_docs",
+        "shacl_report",
     )
     qs = E.queries()
     for name in names:

@@ -8,6 +8,10 @@
   python -m jena_ray.cli kgload --sf-dir DIR --out OUT [--shards N]
       run the flagship KG-construction pipeline (tdbloader analog with
       LoadMonitor-style rate reporting)
+
+  python -m jena_ray.cli sparql --loc IDX (--query TEXT | --query-file F)
+      run a SPARQL query over a materialized index (jena-cmds arq /
+      tdbquery analog; SELECT/ASK/CONSTRUCT subset in jena_ray/sparql.py)
 """
 
 from __future__ import annotations
@@ -198,8 +202,42 @@ def cmd_tdbstats(argv: list[str]) -> int:
     return 0
 
 
+def cmd_sparql(argv: list[str]) -> int:
+    """arq/tdbquery analog: SPARQL text → algebra → id-index execution,
+    results printed as TSV (header + rows, like ResultSetFormatter's
+    output variants)."""
+    ap = argparse.ArgumentParser(prog="jena_ray sparql")
+    ap.add_argument("--loc", required=True, help="index dir (kgload --out)")
+    ap.add_argument("--query", help="query text")
+    ap.add_argument("--query-file", help="file holding the query")
+    ap.add_argument("--limit-print", type=int, default=50,
+                    help="max rows printed (result is still fully computed)")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    if bool(args.query) == bool(args.query_file):
+        ap.error("exactly one of --query / --query-file")
+    text = args.query or open(args.query_file).read()
+    _init_ray(args.num_cpus)
+
+    from jena_ray.sparql import sparql_query
+
+    t0 = time.time()
+    res = sparql_query(args.loc, text)
+    df = res.to_pandas()  # pa.Table and Dataset both expose to_pandas
+    n = len(df)
+    print("\t".join(df.columns))
+    for _, row in df.head(args.limit_print).iterrows():
+        print("\t".join("" if v is None else str(v) for v in row))
+    print(f"# {n} rows in {time.time() - t0:.2f}s", file=sys.stderr)
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
-    cmds = {"riot": cmd_riot, "kgload": cmd_kgload, "tdbstats": cmd_tdbstats}
+    cmds = {"riot": cmd_riot, "kgload": cmd_kgload, "tdbstats": cmd_tdbstats,
+            "sparql": cmd_sparql}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         return 2

@@ -724,32 +724,89 @@ def bgp_minus(
     shared = sorted(lvars & rvars)
     if not shared:
         return _project_resolve(left, lvars, select, out_dir, distinct=distinct)
+    res = _semi_anti_join(
+        left, lvars, right, shared, keep_matched=False,
+        num_buckets=num_partitions,
+    )
+    return _project_resolve(res, lvars, select, out_dir, distinct=distinct)
 
+
+def _semi_anti_join(left, lvars, right, shared, *, keep_matched, num_buckets):
+    """Existence probe on the shared id columns: left_outer join against the
+    right side's key set marked __m=1, then keep matched (semi) or unmatched
+    (anti) rows. For semi the right keys are GLOBALLY deduped first —
+    duplicate keys would multiply matched left rows; for anti a block-local
+    combiner suffices (matched rows are dropped either way)."""
     import pyarrow.compute as pc
 
     def keys_only(tb: pa.Table, _k=tuple(shared)) -> pa.Table:
-        # block-local dedup only (duplicate right keys only multiply MATCHED
-        # left rows, which the anti filter drops anyway); __m=1 marks
-        # existence so the left-outer probe distinguishes matched rows
         from jena_ray.stages.dedup import dedup_batch
 
-        out = dedup_batch(tb.select(list(_k)), list(_k))
-        return out.append_column(
-            "__m", pa.array([1] * out.num_rows, type=pa.int64())
-        )
+        return dedup_batch(tb.select(list(_k)), list(_k))
 
     rkeys = right.map_batches(keys_only, batch_format="pyarrow")
+    if keep_matched:
+        from jena_ray.stages.dedup import dedup_exact
+
+        rkeys = dedup_exact(rkeys, cols=tuple(shared))
+
+    def mark(tb: pa.Table) -> pa.Table:
+        return tb.append_column(
+            "__m", pa.array([1] * tb.num_rows, type=pa.int64())
+        )
+
+    rkeys = rkeys.map_batches(mark, batch_format="pyarrow")
     j = binding_join(
         left, lvars, rkeys, set(shared), shared,
-        how="left_outer", num_buckets=num_partitions, right_extra=("__m",),
+        how="left_outer", num_buckets=num_buckets, right_extra=("__m",),
     )
+    keep = pc.is_valid if keep_matched else pc.is_null
 
-    def anti(tb: pa.Table) -> pa.Table:
-        tb = tb.filter(pc.is_null(tb.column("__m")))
+    def probe(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(keep(tb.column("__m")))
         return tb.drop_columns(["__m"])
 
-    res = j.map_batches(anti, batch_format="pyarrow")
-    return _project_resolve(res, lvars, select, out_dir, distinct=distinct)
+    return j.map_batches(probe, batch_format="pyarrow")
+
+
+def bgp_exists(
+    out_dir: str,
+    patterns: list[Pattern],
+    exists: list[tuple[list[Pattern], bool]],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+    filters: list[tuple] | None = None,
+):
+    """FILTER EXISTS / NOT EXISTS — OpFilter wrapping E_Exists /
+    E_NotExists (sparql/expr/E_Exists.java, E_NotExists.java evaluated by
+    the inner-execution path in ExprFunctionOp): each ``(patterns, negate)``
+    entry keeps left solutions that do (EXISTS) or do not (NOT EXISTS) join
+    the inner BGP on the shared variables. Correlated form only — the inner
+    BGP must share at least one variable with the outer group (an
+    uncorrelated EXISTS is a constant test, not a distributed join)."""
+    info = read_layout(out_dir)
+    left, lvars = _execute_bgp_ids(
+        out_dir, patterns, info, num_partitions=num_partitions, stats=stats
+    )
+    if filters:
+        left = _apply_filters(left, lvars, filters, out_dir)
+    for pats, negate in exists:
+        right, rvars = _execute_bgp_ids(
+            out_dir, pats, info, num_partitions=num_partitions, stats=stats
+        )
+        shared = sorted(lvars & rvars)
+        if not shared:
+            raise ValueError(
+                "EXISTS/NOT EXISTS block must share a variable with the group"
+            )
+        left = _semi_anti_join(
+            left, lvars, right, shared, keep_matched=not negate,
+            num_buckets=num_partitions,
+        )
+    return _project_resolve(left, lvars, select, out_dir, distinct=distinct)
 
 
 def bgp_optional(
@@ -884,67 +941,49 @@ def path_closure(
 ):
     """Property path ``source (pred)+ ?y`` — P_OneOrMore transitive closure
     (jena-arq sparql/path/P_OneOrMore1 evaluated by PathEngine's BFS with a
-    visited set). Semi-naive distributed iteration in id space: the frontier
-    joins the edge scan (one bucketed shuffle per hop), already-visited
-    nodes are anti-joined away, and each level is materialized (levels are
-    closure-sized — tiny next to the corpus; the loop runs at most graph
-    diameter ≤ max_iters hops). Returns a Dataset with one term-string
-    column ``var``."""
+    visited set). Semi-naive BFS in id space: each hop probes the
+    distributed edge scan with a broadcast frontier (one vectorized
+    ``is_in`` filter per block — no shuffle per hop), and the frontier /
+    visited sets live on the DRIVER as int64 sets, exactly because the
+    closure of one source node is tiny next to the corpus (the reference's
+    PathEngine holds its visited set in the query engine for the same
+    reason). The loop runs at most graph diameter ≤ max_iters hops.
+    Returns a Dataset with one term-string column ``var``."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from jena_ray.stages.dedup import dedup_batch, dedup_exact
     from jena_ray.stages.materialize import resolve_id_columns
 
     info = read_layout(out_dir)
-    edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info)
+    # one distributed scan, reused every hop (block list is cached by Ray)
+    edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info).materialize()
 
-    frontier = rd.from_arrow(
-        pa.table({"x": pa.array([term_id(source)], type=pa.int64())})
-    )
-    visited = None
+    frontier: set[int] = {term_id(source)}
+    visited: set[int] = set()
     for _ in range(max_iters):
-        nxt = binding_join(
-            frontier, {"x"}, edges, {"x", "y"}, ["x"], num_buckets=num_partitions
-        )
+        probe = pa.array(sorted(frontier), type=pa.int64())
 
-        def ys(tb: pa.Table) -> pa.Table:
-            return dedup_batch(tb.select(["y"]), ["y"])
+        def hop(tb: pa.Table, _p=probe) -> pa.Table:
+            keep = pc.is_in(tb.column("x"), value_set=_p)
+            return tb.filter(keep).select(["y"])
 
-        nxt = dedup_exact(nxt.map_batches(ys, batch_format="pyarrow"), cols=("y",))
-        if visited is not None:
-
-            def mark(tb: pa.Table) -> pa.Table:
-                return tb.append_column(
-                    "__m", pa.array([1] * tb.num_rows, type=pa.int64())
-                )
-
-            vk = visited.map_batches(mark, batch_format="pyarrow")
-            j = binding_join(
-                nxt, {"y"}, vk, {"y"}, ["y"],
-                how="left_outer", num_buckets=num_partitions, right_extra=("__m",),
-            )
-
-            def fresh(tb: pa.Table) -> pa.Table:
-                return tb.filter(pc.is_null(tb.column("__m"))).drop_columns(["__m"])
-
-            nxt = j.map_batches(fresh, batch_format="pyarrow")
-        nxt = nxt.materialize()
-        if nxt.count() == 0:
+        ys = edges.map_batches(hop, batch_format="pyarrow")
+        level = set()
+        for b in ys.iter_batches(batch_format="pyarrow"):
+            level.update(b.column("y").to_pylist())
+        frontier = level - visited
+        if not frontier:
             break
-        visited = nxt if visited is None else visited.union(nxt).materialize()
-
-        def as_frontier(tb: pa.Table) -> pa.Table:
-            return tb.rename_columns(["x"])
-
-        frontier = nxt.map_batches(as_frontier, batch_format="pyarrow")
+        visited |= frontier
     else:
         raise RuntimeError(f"path closure did not converge in {max_iters} hops")
 
-    if visited is None:
+    if not visited:
         return rd.from_arrow(pa.table({var: pa.array([], type=pa.string())}))
-    out = resolve_id_columns(visited, out_dir, {"y": var})
-    return out
+    ids = rd.from_arrow(
+        pa.table({"y": pa.array(sorted(visited), type=pa.int64())})
+    )
+    return resolve_id_columns(ids, out_dir, {"y": var})
 
 
 def kg_text_index_dir(sf_dir: str) -> str:

@@ -1,0 +1,961 @@
+"""SPARQL 1.1 text front-end — parse a query string, lower it to the
+algebra layer in pipelines/bgp.py, execute over the id indexes.
+
+Reference shape: jena-arq parses SPARQL with the javacc grammar
+(jena-arq/Grammar/main.jj via sparql/lang/ParserSPARQL11.java), lowers
+syntax to algebra ops in sparql/algebra/AlgebraGenerator.java, and
+executes them in engine/main/OpExecutor.java.  Here the three layers are:
+``tokenize`` → ``Parser`` (recursive descent producing a small AST) →
+``sparql_query`` (compiles the AST onto bgp_execute / bgp_union /
+bgp_optional / bgp_minus / quad_bgp_execute / bgp_construct /
+path_closure and the Dataset-level solution modifiers).
+
+Supported subset (documented; anything else raises ``SparqlSyntaxError``):
+
+- Prologue: ``BASE`` / ``PREFIX``.
+- ``SELECT [DISTINCT|REDUCED] (?v ... | * | (AGG(...) AS ?alias))``,
+  ``ASK``, ``CONSTRUCT { template } WHERE { ... }``.
+- Group graph pattern: triple blocks (``;`` ``,`` ``a`` abbreviations,
+  prefixed names, typed/lang literals, numeric/boolean shorthand),
+  ``FILTER``, one ``OPTIONAL`` block, one ``MINUS`` block,
+  ``{A} UNION {B} [UNION ...]``, ``VALUES``, ``GRAPH term-or-var { ... }``
+  (compiled to quad patterns), and the one-or-more property path
+  ``term <p>+ ?v`` (P_OneOrMore → path_closure).
+- FILTER expressions: ``&&`` conjunctions of comparisons
+  (``= != < <= > >=`` over numbers or terms), ``BOUND`` / ``!BOUND``,
+  ``sameTerm``, ``REGEX``, ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS``
+  (with or without ``STR(...)``), and ``LANG(?x) = "tag"`` /
+  ``LANGMATCHES(LANG(?x), "tag")``.
+- Solution modifiers: ``GROUP BY`` with ``COUNT`` (incl. ``DISTINCT`` and
+  ``*``), ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` / ``SAMPLE`` /
+  ``GROUP_CONCAT(...; SEPARATOR "..")``; ``ORDER BY [ASC|DESC]``,
+  ``LIMIT`` / ``OFFSET``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from jena_ray.term import (
+    RDF_NS,
+    XSD,
+    canonical_langtag,
+    canonical_lexical,
+    fmt_iri,
+    fmt_literal,
+    resolve_iri,
+    unescape_iri,
+    unescape_string,
+)
+
+RDF_TYPE_IRI = RDF_NS + "type"
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<STRING>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
+               (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
+  | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+=<>!/])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(src)
+    while i < n:
+        m = _TOKEN_RE.match(src, i)
+        if m is None:
+            raise SparqlSyntaxError(f"cannot tokenize at offset {i}: {src[i:i+20]!r}")
+        kind = m.lastgroup
+        if kind != "WS":
+            toks.append(Tok(kind, m.group(), i))
+        i = m.end()
+    toks.append(Tok("EOF", "", n))
+    return toks
+
+
+# ---------------------------------------------------------------- AST
+
+@dataclass
+class Group:
+    patterns: list[tuple] = field(default_factory=list)  # 3-slot, term strings/vars
+    paths: list[tuple] = field(default_factory=list)  # (subj, pred_iri, objvar)
+    filters: list[tuple] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
+    minuses: list["Group"] = field(default_factory=list)
+    exists: list[tuple["Group", bool]] = field(default_factory=list)  # (grp, negated)
+    union: list["Group"] | None = None
+    values: list[dict] | None = None
+    graph: str | None = None
+
+
+@dataclass
+class Agg:
+    func: str  # count/sum/avg/min/max/sample/group_concat
+    var: str | None  # None for COUNT(*)
+    distinct: bool
+    alias: str
+    sep: str = " "
+
+
+@dataclass
+class Query:
+    form: str  # select / ask / construct
+    select: list[str] = field(default_factory=list)  # plain vars (no '?')
+    aggs: list[Agg] = field(default_factory=list)
+    star: bool = False
+    distinct: bool = False
+    reduced: bool = False
+    where: Group | None = None
+    template: list[tuple] | None = None
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
+    offset: int = 0
+
+
+# ---------------------------------------------------------------- parser
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+_STR_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts", "STRENDS": "strends",
+            "CONTAINS": "contains"}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+        self.base: str | None = None
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "NAME" and t.text.upper() in kws
+
+    def take_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.take_kw(kw):
+            raise SparqlSyntaxError(f"expected {kw} at {self.peek().text!r}")
+
+    def expect_op(self, op: str) -> None:
+        t = self.peek()
+        if t.kind == "OP" and t.text == op:
+            self.next()
+            return
+        raise SparqlSyntaxError(f"expected {op!r} at {t.text!r} (offset {t.pos})")
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.text == op
+
+    # -- terms
+    def _iri(self, tok: Tok) -> str:
+        if tok.kind == "IRIREF":
+            iri = unescape_iri(tok.text[1:-1])
+            return fmt_iri(resolve_iri(self.base, iri) if self.base else iri)
+        if tok.kind == "PNAME":
+            pfx, _, local = tok.text.partition(":")
+            if pfx not in self.prefixes:
+                raise SparqlSyntaxError(f"undefined prefix {pfx!r}:")
+            return fmt_iri(self.prefixes[pfx] + local)
+        raise SparqlSyntaxError(f"expected IRI at {tok.text!r}")
+
+    def parse_term(self) -> str:
+        """One graph term or variable → canonical NT string / '?var'."""
+        t = self.next()
+        if t.kind == "VAR":
+            return "?" + t.text[1:]
+        if t.kind in ("IRIREF", "PNAME"):
+            return self._iri(t)
+        if t.kind == "STRING":
+            lex = unescape_string(t.text[1:-1])
+            nxt = self.peek()
+            if nxt.kind == "LANGTAG":
+                self.next()
+                return fmt_literal(lex, lang=canonical_langtag(nxt.text[1:]))
+            if nxt.kind == "OP" and nxt.text == "^^":
+                self.next()
+                dt = self._iri(self.next())[1:-1]
+                return fmt_literal(canonical_lexical(lex, dt), datatype=dt)
+            return fmt_literal(lex)
+        if t.kind == "NUMBER":
+            return _number_term(t.text)
+        if t.kind == "NAME" and t.text in ("true", "false"):
+            return fmt_literal(t.text, datatype=XSD + "boolean")
+        raise SparqlSyntaxError(f"expected term at {t.text!r} (offset {t.pos})")
+
+    # -- query entry
+    def parse_query(self) -> Query:
+        self._parse_prologue()
+        if self.at_kw("SELECT"):
+            return self._parse_select()
+        if self.at_kw("ASK"):
+            return self._parse_ask()
+        if self.at_kw("CONSTRUCT"):
+            return self._parse_construct()
+        raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT at {self.peek().text!r}")
+
+    def _parse_prologue(self) -> None:
+        while True:
+            if self.take_kw("PREFIX"):
+                pn = self.next()
+                if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                    raise SparqlSyntaxError(f"expected prefix name at {pn.text!r}")
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SparqlSyntaxError("PREFIX needs an IRIREF")
+                ns = unescape_iri(iri.text[1:-1])
+                self.prefixes[pn.text[:-1]] = (
+                    resolve_iri(self.base, ns) if self.base else ns
+                )
+            elif self.take_kw("BASE"):
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SparqlSyntaxError("BASE needs an IRIREF")
+                self.base = unescape_iri(iri.text[1:-1])
+            else:
+                return
+
+    def _parse_select(self) -> Query:
+        q = Query(form="select")
+        self.expect_kw("SELECT")
+        if self.take_kw("DISTINCT"):
+            q.distinct = True
+        elif self.take_kw("REDUCED"):
+            q.reduced = True
+        if self.at_op("*"):
+            self.next()
+            q.star = True
+        else:
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    q.select.append(t.text[1:])
+                elif t.kind == "OP" and t.text == "(":
+                    self.next()
+                    q.aggs.append(self._parse_agg())
+                else:
+                    break
+            if not q.select and not q.aggs:
+                raise SparqlSyntaxError("empty SELECT list")
+        self.take_kw("WHERE")
+        q.where = self._parse_group()
+        self._parse_modifiers(q)
+        return q
+
+    def _parse_agg(self) -> Agg:
+        t = self.next()
+        if t.kind != "NAME" or t.text.upper() not in _AGG_FUNCS:
+            raise SparqlSyntaxError(f"expected aggregate at {t.text!r}")
+        func = t.text.upper()
+        self.expect_op("(")
+        distinct = self.take_kw("DISTINCT")
+        var = None
+        if self.at_op("*"):
+            if func != "COUNT":
+                raise SparqlSyntaxError(f"{func}(*) is not valid")
+            self.next()
+        else:
+            v = self.next()
+            if v.kind != "VAR":
+                raise SparqlSyntaxError(
+                    f"aggregate argument must be a variable, got {v.text!r}"
+                )
+            var = v.text[1:]
+        sep = " "
+        if self.at_op(";"):
+            self.next()
+            self.expect_kw("SEPARATOR")
+            if self.at_op("="):
+                self.next()
+            s = self.next()
+            if s.kind != "STRING":
+                raise SparqlSyntaxError("SEPARATOR needs a string")
+            sep = unescape_string(s.text[1:-1])
+        self.expect_op(")")
+        self.expect_kw("AS")
+        a = self.next()
+        if a.kind != "VAR":
+            raise SparqlSyntaxError("AS needs a variable alias")
+        self.expect_op(")")
+        return Agg(func.lower(), var, distinct, a.text[1:], sep)
+
+    def _parse_ask(self) -> Query:
+        self.expect_kw("ASK")
+        self.take_kw("WHERE")
+        return Query(form="ask", where=self._parse_group())
+
+    def _parse_construct(self) -> Query:
+        self.expect_kw("CONSTRUCT")
+        self.expect_op("{")
+        template: list[tuple] = []
+        g = Group()
+        while not self.at_op("}"):
+            self._parse_triples_into(g, template_out=template)
+            if self.at_op("."):
+                self.next()
+        self.expect_op("}")
+        if g.patterns or g.paths:
+            raise SparqlSyntaxError("internal: template captured as patterns")
+        self.expect_kw("WHERE")
+        q = Query(form="construct", template=template)
+        q.where = self._parse_group()
+        self._parse_modifiers(q)
+        return q
+
+    def _parse_modifiers(self, q: Query) -> None:
+        if self.take_kw("GROUP"):
+            self.expect_kw("BY")
+            while self.peek().kind == "VAR":
+                q.group_by.append(self.next().text[1:])
+            if not q.group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one variable")
+        if self.take_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                desc = False
+                if self.take_kw("DESC"):
+                    desc = True
+                    self.expect_op("(")
+                    v = self.next()
+                    self.expect_op(")")
+                elif self.take_kw("ASC"):
+                    self.expect_op("(")
+                    v = self.next()
+                    self.expect_op(")")
+                elif self.peek().kind == "VAR":
+                    v = self.next()
+                else:
+                    break
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError("ORDER BY needs variables")
+                q.order_by.append((v.text[1:], desc))
+            if not q.order_by:
+                raise SparqlSyntaxError("empty ORDER BY")
+        if self.take_kw("LIMIT"):
+            q.limit = int(self.next().text)
+        if self.take_kw("OFFSET"):
+            q.offset = int(self.next().text)
+        if self.take_kw("LIMIT"):  # OFFSET-then-LIMIT order also legal
+            q.limit = int(self.next().text)
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(f"unexpected trailing input at {t.text!r}")
+
+    # -- group graph pattern
+    def _parse_group(self) -> Group:
+        self.expect_op("{")
+        g = Group()
+        while not self.at_op("}"):
+            if self.take_kw("FILTER"):
+                nxt = self.peek()
+                if nxt.kind == "NAME" and (
+                    nxt.text.upper() == "EXISTS"
+                    or (nxt.text.upper() == "NOT"
+                        and self.peek(1).kind == "NAME"
+                        and self.peek(1).text.upper() == "EXISTS")
+                ):
+                    neg = self.take_kw("NOT")
+                    self.expect_kw("EXISTS")
+                    g.exists.append((self._parse_group(), neg))
+                else:
+                    g.filters.extend(self._parse_filter())
+            elif self.take_kw("OPTIONAL"):
+                g.optionals.append(self._parse_group())
+            elif self.take_kw("MINUS"):
+                g.minuses.append(self._parse_group())
+            elif self.take_kw("GRAPH"):
+                gt = self.parse_term()
+                inner = self._parse_group()
+                if inner.graph is not None or inner.union or inner.optionals:
+                    raise SparqlSyntaxError("nested GRAPH/UNION inside GRAPH")
+                inner.graph = gt
+                if g.patterns or g.paths or g.union:
+                    raise SparqlSyntaxError(
+                        "GRAPH must be the only pattern block in its group"
+                    )
+                g.patterns = inner.patterns
+                g.paths = inner.paths
+                g.filters.extend(inner.filters)
+                g.graph = gt
+            elif self.take_kw("VALUES"):
+                g.values = (g.values or []) + self._parse_values()
+            elif self.at_op("{"):
+                first = self._parse_group()
+                branches = [first]
+                while self.take_kw("UNION"):
+                    branches.append(self._parse_group())
+                if len(branches) == 1:
+                    # plain nested group — merge (no scoping subtleties in
+                    # the supported subset)
+                    self._merge(g, first)
+                else:
+                    if g.union is not None:
+                        raise SparqlSyntaxError("only one UNION block per group")
+                    g.union = branches
+            else:
+                self._parse_triples_into(g)
+            if self.at_op("."):
+                self.next()
+        self.expect_op("}")
+        return g
+
+    @staticmethod
+    def _merge(g: Group, h: Group) -> None:
+        g.patterns.extend(h.patterns)
+        g.paths.extend(h.paths)
+        g.filters.extend(h.filters)
+        g.optionals.extend(h.optionals)
+        g.minuses.extend(h.minuses)
+        g.exists.extend(h.exists)
+        if h.union:
+            if g.union is not None:
+                raise SparqlSyntaxError("only one UNION block per group")
+            g.union = h.union
+        if h.values:
+            g.values = (g.values or []) + h.values
+
+    def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
+        subj = self.parse_term()
+        while True:
+            # predicate: 'a', IRI (optionally followed by '+' = OneOrMore)
+            t = self.peek()
+            if t.kind == "NAME" and t.text == "a":
+                self.next()
+                pred = fmt_iri(RDF_TYPE_IRI)
+                is_path = False
+            elif t.kind == "VAR":
+                self.next()
+                pred = "?" + t.text[1:]
+                is_path = False
+            else:
+                pred = self._iri(self.next())
+                is_path = self.at_op("+")
+                if is_path:
+                    self.next()
+            while True:
+                obj = self.parse_term()
+                if is_path:
+                    if template_out is not None:
+                        raise SparqlSyntaxError("property path in template")
+                    g.paths.append((subj, pred, obj))
+                elif template_out is not None:
+                    template_out.append((subj, pred, obj))
+                else:
+                    g.patterns.append((subj, pred, obj))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                while self.at_op(";"):
+                    self.next()
+                if self.at_op(".") or self.at_op("}"):
+                    break  # dangling ';' ends the predicate list
+                continue
+            break
+
+    def _parse_values(self) -> list[dict]:
+        t = self.peek()
+        if t.kind == "VAR":  # VALUES ?x { t1 t2 ... }
+            self.next()
+            var = t.text[1:]
+            self.expect_op("{")
+            rows = []
+            while not self.at_op("}"):
+                rows.append({var: self.parse_term()})
+            self.expect_op("}")
+            return rows
+        self.expect_op("(")
+        vars_: list[str] = []
+        while self.peek().kind == "VAR":
+            vars_.append(self.next().text[1:])
+        self.expect_op(")")
+        self.expect_op("{")
+        rows = []
+        while self.at_op("("):
+            self.next()
+            row = {}
+            for v in vars_:
+                row[v] = self.parse_term()
+            self.expect_op(")")
+            rows.append(row)
+        self.expect_op("}")
+        return rows
+
+    # -- FILTER expressions → bgp.py filter tuples
+    def _parse_filter(self) -> list[tuple]:
+        self.expect_op("(")
+        out = [self._parse_filter_atom()]
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "&&":
+                self.next()
+                out.append(self._parse_filter_atom())
+            elif t.kind == "OP" and t.text == "||":
+                raise SparqlSyntaxError(
+                    "FILTER '||' is not in the supported subset (use UNION)"
+                )
+            else:
+                break
+        self.expect_op(")")
+        return out
+
+    def _parse_filter_atom(self) -> tuple:
+        neg = False
+        while self.at_op("("):
+            self.next()
+            a = self._parse_filter_atom()
+            self.expect_op(")")
+            return a
+        if self.at_op("!"):
+            self.next()
+            neg = True
+        t = self.peek()
+        if t.kind == "NAME":
+            fn = t.text.upper()
+            if fn == "BOUND":
+                self.next()
+                self.expect_op("(")
+                v = self.next()
+                self.expect_op(")")
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError("BOUND needs a variable")
+                return ("!bound" if neg else "bound", "?" + v.text[1:])
+            if neg:
+                raise SparqlSyntaxError(f"'!' only supported before BOUND, not {fn}")
+            if fn == "SAMETERM":
+                self.next()
+                self.expect_op("(")
+                a = self.parse_term()
+                self.expect_op(",")
+                b = self.parse_term()
+                self.expect_op(")")
+                return ("=", a, b)
+            if fn in _STR_FNS:
+                self.next()
+                self.expect_op("(")
+                var = self._parse_str_arg()
+                self.expect_op(",")
+                s = self.next()
+                if s.kind != "STRING":
+                    raise SparqlSyntaxError(f"{fn} pattern must be a string")
+                self.expect_op(")")
+                return (_STR_FNS[fn], var, unescape_string(s.text[1:-1]))
+            if fn == "LANGMATCHES":
+                self.next()
+                self.expect_op("(")
+                var = self._parse_lang_arg()
+                self.expect_op(",")
+                s = self.next()
+                self.expect_op(")")
+                if s.kind != "STRING":
+                    raise SparqlSyntaxError("LANGMATCHES range must be a string")
+                return ("lang", var, unescape_string(s.text[1:-1]).lower())
+            if fn == "LANG":
+                var = self._parse_lang_arg()
+                self.expect_op("=")
+                s = self.next()
+                if s.kind != "STRING":
+                    raise SparqlSyntaxError("LANG(...) compares to a string")
+                return ("lang", var, unescape_string(s.text[1:-1]))
+        if neg:
+            raise SparqlSyntaxError("'!' only supported before BOUND")
+        # comparison: operand OP operand
+        lhs = self._parse_operand()
+        op_t = self.next()
+        if op_t.kind != "OP" or op_t.text not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlSyntaxError(f"expected comparison operator at {op_t.text!r}")
+        op = op_t.text
+        rhs = self._parse_operand()
+        if isinstance(lhs, float) and isinstance(rhs, float):
+            raise SparqlSyntaxError("constant-only FILTER comparison")
+        if isinstance(lhs, float):  # flip to var-on-left
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
+            lhs, rhs, op = rhs, lhs, flip[op]
+        if not (isinstance(lhs, str) and lhs.startswith("?")):
+            raise SparqlSyntaxError("comparison left side must be a variable")
+        return (op, lhs, rhs)
+
+    def _parse_lang_arg(self) -> str:
+        self.expect_kw("LANG")
+        self.expect_op("(")
+        v = self.next()
+        self.expect_op(")")
+        if v.kind != "VAR":
+            raise SparqlSyntaxError("LANG needs a variable")
+        return "?" + v.text[1:]
+
+    def _parse_str_arg(self) -> str:
+        if self.at_kw("STR"):
+            self.next()
+            self.expect_op("(")
+            v = self.next()
+            self.expect_op(")")
+        else:
+            v = self.next()
+        if v.kind != "VAR":
+            raise SparqlSyntaxError("string function argument must be a variable")
+        return "?" + v.text[1:]
+
+    def _parse_operand(self):
+        t = self.peek()
+        if t.kind == "NUMBER":
+            self.next()
+            return float(t.text)
+        return self.parse_term()
+
+
+def _number_term(text: str) -> str:
+    if re.fullmatch(r"[+-]?\d+", text):
+        dt = XSD + "integer"
+    elif re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+)", text):
+        dt = XSD + "decimal"
+    else:
+        dt = XSD + "double"
+    return fmt_literal(canonical_lexical(text, dt), datatype=dt)
+
+
+def parse_query(src: str) -> Query:
+    return Parser(src).parse_query()
+
+
+# ---------------------------------------------------------------- executor
+
+def _group_vars(g: Group) -> set[str]:
+    out = set()
+    for p in g.patterns:
+        out |= {t[1:] for t in p if t.startswith("?")}
+    for s, _p, o in g.paths:
+        out |= {t[1:] for t in (s, o) if t.startswith("?")}
+    if g.graph and g.graph.startswith("?"):
+        out.add(g.graph[1:])
+    for r in g.values or []:
+        out |= {k.lstrip("?") for k in r}
+    return out
+
+
+def _execute_where(out_dir: str, q: Query, select: list[str], *,
+                   distinct: bool, num_partitions: int, pf_context, stats):
+    """Lower the WHERE group onto the pipelines/bgp.py algebra entry points
+    (the executor dispatch of OpExecutor.java, specialized per shape)."""
+    from jena_ray.pipelines import bgp
+
+    g = q.where
+    kw = dict(num_partitions=num_partitions, distinct=distinct)
+
+    if g.paths:
+        if (len(g.paths) != 1 or g.patterns or g.optionals or g.minuses
+                or g.union or g.values or g.graph or g.exists):
+            raise SparqlSyntaxError(
+                "property paths are supported only as the sole pattern"
+            )
+        src, pred, obj = g.paths[0]
+        if src.startswith("?") or not obj.startswith("?"):
+            raise SparqlSyntaxError(
+                "path subset: concrete source, variable object"
+            )
+        if g.filters:
+            raise SparqlSyntaxError("FILTER with a property path is unsupported")
+        if select != [obj[1:]]:
+            raise SparqlSyntaxError("path queries must select the object variable")
+        return bgp.path_closure(out_dir, pred, src, var=obj[1:],
+                                num_partitions=num_partitions)
+
+    if g.exists:
+        if g.optionals or g.minuses or g.union or g.values or g.graph:
+            raise SparqlSyntaxError(
+                "FILTER EXISTS combines only with plain patterns + FILTER"
+            )
+        ex = []
+        for eg, neg in g.exists:
+            if (eg.filters or eg.optionals or eg.minuses or eg.union
+                    or eg.values or eg.paths or eg.graph or eg.exists):
+                raise SparqlSyntaxError("EXISTS block must be a plain BGP")
+            ex.append((eg.patterns, neg))
+        return bgp.bgp_exists(out_dir, g.patterns, ex, select,
+                              filters=g.filters or None, stats=stats, **kw)
+
+    if g.graph is not None:
+        quads = [(g.graph, s, p, o) for (s, p, o) in g.patterns]
+        if g.optionals or g.minuses or g.union or g.values:
+            raise SparqlSyntaxError("GRAPH groups support patterns+FILTER only")
+        return bgp.quad_bgp_execute(out_dir, quads, select,
+                                    filters=g.filters or None, **kw)
+
+    if g.union is not None:
+        if g.patterns or g.optionals or g.minuses or g.values:
+            raise SparqlSyntaxError(
+                "UNION must be the only pattern block in its group"
+            )
+        if g.filters:
+            raise SparqlSyntaxError(
+                "FILTER outside UNION branches is unsupported (put it inside)"
+            )
+        branches, branch_filters = [], []
+        for b in g.union:
+            if b.optionals or b.minuses or b.union or b.values or b.paths or b.graph:
+                raise SparqlSyntaxError("UNION branches must be plain BGPs")
+            branches.append(b.patterns)
+            branch_filters.append(b.filters or None)
+        return bgp.bgp_union(out_dir, branches, select,
+                             filters=branch_filters, pf_context=pf_context,
+                             stats=stats, **kw)
+
+    if g.minuses:
+        if len(g.minuses) != 1 or g.optionals or g.values:
+            raise SparqlSyntaxError("exactly one MINUS block is supported")
+        m = g.minuses[0]
+        if m.filters or m.optionals or m.minuses or m.union or m.paths:
+            raise SparqlSyntaxError("MINUS block must be a plain BGP")
+        return bgp.bgp_minus(out_dir, g.patterns, m.patterns, select,
+                             filters=g.filters or None, stats=stats, **kw)
+
+    if g.optionals:
+        if len(g.optionals) != 1 or g.values:
+            raise SparqlSyntaxError("exactly one OPTIONAL block is supported")
+        o = g.optionals[0]
+        if o.filters or o.optionals or o.minuses or o.union or o.paths:
+            raise SparqlSyntaxError("OPTIONAL block must be a plain BGP")
+        return bgp.bgp_optional(out_dir, g.patterns, o.patterns, select,
+                                filters=g.filters or None, stats=stats, **kw)
+
+    return bgp.bgp_execute(out_dir, g.patterns, select,
+                           filters=g.filters or None, values=g.values,
+                           pf_context=pf_context, stats=stats, **kw)
+
+
+def _term_number(col):
+    """Numeric value of a term-string column (canonical numeric literals)."""
+    import pyarrow.compute as pc
+
+    lex = pc.struct_field(
+        pc.extract_regex(pc.cast(col, pa.string()), r'^"(?P<v>[^"]*)"'), "v"
+    )
+    num = pc.struct_field(
+        pc.extract_regex(lex, r"^(?P<v>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)$"),
+        "v",
+    )
+    return pc.cast(num, pa.float64())
+
+
+_INT_DT = f'"^^<{XSD}integer>'
+
+
+def _aggregate(sols, q: Query, *, num_buckets: int = 16):
+    """GROUP BY + aggregates over the solution Dataset (OpGroup +
+    aggregate/Agg*.java accumulators). One bucketed shuffle, then a
+    vectorized pandas groupby per bucket (bucketed_group_apply — one Python
+    call per bucket, not per key)."""
+    import pandas as pd
+
+    from jena_ray.stages.dedup import bucketed_group_apply
+
+    keys = list(q.group_by)
+    aggs = list(q.aggs)
+    num_vars = sorted({a.var for a in aggs
+                       if a.var and a.func in ("sum", "avg", "min", "max")})
+
+    def add_nums(tb: pa.Table, _nv=tuple(num_vars)) -> pa.Table:
+        for v in _nv:
+            tb = tb.append_column(f"__num_{v}", _term_number(tb.column(v)))
+        return tb
+
+    if num_vars:
+        sols = sols.map_batches(add_nums, batch_format="pyarrow")
+
+    int_sums = {a.alias: a.var for a in aggs if a.func == "sum"}
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(keys, sort=False, dropna=False)
+        out: dict[str, object] = {}
+        for a in aggs:
+            if a.func == "count":
+                if a.var is None:
+                    s = g.size()
+                elif a.distinct:
+                    s = g[a.var].nunique()
+                else:
+                    s = g[a.var].count()
+            elif a.func in ("sum", "avg", "min", "max"):
+                col = g[f"__num_{a.var}"]
+                s = {"sum": col.sum, "avg": col.mean,
+                     "min": col.min, "max": col.max}[a.func]()
+            elif a.func == "sample":
+                s = g[a.var].first()
+            else:  # group_concat
+                col = g[a.var]
+                if a.distinct:
+                    s = col.agg(lambda x, _s=a.sep: _s.join(sorted(set(x.dropna()))))
+                else:
+                    s = col.agg(lambda x, _s=a.sep: _s.join(sorted(x.dropna())))
+            out[a.alias] = s
+        res = pd.DataFrame(out).reset_index()
+        return res
+
+    out = bucketed_group_apply(sols, keys, per_bucket, num_buckets=num_buckets)
+
+    if int_sums:
+        # SUM over xsd:integer terms → int64 output (matches SQL BIGINT sums)
+        def cast_sums(tb: pa.Table, _is=tuple(int_sums.items())) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for alias, _var in _is:
+                idx = tb.schema.get_field_index(alias)
+                if idx >= 0 and pa.types.is_floating(tb.column(idx).type):
+                    tb = tb.set_column(
+                        idx, alias,
+                        pc.cast(pc.round(tb.column(idx)), pa.int64()),
+                    )
+            return tb
+
+        out = out.map_batches(cast_sums, batch_format="pyarrow")
+    return out
+
+
+def sparql_query(
+    out_dir: str,
+    query: str | Query,
+    *,
+    num_partitions: int = 16,
+    pf_context: dict | None = None,
+    stats: dict | None | bool = None,
+):
+    """Parse + execute a SPARQL string over the index layout at ``out_dir``.
+
+    SELECT → Dataset of term-string columns named by the projected
+    variables (aggregate aliases for grouped queries); ASK → 1-row
+    ``{"ask": bool}`` pyarrow Table; CONSTRUCT → (subj, pred, obj) Dataset.
+    """
+    from jena_ray.pipelines import bgp
+    from jena_ray.pipelines.relational import slice_rows
+
+    q = parse_query(query) if isinstance(query, str) else query
+
+    if q.form == "construct":
+        res = bgp.bgp_construct(
+            out_dir, q.where.patterns, q.template,
+            num_partitions=num_partitions,
+            filters=q.where.filters or None, pf_context=pf_context, stats=stats,
+        )
+        if (q.where.optionals or q.where.minuses or q.where.union
+                or q.where.values or q.where.paths or q.where.graph):
+            raise SparqlSyntaxError("CONSTRUCT WHERE must be a plain BGP")
+        return res
+
+    # MINUS-side variables never bind in the result, so they are excluded
+    wvars = _group_vars(q.where)
+    for og in q.where.optionals + (q.where.union or []):
+        wvars |= _group_vars(og)
+
+    if q.form == "ask":
+        if not wvars:
+            # fully-ground ASK: open one slot per pattern as a variable
+            # constrained back to the concrete term by a sameTerm filter
+            g = q.where
+            if g.union or g.optionals or g.minuses or g.paths or g.graph:
+                raise SparqlSyntaxError("ground ASK must be a plain BGP")
+            new_pats, fs = [], list(g.filters)
+            for i, (s, p, o) in enumerate(g.patterns):
+                v = f"?__g{i}"
+                new_pats.append((v, p, o))
+                fs.append(("=", v, s))
+            g.patterns, g.filters = new_pats, fs
+            wvars = _group_vars(g)
+        sel = sorted(wvars)[:1]
+        res = _execute_where(out_dir, q, sel, distinct=False,
+                             num_partitions=num_partitions,
+                             pf_context=pf_context, stats=stats)
+        got = len(res.limit(1).take(1)) > 0
+        return pa.table({"ask": pa.array([got], type=pa.bool_())})
+
+    grouped = bool(q.group_by or q.aggs)
+    if grouped:
+        needed = sorted(set(q.group_by)
+                        | {a.var for a in q.aggs if a.var is not None})
+        bad = [v for v in needed if v not in wvars]
+        if bad:
+            raise SparqlSyntaxError(f"GROUP BY/aggregate vars not bound: {bad}")
+        extra = [v for v in q.select if v not in q.group_by]
+        if extra:
+            raise SparqlSyntaxError(
+                f"non-grouped variables in SELECT: {extra}"
+            )
+        # bag semantics under the projection: solutions keep multiplicity
+        sols = _execute_where(out_dir, q, needed, distinct=False,
+                              num_partitions=num_partitions,
+                              pf_context=pf_context, stats=stats)
+        res = _aggregate(sols, q, num_buckets=num_partitions)
+        out_cols = (q.select or q.group_by) + [a.alias for a in q.aggs]
+
+        def proj(tb: pa.Table, _c=tuple(out_cols)) -> pa.Table:
+            return tb.select(list(_c))
+
+        res = res.map_batches(proj, batch_format="pyarrow")
+    else:
+        sel = sorted(wvars) if q.star else q.select
+        missing = [v for v in sel if v not in wvars]
+        if missing:
+            raise SparqlSyntaxError(f"SELECT vars not bound in WHERE: {missing}")
+        res = _execute_where(out_dir, q, sel, distinct=q.distinct,
+                             num_partitions=num_partitions,
+                             pf_context=pf_context, stats=stats)
+        if q.reduced:
+            from jena_ray.pipelines.relational import reduced
+
+            res = reduced(res, sel)
+
+    if q.order_by:
+        cols = [v for v, _ in q.order_by]
+        descs = [d for _, d in q.order_by]
+        res = res.sort(cols, descending=descs)
+    if q.offset:
+        if q.limit is None:
+            raise SparqlSyntaxError("OFFSET requires LIMIT in this engine")
+        return pa.Table.from_pandas(
+            slice_rows(res, q.offset, q.limit), preserve_index=False
+        )
+    if q.limit is not None:
+        res = res.limit(q.limit)
+    return res

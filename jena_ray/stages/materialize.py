@@ -169,13 +169,28 @@ def _build_terms_table(ds, path: str, num_buckets: int, min_rows_per_file: int):
                 pa.table({"id": t.column(idc), "term": pc.cast(t.column(col), pa.string())})
             )
         merged = pa.concat_tables(cols)
-        local = dedup_batch(merged, ["id"])  # block-local combiner
+        # block-local combiner keyed on (id, term), NOT id alone, so a
+        # 64-bit hash collision survives to per_bucket and fails loudly
+        local = dedup_batch(merged, ["id", "term"])
         return add_bucket(local, ["id"], num_buckets).rename_columns(
             ["id", "term", "bucket"]
         )
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        g = dedup_batch(g, ["id"])
+        g = dedup_batch(g, ["id", "term"])
+        n_ids = pc.count_distinct(g.column("id")).as_py()
+        if n_ids != g.num_rows:
+            # two distinct terms hashed to one 64-bit id: the dictionary
+            # would silently conflate them — refuse (the 10^12-term scale
+            # path widens ids to 128 bits; see module docstring)
+            import pandas as pd
+
+            df = g.to_pandas()
+            dup = df[df.duplicated("id", keep=False)].sort_values("id").head(4)
+            raise RuntimeError(
+                "term-id collision in NodeTable build (64-bit id space "
+                f"exhausted?): {dup.to_dict('records')}"
+            )
         idx = pc.sort_indices(g, sort_keys=[("id", "ascending")])
         return g.take(idx)
 

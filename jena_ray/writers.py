@@ -1,5 +1,5 @@
 """RDF writer registry: N-Triples / N-Quads / Turtle / TriG / TriX /
-RDF-JSON serializers over canonical term strings.
+RDF-JSON / JSON-LD / RDF-XML serializers over canonical term strings.
 
 The reference registers writers per RDFFormat
 (jena-arq riot/RDFWriterRegistry.java:147-201); round 1 shipped only the
@@ -193,6 +193,108 @@ def serialize_rdfjson(triples: Iterable[Triple]) -> str:
     return json.dumps(doc, indent=2, ensure_ascii=False) + "\n"
 
 
+def serialize_jsonld(triples: Iterable[Triple]) -> str:
+    """JSON-LD document in expanded form (JsonLDWriter's flattened output
+    lineage — jena-arq riot/writer/JsonLDWriter.java): one node object per
+    subject, ``{"@id": s, pred: [value objects...]}``; IRI/bnode objects as
+    ``{"@id": ...}``, literals as ``{"@value": ...}`` with ``@language`` /
+    ``@type``. Reparses with jena_ray.jsonld for isomorphic round-trips."""
+    nodes: dict[str, dict] = {}
+    order: list[str] = []
+    for s, p, o in triples:
+        sid = s[1:-1] if s.startswith("<") else s  # bnodes keep _:label
+        if sid not in nodes:
+            nodes[sid] = {"@id": sid}
+            order.append(sid)
+        pkey = p[1:-1]
+        if o.startswith("<"):
+            v: dict = {"@id": o[1:-1]}
+        elif o.startswith("_:"):
+            v = {"@id": o}
+        else:
+            lex, lang, dt = T.split_literal(o)
+            v = {"@value": lex}
+            if lang:
+                v["@language"] = lang
+            elif dt:
+                v["@type"] = dt
+        nodes[sid].setdefault(pkey, []).append(v)
+    return json.dumps([nodes[k] for k in order], indent=2, ensure_ascii=False) + "\n"
+
+
+_NCNAME_START = re.compile(r"[A-Za-z_]")
+_NCNAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _split_qname(iri: str) -> tuple[str, str]:
+    """Split a predicate IRI into (namespace, XML NCName local part) at the
+    last '/' or '#'. Unsplittable IRIs raise, matching Jena's RDF/XML
+    writer ("Cannot split <iri>" — jena-core xmloutput Unparser lineage)."""
+    cut = max(iri.rfind("/"), iri.rfind("#"))
+    if cut < 0 or cut + 1 >= len(iri):
+        raise ValueError(f"Cannot split {iri!r} into an XML QName")
+    ns, local = iri[: cut + 1], iri[cut + 1 :]
+    if not _NCNAME_RE.fullmatch(local):
+        raise ValueError(f"Cannot split {iri!r}: local part {local!r} not an NCName")
+    return ns, local
+
+
+def serialize_rdfxml(triples: Iterable[Triple]) -> str:
+    """RDF/XML document (plain RDF/XML writer shape —
+    jena-core/.../xmloutput/impl/Basic.java lineage): one
+    ``rdf:Description`` per subject (``rdf:about`` / ``rdf:nodeID``),
+    object IRIs via ``rdf:resource``, bnode objects via ``rdf:nodeID``,
+    literals as element text with ``xml:lang`` / ``rdf:datatype``."""
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    ns_prefix: dict[str, str] = {rdf_ns: "rdf"}
+
+    by_subj: dict[str, list[tuple[str, str]]] = {}
+    order: list[str] = []
+    for s, p, o in triples:
+        if s not in by_subj:
+            by_subj[s] = []
+            order.append(s)
+        by_subj[s].append((p, o))
+
+    body: list[str] = []
+    for s in order:
+        if s.startswith("_:"):
+            open_tag = f'  <rdf:Description rdf:nodeID="{_xml_escape(s[2:], attr=True)}">'
+        else:
+            open_tag = f'  <rdf:Description rdf:about="{_xml_escape(s[1:-1], attr=True)}">'
+        body.append(open_tag)
+        for p, o in by_subj[s]:
+            ns, local = _split_qname(p[1:-1])
+            if ns not in ns_prefix:
+                ns_prefix[ns] = f"ns{len(ns_prefix)}"
+            pfx = ns_prefix[ns]
+            if o.startswith("<"):
+                body.append(
+                    f'    <{pfx}:{local} rdf:resource="{_xml_escape(o[1:-1], attr=True)}"/>'
+                )
+            elif o.startswith("_:"):
+                body.append(
+                    f'    <{pfx}:{local} rdf:nodeID="{_xml_escape(o[2:], attr=True)}"/>'
+                )
+            else:
+                lex, lang, dt = T.split_literal(o)
+                attrs = ""
+                if lang:
+                    attrs = f' xml:lang="{_xml_escape(lang, attr=True)}"'
+                elif dt:
+                    attrs = f' rdf:datatype="{_xml_escape(dt, attr=True)}"'
+                body.append(
+                    f"    <{pfx}:{local}{attrs}>{_xml_escape(lex)}</{pfx}:{local}>"
+                )
+        body.append("  </rdf:Description>")
+
+    decls = "".join(
+        f'\n    xmlns:{pfx}="{_xml_escape(ns, attr=True)}"'
+        for ns, pfx in ns_prefix.items()
+    )
+    return f"<rdf:RDF{decls}>\n" + "\n".join(body) + "\n</rdf:RDF>\n"
+
+
 def format_nq_batch(batch):
     """Quad rows → N-Quads lines (vectorized; default-graph rows omit the
     graph term per N-Quads grammar)."""
@@ -259,6 +361,10 @@ WRITERS: dict[str, tuple[str, object]] = {
     "trix": ("quads", serialize_trix),
     "rj": ("triples", serialize_rdfjson),
     "rdfjson": ("triples", serialize_rdfjson),
+    "jsonld": ("triples", serialize_jsonld),
+    "json-ld": ("triples", serialize_jsonld),
+    "rdf": ("triples", serialize_rdfxml),
+    "rdfxml": ("triples", serialize_rdfxml),
 }
 
 

@@ -159,3 +159,28 @@ def test_flagship_runs_on_exact_pool_budget(ray_session, sf_dir):
 
     n = kg_triples_dataset(sf_dir).count()
     assert n > 0
+
+
+def test_terms_build_detects_id_collision(ray_session, tmp_path):
+    """Two distinct terms sharing one 64-bit id must abort the NodeTable
+    build (silent conflation would corrupt every downstream id join) —
+    the fail-loud half of the 64-bit/128-bit collision note in
+    stages/materialize.py."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from jena_ray.stages.materialize import _build_terms_table
+
+    t = pa.table(
+        {
+            "subj": ["<http://e/a>", "<http://e/b>"],  # distinct terms...
+            "pred": ["<http://e/p>", "<http://e/p>"],
+            "obj": ['"1"', '"2"'],
+            "s_id": pa.array([7, 7], type=pa.int64()),  # ...forced same id
+            "p_id": pa.array([1, 1], type=pa.int64()),
+            "o_id": pa.array([2, 3], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="collision"):
+        _build_terms_table(rd.from_arrow(t), str(tmp_path / "terms"), 2, 1000)

@@ -1,0 +1,338 @@
+"""SPARQL text front-end: parse → algebra → id-index execution.
+
+Reference path: jena-arq Grammar/main.jj (ParserSPARQL11) →
+sparql/algebra/AlgebraGenerator.java → engine/main/OpExecutor.java.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jena_ray.sparql import SparqlSyntaxError, parse_query, sparql_query
+
+PFX = "PREFIX ex: <http://ex.org/>\n"
+XSD_INT = "<http://www.w3.org/2001/XMLSchema#integer>"
+
+
+def _subj(i: int) -> str:
+    return f"<http://ex.org/d{i}>"
+
+
+@pytest.fixture(scope="module")
+def sparql_index(ray_session, tmp_path_factory):
+    """Same corpus shape as test_algebra plus a linksTo chain d0→d1→…→d4."""
+    out = str(tmp_path_factory.mktemp("sparqlidx"))
+    T = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rows = []
+    for i in range(10):
+        s = _subj(i)
+        rows.append((s, T, "<http://ex.org/Document>"))
+        rows.append((s, "<http://ex.org/charCount>", f'"{100 * i}"^^{XSD_INT}'))
+        lang = "en" if i % 2 == 0 else "fr"
+        rows.append((s, "<http://ex.org/label>", f'"Doc {i}"@{lang}'))
+    for i in range(4):
+        rows.append((_subj(i), "<http://ex.org/mentions>", "<http://ex.org/e1>"))
+    for i in range(2, 6):
+        rows.append((_subj(i), "<http://ex.org/mentions>", "<http://ex.org/e2>"))
+    for i in range(4):
+        rows.append((_subj(i), "<http://ex.org/linksTo>", _subj(i + 1)))
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows]),
+            "pred": pa.array([r[1] for r in rows]),
+            "obj": pa.array([r[2] for r in rows]),
+        }
+    )
+    import os
+
+    os.makedirs(f"{out}/triples")
+    pq.write_table(t, f"{out}/triples/part0.parquet")
+    from jena_ray.stages.materialize import materialize_indexes
+
+    materialize_indexes(out, num_buckets=4, min_rows_per_file=1000)
+    return out
+
+
+def _col(res, name):
+    if not isinstance(res, pa.Table):
+        res = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return sorted(v for v in res.column(name).to_pylist() if v is not None)
+
+
+# ------------------------------------------------------------------ parsing
+
+def test_parse_terms_and_abbreviations():
+    q = parse_query(
+        PFX + 'SELECT ?d WHERE { ?d a ex:Document ; ex:p "x"@EN-gb , 4.5 . }'
+    )
+    pats = q.where.patterns
+    assert pats[0][2] == "<http://ex.org/Document>"
+    assert pats[1][2] == '"x"@en-GB'
+    assert pats[2][2].startswith('"4.5"^^')
+
+
+def test_parse_base_resolution():
+    q = parse_query("BASE <http://ex.org/a/> SELECT ?x WHERE { ?x <b> <../c> }")
+    assert q.where.patterns[0][1] == "<http://ex.org/a/b>"
+    assert q.where.patterns[0][2] == "<http://ex.org/c>"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o } FOO",
+        PFX + "SELECT ?s WHERE { ?s ex:p [ ex:q 1 ] }",
+        PFX + 'SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o = 1 || ?o = 2) }',
+        "SELECT ?s WHERE { ?s undefined:p ?o }",
+    ],
+)
+def test_parse_rejects(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(bad)
+
+
+# ---------------------------------------------------------------- execution
+
+def test_select_star_join(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:mentions ex:e1 ; ex:mentions ex:e2 }",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(2), _subj(3)]
+
+
+def test_numeric_filter_and_order(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d ?c WHERE {
+              ?d a ex:Document ; ex:charCount ?c .
+              FILTER(?c >= 700)
+            } ORDER BY DESC(?c) LIMIT 2""",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert df["d"].tolist() == [_subj(9), _subj(8)]
+
+
+def test_lang_filter(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + 'SELECT ?d WHERE { ?d ex:label ?l . FILTER(LANG(?l) = "fr") }',
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(i) for i in (1, 3, 5, 7, 9)]
+
+
+def test_union_and_branch_filter(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d WHERE {
+              { ?d ex:mentions ex:e1 }
+              UNION
+              { ?d ex:mentions ex:e2 . FILTER(REGEX(STR(?d), "d5$")) }
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(0), _subj(1), _subj(2), _subj(3), _subj(5)]
+
+
+def test_optional_unbound(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d ?e WHERE {
+              ?d ex:mentions ex:e1 .
+              OPTIONAL { ?d ex:linksTo ?e . ?e ex:mentions ex:e2 }
+            }""",
+        num_partitions=4,
+    )
+    df = res.to_pandas().set_index("d")["e"]
+    assert df[_subj(1)] == _subj(2)
+    assert pa.compute.is_null(pa.array([df[_subj(0)]]))[0].as_py()
+
+
+def test_minus(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d WHERE {
+              ?d ex:mentions ex:e2 .
+              MINUS { ?d ex:mentions ex:e1 }
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(4), _subj(5)]
+
+
+def test_values(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d ?c WHERE {
+              ?d ex:charCount ?c .
+              VALUES ?d { ex:d3 ex:d7 }
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "c") == [f'"300"^^{XSD_INT}', f'"700"^^{XSD_INT}']
+
+
+def test_group_count_and_sum(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?e (COUNT(*) AS ?n) (SUM(?c) AS ?total)
+            WHERE { ?d ex:mentions ?e ; ex:charCount ?c }
+            GROUP BY ?e""",
+        num_partitions=4,
+    )
+    df = res.to_pandas().set_index("e")
+    assert df.loc["<http://ex.org/e1>", "n"] == 4
+    assert df.loc["<http://ex.org/e2>", "n"] == 4
+    # d0..d3 → 0+100+200+300; d2..d5 → 200+..+500
+    assert int(df.loc["<http://ex.org/e1>", "total"]) == 600
+    assert int(df.loc["<http://ex.org/e2>", "total"]) == 1400
+    assert str(df["total"].dtype) == "int64"
+
+
+def test_group_concat_and_distinct_count(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?e (COUNT(DISTINCT ?d) AS ?n)
+                      (GROUP_CONCAT(?d; SEPARATOR "|") AS ?ds)
+            WHERE { ?d ex:mentions ?e } GROUP BY ?e""",
+        num_partitions=4,
+    )
+    df = res.to_pandas().set_index("e")
+    assert df.loc["<http://ex.org/e1>", "n"] == 4
+    assert df.loc["<http://ex.org/e1>", "ds"] == "|".join(_subj(i) for i in range(4))
+
+
+def test_ask(sparql_index):
+    yes = sparql_query(sparql_index, PFX + "ASK { ex:d0 ex:mentions ex:e1 }")
+    no = sparql_query(sparql_index, PFX + "ASK { ex:d9 ex:mentions ?e }")
+    assert yes.column("ask").to_pylist() == [True]
+    assert no.column("ask").to_pylist() == [False]
+
+
+def test_construct(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """CONSTRUCT { ?d ex:tag "hit" . ?d a ex:Hit }
+            WHERE { ?d ex:mentions ex:e1 ; ex:mentions ex:e2 }""",
+        num_partitions=4,
+    )
+    df = res.to_pandas().sort_values(["subj", "pred"]).reset_index(drop=True)
+    assert len(df) == 4  # 2 docs × 2 template triples
+    assert set(df["pred"]) == {
+        "<http://ex.org/tag>",
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+    }
+
+
+def test_property_path(sparql_index):
+    res = sparql_query(
+        sparql_index, PFX + "SELECT ?y WHERE { ex:d0 ex:linksTo+ ?y }",
+        num_partitions=4,
+    )
+    assert _col(res, "y") == [_subj(i) for i in (1, 2, 3, 4)]
+
+
+def test_offset_slice(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d a ex:Document } ORDER BY ?d LIMIT 3 OFFSET 2",
+        num_partitions=4,
+    )
+    assert isinstance(res, pa.Table)
+    assert res.column("d").to_pylist() == [_subj(2), _subj(3), _subj(4)]
+
+
+def test_filter_exists(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d WHERE {
+              ?d ex:mentions ex:e1 .
+              FILTER EXISTS { ?d ex:mentions ex:e2 }
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(2), _subj(3)]
+
+
+def test_filter_not_exists(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d WHERE {
+              ?d ex:mentions ex:e2 .
+              FILTER NOT EXISTS { ?d ex:mentions ex:e1 }
+              FILTER(REGEX(STR(?d), "d[0-9]$"))
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(4), _subj(5)]
+
+
+def test_exists_preserves_multiplicity(sparql_index):
+    # non-distinct grouped count through a semi-join: each (d, l) solution
+    # for e1-mentioning docs must count once even though the EXISTS side
+    # (charCount patterns) has one row per doc
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT (COUNT(*) AS ?n) WHERE {
+              ?d ex:mentions ?e .
+              FILTER EXISTS { ?d ex:mentions ex:e1 }
+            } GROUP BY ?e""",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert sorted(df["n"].tolist()) == [2, 4]  # e2 via d2,d3; e1 via d0-d3
+
+
+def test_graph_block_over_quad_store(ray_session, tmp_path_factory):
+    """GRAPH ?g / GRAPH <iri> compile to quad patterns over the
+    GSPO/GPOS/GOSP store (SolverLib's named-graph path)."""
+    import ray.data as rd
+
+    from jena_ray.stages.quads import materialize_quad_indexes
+
+    out = str(tmp_path_factory.mktemp("sparqlquads"))
+    rows = []
+    for i in range(12):
+        rows.append(
+            {
+                "graph": f"<urn:g{i % 3}>",
+                "subj": f"<urn:s{i}>",
+                "pred": "<urn:p>",
+                "obj": f'"{i % 4}"',
+            }
+        )
+    materialize_quad_indexes(out, rd.from_items(rows), num_buckets=4,
+                             min_rows_per_file=10)
+
+    res = sparql_query(
+        out,
+        'SELECT ?s WHERE { GRAPH <urn:g0> { ?s <urn:p> "0" } }',
+        num_partitions=4,
+    )
+    assert _col(res, "s") == ["<urn:s0>"]
+
+    res = sparql_query(
+        out,
+        'SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p> "1" } } ORDER BY ?g',
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert df["g"].tolist() == ["<urn:g0>", "<urn:g1>", "<urn:g2>"]
+    assert sorted(df["s"]) == ["<urn:s1>", "<urn:s5>", "<urn:s9>"]

@@ -76,3 +76,29 @@ def test_registry_entries_callable(name):
     unit, fn = WRITERS[name]
     data = TRIPLES if unit == "triples" else QUADS
     assert isinstance(fn(data), str)
+
+
+def test_jsonld_roundtrip():
+    from jena_ray.jsonld import parse_jsonld
+    from jena_ray.writers import serialize_jsonld
+
+    doc = serialize_jsonld(TRIPLES)
+    got = [(s, p, o) for (_g, s, p, o) in parse_jsonld(doc)]
+    assert isomorphic(got, TRIPLES)
+
+
+def test_rdfxml_roundtrip():
+    from jena_ray.rdfxml import parse_rdfxml
+    from jena_ray.writers import serialize_rdfxml
+
+    doc = serialize_rdfxml(TRIPLES)
+    assert 'rdf:datatype=' in doc and 'xml:lang="fr"' in doc
+    got = parse_rdfxml(doc)
+    assert isomorphic(got, TRIPLES)
+
+
+def test_rdfxml_unsplittable_predicate_raises():
+    from jena_ray.writers import serialize_rdfxml
+
+    with pytest.raises(ValueError, match="Cannot split"):
+        serialize_rdfxml([("<http://e/s>", "<http://e/p/>", '"x"')])
