@@ -109,6 +109,7 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
     exists: list[tuple["Group", bool]] = field(default_factory=list)  # (grp, negated)
+    binds: list[tuple[tuple, str]] = field(default_factory=list)  # (expr AST, var)
     union: list["Group"] | None = None
     values: list[dict] | None = None
     graph: str | None = None
@@ -400,6 +401,15 @@ class Parser:
                     g.exists.append((self._parse_group(), neg))
                 else:
                     g.filters.extend(self._parse_filter())
+            elif self.take_kw("BIND"):
+                self.expect_op("(")
+                expr = self._parse_bind_expr()
+                self.expect_kw("AS")
+                v = self.next()
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError("BIND needs AS ?var")
+                self.expect_op(")")
+                g.binds.append((expr, v.text[1:]))
             elif self.take_kw("OPTIONAL"):
                 g.optionals.append(self._parse_group())
             elif self.take_kw("MINUS"):
@@ -448,6 +458,7 @@ class Parser:
         g.optionals.extend(h.optionals)
         g.minuses.extend(h.minuses)
         g.exists.extend(h.exists)
+        g.binds.extend(h.binds)
         if h.union:
             if g.union is not None:
                 raise SparqlSyntaxError("only one UNION block per group")
@@ -646,6 +657,32 @@ class Parser:
             return float(t.text)
         return self.parse_term()
 
+    # -- BIND expressions (E_Str / E_Lang / E_Datatype / E_StrLength /
+    #    E_StrUpperCase / E_StrLowerCase / E_StrConcat / E_MD5 / E_SHA*)
+    _BIND_FNS = {"STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE",
+                 "CONCAT", "MD5", "SHA1", "SHA256", "SHA384", "SHA512"}
+
+    def _parse_bind_expr(self) -> tuple:
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return ("var", t.text[1:])
+        if t.kind == "STRING":
+            self.next()
+            return ("const", unescape_string(t.text[1:-1]))
+        if t.kind == "NAME" and t.text.upper() in self._BIND_FNS:
+            fn = self.next().text.upper()
+            self.expect_op("(")
+            args = [self._parse_bind_expr()]
+            while self.at_op(","):
+                self.next()
+                args.append(self._parse_bind_expr())
+            self.expect_op(")")
+            if fn != "CONCAT" and len(args) != 1:
+                raise SparqlSyntaxError(f"{fn} takes one argument")
+            return (fn.lower(), args)
+        raise SparqlSyntaxError(f"unsupported BIND expression at {t.text!r}")
+
 
 def _number_term(text: str) -> str:
     if re.fullmatch(r"[+-]?\d+", text):
@@ -783,6 +820,122 @@ def _term_number(col):
 _INT_DT = f'"^^<{XSD}integer>'
 
 
+# ------------------------------------------------------------- BIND exprs
+
+def _bind_vars(expr: tuple) -> set[str]:
+    k = expr[0]
+    if k == "var":
+        return {expr[1]}
+    if k == "const":
+        return set()
+    return set().union(*(_bind_vars(a) for a in expr[1])) if expr[1] else set()
+
+
+def _escape_lex(col):
+    """Canonical N-Triples escaping for the common classes, vectorized
+    (string_esc's \\ \" \\n \\r \\t \\f; other control chars are not
+    produced by these string kernels)."""
+    import pyarrow.compute as pc
+
+    for pat, rep in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t"), ("\f", "\\f")):
+        col = pc.replace_substring(col, pattern=pat, replacement=rep)
+    return col
+
+
+def _mk_plain(raw):
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise('"', _escape_lex(raw), '"', "")
+
+
+def _eval_raw(tb: pa.Table, expr: tuple):
+    """Effective string value of a BIND sub-expression (E_Str semantics for
+    variables: IRIs drop <>, literals take the lexical form)."""
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines.bgp import _str_value
+
+    k = expr[0]
+    if k == "var":
+        return _str_value(tb.column(expr[1]))
+    if k == "const":
+        return pa.array([expr[1]] * tb.num_rows, type=pa.string())
+    if k == "lang":
+        from jena_ray.pipelines.bgp import _lang_value
+
+        a = expr[1][0]
+        if a[0] != "var":
+            raise SparqlSyntaxError("LANG takes a variable")
+        return _lang_value(tb.column(a[1]))
+    if k == "strlen":
+        return pc.cast(pc.utf8_length(_eval_raw(tb, expr[1][0])), pa.string())
+    args = [_eval_raw(tb, a) for a in expr[1]]
+    if k == "str":
+        return args[0]
+    if k == "ucase":
+        return pc.utf8_upper(args[0])
+    if k == "lcase":
+        return pc.utf8_lower(args[0])
+    if k == "concat":
+        return pc.binary_join_element_wise(*args, "")
+    if k in ("md5", "sha1", "sha256", "sha384", "sha512"):
+        from jena_ray.functions.scalar import FUNCTIONS
+
+        return FUNCTIONS[k](args[0])
+    raise SparqlSyntaxError(f"{k.upper()} is not usable inside this expression")
+
+
+def _datatype_term(col):
+    """E_Datatype: typed literal → its datatype IRI, lang literal →
+    rdf:langString, simple literal → xsd:string, IRI/bnode → null."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    dt = pc.struct_field(pc.extract_regex(s, r"\^\^<(?P<v>[^>]*)>$"), "v")
+    lang = pc.struct_field(
+        pc.extract_regex(s, r'"@(?P<v>[A-Za-z0-9\-]+)$'), "v"
+    )
+    is_lit = pc.starts_with(s, '"')
+    fallback = pc.if_else(
+        pc.is_valid(lang),
+        pa.scalar(RDF_NS + "langString", type=pa.string()),
+        pc.if_else(
+            is_lit,
+            pa.scalar(XSD + "string", type=pa.string()),
+            pa.scalar(None, type=pa.string()),
+        ),
+    )
+    full = pc.coalesce(dt, fallback)
+    return pc.binary_join_element_wise("<", full, ">", "")
+
+
+def _eval_bind(tb: pa.Table, expr: tuple):
+    """Evaluate a BIND expression to a column of canonical TERM strings."""
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines.bgp import _lang_value
+
+    k = expr[0]
+    if k == "var":
+        return pc.cast(tb.column(expr[1]), pa.string())
+    if k == "strlen":
+        raw = _eval_raw(tb, expr[1][0])
+        n = pc.cast(pc.utf8_length(raw), pa.string())
+        return pc.binary_join_element_wise('"', n, f'"^^<{XSD}integer>', "")
+    if k == "lang":
+        a = expr[1][0]
+        if a[0] != "var":
+            raise SparqlSyntaxError("LANG takes a variable")
+        return _mk_plain(_lang_value(tb.column(a[1])))
+    if k == "datatype":
+        a = expr[1][0]
+        if a[0] != "var":
+            raise SparqlSyntaxError("DATATYPE takes a variable")
+        return _datatype_term(tb.column(a[1]))
+    return _mk_plain(_eval_raw(tb, expr))
+
+
 def _aggregate(sols, q: Query, *, num_buckets: int = 16):
     """GROUP BY + aggregates over the solution Dataset (OpGroup +
     aggregate/Agg*.java accumulators). One bucketed shuffle, then a
@@ -910,7 +1063,16 @@ def sparql_query(
         got = len(res.limit(1).take(1)) > 0
         return pa.table({"ask": pa.array([got], type=pa.bool_())})
 
+    binds = q.where.binds
+    bind_names = [v for _, v in binds]
+    if binds:
+        clash = set(bind_names) & wvars
+        if clash:
+            raise SparqlSyntaxError(f"BIND reuses bound variables: {sorted(clash)}")
+
     grouped = bool(q.group_by or q.aggs)
+    if grouped and binds:
+        raise SparqlSyntaxError("BIND with GROUP BY is not in the supported subset")
     if grouped:
         needed = sorted(set(q.group_by)
                         | {a.var for a in q.aggs if a.var is not None})
@@ -934,13 +1096,38 @@ def sparql_query(
 
         res = res.map_batches(proj, batch_format="pyarrow")
     else:
-        sel = sorted(wvars) if q.star else q.select
-        missing = [v for v in sel if v not in wvars]
+        sel = sorted(wvars | set(bind_names)) if q.star else q.select
+        missing = [v for v in sel if v not in wvars and v not in bind_names]
         if missing:
             raise SparqlSyntaxError(f"SELECT vars not bound in WHERE: {missing}")
-        res = _execute_where(out_dir, q, sel, distinct=q.distinct,
-                             num_partitions=num_partitions,
-                             pf_context=pf_context, stats=stats)
+        if binds:
+            # run the pattern part for (selected pattern vars + expr inputs),
+            # compute the BIND columns post-resolve, project, then dedup
+            pattern_sel = [v for v in sel if v not in bind_names]
+            expr_in = sorted(
+                {vv for e, _ in binds for vv in _bind_vars(e)} - set(pattern_sel)
+            )
+            bad = [v for v in expr_in if v not in wvars]
+            if bad:
+                raise SparqlSyntaxError(f"BIND expression vars not bound: {bad}")
+            res = _execute_where(out_dir, q, pattern_sel + expr_in,
+                                 distinct=False, num_partitions=num_partitions,
+                                 pf_context=pf_context, stats=stats)
+
+            def apply_binds(tb: pa.Table, _b=tuple(binds), _s=tuple(sel)) -> pa.Table:
+                for expr, v in _b:
+                    tb = tb.append_column(v, _eval_bind(tb, expr))
+                return tb.select(list(_s))
+
+            res = res.map_batches(apply_binds, batch_format="pyarrow")
+            if q.distinct:
+                from jena_ray.stages.dedup import dedup_exact
+
+                res = dedup_exact(res, cols=tuple(sel))
+        else:
+            res = _execute_where(out_dir, q, sel, distinct=q.distinct,
+                                 num_partitions=num_partitions,
+                                 pf_context=pf_context, stats=stats)
         if q.reduced:
             from jena_ray.pipelines.relational import reduced
 

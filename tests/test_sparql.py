@@ -336,3 +336,35 @@ def test_graph_block_over_quad_store(ray_session, tmp_path_factory):
     df = res.to_pandas()
     assert df["g"].tolist() == ["<urn:g0>", "<urn:g1>", "<urn:g2>"]
     assert sorted(df["s"]) == ["<urn:s1>", "<urn:s5>", "<urn:s9>"]
+
+
+def test_bind_expressions(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d ?L ?n ?dt WHERE {
+              ?d ex:label ?l ; ex:charCount ?c .
+              BIND(UCASE(STR(?l)) AS ?L)
+              BIND(STRLEN(?l) AS ?n)
+              BIND(DATATYPE(?c) AS ?dt)
+              FILTER(REGEX(STR(?d), "d1$"))
+            }""",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert df["L"].tolist() == ['"DOC 1"']
+    assert df["n"].tolist() == [f'"5"^^{XSD_INT}']
+    assert df["dt"].tolist() == [XSD_INT]
+
+
+def test_bind_lang_and_concat(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT DISTINCT ?tag WHERE {
+              ?d ex:label ?l .
+              BIND(CONCAT("lang=", LANG(?l)) AS ?tag)
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "tag") == ['"lang=en"', '"lang=fr"']
