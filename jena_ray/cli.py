@@ -11,7 +11,12 @@
 
   python -m jena_ray.cli sparql --loc IDX (--query TEXT | --query-file F)
       run a SPARQL query over a materialized index (jena-cmds arq /
-      tdbquery analog; SELECT/ASK/CONSTRUCT subset in jena_ray/sparql.py)
+      tdbquery analog; SELECT/ASK/CONSTRUCT/DESCRIBE subset in
+      jena_ray/sparql.py)
+
+  python -m jena_ray.cli update --loc IDX (--update TEXT | --update-file F)
+      apply one SPARQL Update request and rebuild the indexes
+      (jena-cmds update / tdbupdate analog, batch reload semantics)
 """
 
 from __future__ import annotations
@@ -235,9 +240,34 @@ def cmd_sparql(argv: list[str]) -> int:
     return 0
 
 
+def cmd_update(argv: list[str]) -> int:
+    """tdbupdate analog: apply one SPARQL Update, rebuild the indexes."""
+    ap = argparse.ArgumentParser(prog="jena_ray update")
+    ap.add_argument("--loc", required=True, help="index dir (kgload --out)")
+    ap.add_argument("--update", help="update request text")
+    ap.add_argument("--update-file", help="file holding the request")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    if bool(args.update) == bool(args.update_file):
+        ap.error("exactly one of --update / --update-file")
+    text = args.update or open(args.update_file).read()
+    _init_ray(args.num_cpus)
+
+    from jena_ray.sparql_update import sparql_update
+
+    t0 = time.time()
+    stats = sparql_update(args.loc, text)
+    stats["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
     cmds = {"riot": cmd_riot, "kgload": cmd_kgload, "tdbstats": cmd_tdbstats,
-            "sparql": cmd_sparql}
+            "sparql": cmd_sparql, "update": cmd_update}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         return 2

@@ -501,6 +501,11 @@ def binding_join(
         out = lt.join(rt, keys=list(on), right_keys=list(on), join_type=arrow_how)
         return out.select(sorted(out.schema.names))
 
+    # coalesce before the shuffle: the groupby has at most num_buckets
+    # groups, so more input blocks than buckets only adds empty reduce
+    # tasks (fixed overhead that dominates query-sized joins; num_buckets
+    # is the join's parallelism knob — large joins pass a larger value)
+    u = u.repartition(num_buckets)
     return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
@@ -577,7 +582,7 @@ def _project_resolve(res, res_vars, select, out_dir, *, distinct):
 
     res = res.map_batches(proj, batch_format="pyarrow")
     if distinct:
-        res = dedup_exact(res, cols=tuple(select))
+        res = dedup_exact(res, cols=tuple(select), coalesce=True)
     return resolve_id_columns(res, out_dir, {v: v for v in select})
 
 
@@ -748,7 +753,7 @@ def _semi_anti_join(left, lvars, right, shared, *, keep_matched, num_buckets):
     if keep_matched:
         from jena_ray.stages.dedup import dedup_exact
 
-        rkeys = dedup_exact(rkeys, cols=tuple(shared))
+        rkeys = dedup_exact(rkeys, cols=tuple(shared), coalesce=True)
 
     def mark(tb: pa.Table) -> pa.Table:
         return tb.append_column(
@@ -909,7 +914,7 @@ def bgp_construct(
         return tb.select(list(_v))
 
     res = res.map_batches(proj, batch_format="pyarrow")
-    res = dedup_exact(res, cols=tuple(tvars))
+    res = dedup_exact(res, cols=tuple(tvars), coalesce=True)
     res = resolve_id_columns(res, out_dir, {v: v for v in tvars})
 
     outs = []
@@ -927,7 +932,7 @@ def bgp_construct(
 
         outs.append(res.map_batches(emit, batch_format="pyarrow"))
     u = outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
-    return dedup_exact(u, cols=("subj", "pred", "obj"))
+    return dedup_exact(u, cols=("subj", "pred", "obj"), coalesce=True)
 
 
 def path_closure(
@@ -938,6 +943,7 @@ def path_closure(
     max_iters: int = 25,
     num_partitions: int = 16,
     var: str = "y",
+    inverse: bool = False,
 ):
     """Property path ``source (pred)+ ?y`` — P_OneOrMore transitive closure
     (jena-arq sparql/path/P_OneOrMore1 evaluated by PathEngine's BFS with a
@@ -948,7 +954,9 @@ def path_closure(
     closure of one source node is tiny next to the corpus (the reference's
     PathEngine holds its visited set in the query engine for the same
     reason). The loop runs at most graph diameter ≤ max_iters hops.
-    Returns a Dataset with one term-string column ``var``."""
+    ``inverse=True`` walks edges backwards (P_Inverse under the closure:
+    ``source ^pred+ ?y``). Returns a Dataset with one term-string column
+    ``var``."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -958,14 +966,15 @@ def path_closure(
     # one distributed scan, reused every hop (block list is cached by Ray)
     edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info).materialize()
 
+    probe_col, out_col = ("y", "x") if inverse else ("x", "y")
     frontier: set[int] = {term_id(source)}
     visited: set[int] = set()
     for _ in range(max_iters):
         probe = pa.array(sorted(frontier), type=pa.int64())
 
         def hop(tb: pa.Table, _p=probe) -> pa.Table:
-            keep = pc.is_in(tb.column("x"), value_set=_p)
-            return tb.filter(keep).select(["y"])
+            keep = pc.is_in(tb.column(probe_col), value_set=_p)
+            return tb.filter(keep).select([out_col]).rename_columns(["y"])
 
         ys = edges.map_batches(hop, batch_format="pyarrow")
         level = set()

@@ -14,22 +14,30 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
 
 - Prologue: ``BASE`` / ``PREFIX``.
 - ``SELECT [DISTINCT|REDUCED] (?v ... | * | (AGG(...) AS ?alias))``,
-  ``ASK``, ``CONSTRUCT { template } WHERE { ... }``.
+  ``ASK``, ``CONSTRUCT { template } WHERE { ... }``, and
+  ``DESCRIBE term-or-var ... [WHERE { ... }]`` (forward triples + bnode
+  closure, DescribeBNodeClosure semantics).
 - Group graph pattern: triple blocks (``;`` ``,`` ``a`` abbreviations,
   prefixed names, typed/lang literals, numeric/boolean shorthand),
-  ``FILTER``, one ``OPTIONAL`` block, one ``MINUS`` block,
+  ``FILTER`` (incl. ``EXISTS`` / ``NOT EXISTS`` sub-groups), ``BIND``,
+  one ``OPTIONAL`` block, one ``MINUS`` block,
   ``{A} UNION {B} [UNION ...]``, ``VALUES``, ``GRAPH term-or-var { ... }``
-  (compiled to quad patterns), and the one-or-more property path
-  ``term <p>+ ?v`` (P_OneOrMore → path_closure).
+  (compiled to quad patterns), and property paths: ``^p`` inverse and
+  ``p1/p2`` sequences desugar into the BGP (PathCompiler reduction);
+  ``term p+ ?v`` / ``term p* ?v`` closures run path_closure
+  (P_OneOrMore / P_ZeroOrMore), including inverted ``^p+``.
 - FILTER expressions: ``&&`` conjunctions of comparisons
   (``= != < <= > >=`` over numbers or terms), ``BOUND`` / ``!BOUND``,
   ``sameTerm``, ``REGEX``, ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS``
   (with or without ``STR(...)``), and ``LANG(?x) = "tag"`` /
   ``LANGMATCHES(LANG(?x), "tag")``.
+- BIND expressions: ``STR`` / ``LANG`` / ``DATATYPE`` / ``STRLEN`` /
+  ``UCASE`` / ``LCASE`` / ``CONCAT`` / ``MD5`` / ``SHA1..SHA512`` over
+  variables and string constants.
 - Solution modifiers: ``GROUP BY`` with ``COUNT`` (incl. ``DISTINCT`` and
-  ``*``), ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` / ``SAMPLE`` /
-  ``GROUP_CONCAT(...; SEPARATOR "..")``; ``ORDER BY [ASC|DESC]``,
-  ``LIMIT`` / ``OFFSET``.
+  ``*``), ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` / ``MEDIAN`` / ``MODE`` /
+  ``SAMPLE`` / ``GROUP_CONCAT(...; SEPARATOR "..")``; ``HAVING`` (numeric
+  comparisons on aliases); ``ORDER BY [ASC|DESC]``, ``LIMIT`` / ``OFFSET``.
 """
 
 from __future__ import annotations
@@ -71,7 +79,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
                (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+=<>!/])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^])
     """,
     re.VERBOSE,
 )
@@ -125,8 +133,22 @@ class Agg:
 
 
 @dataclass
+class UpdateOp:
+    """One SPARQL Update operation (modify/request/UpdateModify lineage):
+    ``insert_data`` / ``delete_data`` carry ground templates; ``modify``
+    carries delete/insert templates instantiated per WHERE solution
+    (DELETE WHERE is a modify whose delete template IS the pattern)."""
+
+    kind: str  # insert_data / delete_data / modify
+    insert: list[tuple] | None = None
+    delete: list[tuple] | None = None
+    where: "Group | None" = None
+
+
+@dataclass
 class Query:
-    form: str  # select / ask / construct
+    form: str  # select / ask / construct / describe
+    describe: list[str] = field(default_factory=list)  # terms and/or '?v'
     select: list[str] = field(default_factory=list)  # plain vars (no '?')
     aggs: list[Agg] = field(default_factory=list)
     star: bool = False
@@ -135,6 +157,7 @@ class Query:
     where: Group | None = None
     template: list[tuple] | None = None
     group_by: list[str] = field(default_factory=list)
+    having: list[tuple[str, str, float]] = field(default_factory=list)  # (op, var, n)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int = 0
@@ -142,7 +165,8 @@ class Query:
 
 # ---------------------------------------------------------------- parser
 
-_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+              "MEDIAN", "MODE"}
 _STR_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts", "STRENDS": "strends",
             "CONTAINS": "contains"}
 
@@ -153,6 +177,7 @@ class Parser:
         self.i = 0
         self.base: str | None = None
         self.prefixes: dict[str, str] = {}
+        self._seq = 0  # fresh-variable counter for '/' path desugaring
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok:
@@ -233,7 +258,69 @@ class Parser:
             return self._parse_ask()
         if self.at_kw("CONSTRUCT"):
             return self._parse_construct()
-        raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT at {self.peek().text!r}")
+        if self.at_kw("DESCRIBE"):
+            return self._parse_describe()
+        raise SparqlSyntaxError(
+            f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {self.peek().text!r}"
+        )
+
+    # -- update requests (ParserSPARQL11Update / UpdateEngineMain lineage)
+    def parse_update(self) -> UpdateOp:
+        self._parse_prologue()
+        if self.take_kw("INSERT"):
+            if self.take_kw("DATA"):
+                op = UpdateOp("insert_data", insert=self._parse_ground_block())
+            else:
+                tmpl = self._parse_template_block()
+                self.expect_kw("WHERE")
+                op = UpdateOp("modify", insert=tmpl, where=self._parse_group())
+        elif self.take_kw("DELETE"):
+            if self.take_kw("DATA"):
+                op = UpdateOp("delete_data", delete=self._parse_ground_block())
+            elif self.at_kw("WHERE"):
+                self.expect_kw("WHERE")
+                where = self._parse_group()
+                if not where.patterns:
+                    raise SparqlSyntaxError("DELETE WHERE needs triple patterns")
+                op = UpdateOp("modify", delete=list(where.patterns), where=where)
+            else:
+                dtmpl = self._parse_template_block()
+                itmpl = None
+                if self.take_kw("INSERT"):
+                    itmpl = self._parse_template_block()
+                self.expect_kw("WHERE")
+                op = UpdateOp("modify", delete=dtmpl, insert=itmpl,
+                              where=self._parse_group())
+        else:
+            raise SparqlSyntaxError(
+                f"expected INSERT or DELETE at {self.peek().text!r}"
+            )
+        t = self.peek()
+        if t.kind == "OP" and t.text == ";":
+            raise SparqlSyntaxError(
+                "one update operation per request (';' chains unsupported)"
+            )
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(f"unexpected trailing input at {t.text!r}")
+        return op
+
+    def _parse_template_block(self) -> list[tuple]:
+        self.expect_op("{")
+        template: list[tuple] = []
+        g = Group()
+        while not self.at_op("}"):
+            self._parse_triples_into(g, template_out=template)
+            if self.at_op("."):
+                self.next()
+        self.expect_op("}")
+        return template
+
+    def _parse_ground_block(self) -> list[tuple]:
+        tmpl = self._parse_template_block()
+        for trip in tmpl:
+            if any(t.startswith("?") for t in trip):
+                raise SparqlSyntaxError(f"DATA block must be ground: {trip}")
+        return tmpl
 
     def _parse_prologue(self) -> None:
         while True:
@@ -344,6 +431,28 @@ class Parser:
         self._parse_modifiers(q)
         return q
 
+    def _parse_describe(self) -> Query:
+        self.expect_kw("DESCRIBE")
+        q = Query(form="describe")
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                q.describe.append("?" + t.text[1:])
+            elif t.kind in ("IRIREF", "PNAME"):
+                q.describe.append(self._iri(self.next()))
+            else:
+                break
+        if not q.describe:
+            raise SparqlSyntaxError("DESCRIBE needs at least one resource/variable")
+        if self.at_kw("WHERE") or self.at_op("{"):
+            self.take_kw("WHERE")
+            q.where = self._parse_group()
+        elif any(d.startswith("?") for d in q.describe):
+            raise SparqlSyntaxError("DESCRIBE with variables needs a WHERE clause")
+        self._parse_modifiers(q)
+        return q
+
     def _parse_modifiers(self, q: Query) -> None:
         if self.take_kw("GROUP"):
             self.expect_kw("BY")
@@ -351,6 +460,30 @@ class Parser:
                 q.group_by.append(self.next().text[1:])
             if not q.group_by:
                 raise SparqlSyntaxError("GROUP BY needs at least one variable")
+        if self.take_kw("HAVING"):
+            # numeric comparisons on aggregate aliases, && conjunctions
+            self.expect_op("(")
+            while True:
+                a = self.next()
+                op_t = self.next()
+                b = self.next()
+                if op_t.kind != "OP" or op_t.text not in (
+                    "=", "!=", "<", "<=", ">", ">="
+                ):
+                    raise SparqlSyntaxError("HAVING supports numeric comparisons")
+                if a.kind == "VAR" and b.kind == "NUMBER":
+                    q.having.append((op_t.text, a.text[1:], float(b.text)))
+                elif a.kind == "NUMBER" and b.kind == "VAR":
+                    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                            "=": "=", "!=": "!="}
+                    q.having.append((flip[op_t.text], b.text[1:], float(a.text)))
+                else:
+                    raise SparqlSyntaxError("HAVING compares a ?var to a number")
+                if self.at_op("&&"):
+                    self.next()
+                    continue
+                break
+            self.expect_op(")")
         if self.take_kw("ORDER"):
             self.expect_kw("BY")
             while True:
@@ -466,34 +599,75 @@ class Parser:
         if h.values:
             g.values = (g.values or []) + h.values
 
+    def _parse_path_step(self) -> tuple[str, bool, str | None]:
+        """One path step → (pred, inverse, modifier). Modifiers: '+' / '*'
+        (P_OneOrMore / P_ZeroOrMore), '^' inverse (P_Inverse)."""
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        t = self.peek()
+        if t.kind == "NAME" and t.text == "a":
+            self.next()
+            pred = fmt_iri(RDF_TYPE_IRI)
+        elif t.kind == "VAR":
+            self.next()
+            pred = "?" + t.text[1:]
+        else:
+            pred = self._iri(self.next())
+        mod = None
+        if self.at_op("+"):
+            self.next()
+            mod = "+"
+        elif self.at_op("*"):
+            self.next()
+            mod = "*"
+        return pred, inv, mod
+
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
         subj = self.parse_term()
         while True:
-            # predicate: 'a', IRI (optionally followed by '+' = OneOrMore)
-            t = self.peek()
-            if t.kind == "NAME" and t.text == "a":
+            # predicate position: a property PATH — 'a' / IRI / ?var steps
+            # with '^' inverse, '/' sequences, '+' / '*' closures
+            steps = [self._parse_path_step()]
+            while self.at_op("/"):
                 self.next()
-                pred = fmt_iri(RDF_TYPE_IRI)
-                is_path = False
-            elif t.kind == "VAR":
-                self.next()
-                pred = "?" + t.text[1:]
-                is_path = False
-            else:
-                pred = self._iri(self.next())
-                is_path = self.at_op("+")
-                if is_path:
-                    self.next()
+                steps.append(self._parse_path_step())
+            if len(steps) > 1:
+                for pred, _inv, mod in steps:
+                    if mod is not None:
+                        raise SparqlSyntaxError(
+                            "closure modifiers inside '/' sequences are unsupported"
+                        )
+                    if pred.startswith("?"):
+                        raise SparqlSyntaxError("variables not allowed in paths")
             while True:
                 obj = self.parse_term()
-                if is_path:
+                if len(steps) == 1 and steps[0][2] is not None:
+                    pred, inv, mod = steps[0]
                     if template_out is not None:
                         raise SparqlSyntaxError("property path in template")
-                    g.paths.append((subj, pred, obj))
-                elif template_out is not None:
-                    template_out.append((subj, pred, obj))
+                    if pred.startswith("?"):
+                        raise SparqlSyntaxError("variables not allowed in paths")
+                    g.paths.append((subj, pred, obj, mod, inv))
                 else:
-                    g.patterns.append((subj, pred, obj))
+                    # desugar: inverse swaps slots; sequences chain through
+                    # fresh variables (P_Seq → conjunctive BGP, the
+                    # PathCompiler reduction in jena-arq sparql/path)
+                    node = subj
+                    for i, (pred, inv, _mod) in enumerate(steps):
+                        last = i == len(steps) - 1
+                        nxt = obj if last else f"?__seq{self._seq}"
+                        if not last:
+                            self._seq += 1
+                        trip = (nxt, pred, node) if inv else (node, pred, nxt)
+                        if template_out is not None:
+                            if inv or len(steps) > 1:
+                                raise SparqlSyntaxError("property path in template")
+                            template_out.append(trip)
+                        else:
+                            g.patterns.append(trip)
+                        node = nxt
                 if self.at_op(","):
                     self.next()
                     continue
@@ -704,7 +878,7 @@ def _group_vars(g: Group) -> set[str]:
     out = set()
     for p in g.patterns:
         out |= {t[1:] for t in p if t.startswith("?")}
-    for s, _p, o in g.paths:
+    for s, _p, o, *_ in g.paths:
         out |= {t[1:] for t in (s, o) if t.startswith("?")}
     if g.graph and g.graph.startswith("?"):
         out.add(g.graph[1:])
@@ -728,7 +902,7 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
             raise SparqlSyntaxError(
                 "property paths are supported only as the sole pattern"
             )
-        src, pred, obj = g.paths[0]
+        src, pred, obj, mod, inv = g.paths[0]
         if src.startswith("?") or not obj.startswith("?"):
             raise SparqlSyntaxError(
                 "path subset: concrete source, variable object"
@@ -737,8 +911,19 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
             raise SparqlSyntaxError("FILTER with a property path is unsupported")
         if select != [obj[1:]]:
             raise SparqlSyntaxError("path queries must select the object variable")
-        return bgp.path_closure(out_dir, pred, src, var=obj[1:],
-                                num_partitions=num_partitions)
+        res = bgp.path_closure(out_dir, pred, src, var=obj[1:],
+                               num_partitions=num_partitions, inverse=inv)
+        if mod == "*":
+            # P_ZeroOrMore: the source reaches itself in zero steps
+            import ray.data as rd
+
+            from jena_ray.stages.dedup import dedup_exact
+
+            extra = rd.from_arrow(
+                pa.table({obj[1:]: pa.array([src], type=pa.string())})
+            )
+            res = dedup_exact(res.union(extra), cols=(obj[1:],), coalesce=True)
+        return res
 
     if g.exists:
         if g.optionals or g.minuses or g.union or g.values or g.graph:
@@ -948,7 +1133,8 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
     keys = list(q.group_by)
     aggs = list(q.aggs)
     num_vars = sorted({a.var for a in aggs
-                       if a.var and a.func in ("sum", "avg", "min", "max")})
+                       if a.var and a.func in ("sum", "avg", "min", "max",
+                                               "median")})
 
     def add_nums(tb: pa.Table, _nv=tuple(num_vars)) -> pa.Table:
         for v in _nv:
@@ -971,12 +1157,17 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
                     s = g[a.var].nunique()
                 else:
                     s = g[a.var].count()
-            elif a.func in ("sum", "avg", "min", "max"):
+            elif a.func in ("sum", "avg", "min", "max", "median"):
                 col = g[f"__num_{a.var}"]
-                s = {"sum": col.sum, "avg": col.mean,
-                     "min": col.min, "max": col.max}[a.func]()
+                s = {"sum": col.sum, "avg": col.mean, "min": col.min,
+                     "max": col.max, "median": col.median}[a.func]()
             elif a.func == "sample":
                 s = g[a.var].first()
+            elif a.func == "mode":
+                # most frequent term; ties break to the smallest (AggMode)
+                s = g[a.var].agg(
+                    lambda x: x.mode().sort_values().iloc[0] if len(x) else None
+                )
             else:  # group_concat
                 col = g[a.var]
                 if a.distinct:
@@ -987,7 +1178,9 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
         res = pd.DataFrame(out).reset_index()
         return res
 
-    out = bucketed_group_apply(sols, keys, per_bucket, num_buckets=num_buckets)
+    out = bucketed_group_apply(
+        sols, keys, per_bucket, num_buckets=num_buckets, coalesce=True
+    )
 
     if int_sums:
         # SUM over xsd:integer terms → int64 output (matches SQL BIGINT sums)
@@ -1005,6 +1198,86 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
 
         out = out.map_batches(cast_sums, batch_format="pyarrow")
     return out
+
+
+def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats):
+    """DESCRIBE — Jena's default handler describes each resource as its
+    forward one-hop triples plus the blank-node closure of their objects
+    (jena-arq sparql/core/describe/DescribeBNodeClosure.java). Each hop is
+    one vectorized ``is_in`` probe of the SPO scan; matched rows are
+    closure-sized, so they collect driver-side like path_closure."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.pipelines.bgp import _scan_pattern
+    from jena_ray.stages.materialize import (
+        read_layout,
+        resolve_id_columns,
+        term_id,
+    )
+
+    roots: set[int] = set()
+    for d in q.describe:
+        if not d.startswith("?"):
+            roots.add(term_id(d))
+    dvars = [d[1:] for d in q.describe if d.startswith("?")]
+    if dvars:
+        sols = _execute_where(out_dir, q, dvars, distinct=True,
+                              num_partitions=num_partitions,
+                              pf_context=pf_context, stats=stats)
+        if q.limit is not None:
+            sols = sols.limit(q.limit)
+        for b in sols.iter_batches(batch_format="pyarrow"):
+            for v in dvars:
+                roots.update(
+                    term_id(t) for t in b.column(v).to_pylist() if t is not None
+                )
+
+    info = read_layout(out_dir)
+    scan = _scan_pattern(out_dir, ("?s", "?p", "?o"), info)
+
+    rows: list[pa.Table] = []
+    described: set[int] = set()
+    frontier = roots
+    for _ in range(25):  # bnode chains are shallow; bounded like PathEngine
+        frontier -= described
+        if not frontier:
+            break
+        probe = pa.array(sorted(frontier), type=pa.int64())
+
+        def hop(tb: pa.Table, _p=probe) -> pa.Table:
+            return tb.filter(pc.is_in(tb.column("s"), value_set=_p))
+
+        matched = pa.concat_tables(
+            list(scan.map_batches(hop, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+            or [pa.table({"s": pa.array([], pa.int64()),
+                          "p": pa.array([], pa.int64()),
+                          "o": pa.array([], pa.int64())})]
+        )
+        rows.append(matched)
+        described |= frontier
+        # blank-node objects extend the description (resolve just the
+        # object ids of this hop to spot bnode terms)
+        obj_ids = rd.from_arrow(
+            pa.table({"o": pc.unique(matched.column("o"))})
+        )
+        objs = resolve_id_columns(obj_ids, out_dir, {"o": "t"})
+        frontier = set()
+        for b in objs.iter_batches(batch_format="pyarrow"):
+            frontier.update(
+                term_id(t) for t in b.column("t").to_pylist()
+                if t is not None and t.startswith("_:")
+            )
+
+    if not rows:
+        empty = pa.array([], type=pa.string())
+        return pa.table({"subj": empty, "pred": empty, "obj": empty})
+    allrows = pa.concat_tables(rows).rename_columns(["s_id", "p_id", "o_id"])
+    ds = rd.from_arrow(allrows)
+    return resolve_id_columns(
+        ds, out_dir, {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
+    )
 
 
 def sparql_query(
@@ -1025,6 +1298,10 @@ def sparql_query(
     from jena_ray.pipelines.relational import slice_rows
 
     q = parse_query(query) if isinstance(query, str) else query
+
+    if q.form == "describe":
+        return _describe(out_dir, q, num_partitions=num_partitions,
+                         pf_context=pf_context, stats=stats)
 
     if q.form == "construct":
         res = bgp.bgp_construct(
@@ -1089,6 +1366,24 @@ def sparql_query(
                               num_partitions=num_partitions,
                               pf_context=pf_context, stats=stats)
         res = _aggregate(sols, q, num_buckets=num_partitions)
+        if q.having:
+            known = set(q.group_by) | {a.alias for a in q.aggs}
+            bad = [v for _, v, _n in q.having if v not in known]
+            if bad:
+                raise SparqlSyntaxError(f"HAVING references unknown vars: {bad}")
+
+            def apply_having(tb: pa.Table, _h=tuple(q.having)) -> pa.Table:
+                import pyarrow.compute as pc
+
+                kerns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+                         ">=": pc.greater_equal, "=": pc.equal,
+                         "!=": pc.not_equal}
+                for op, v, n in _h:
+                    mask = kerns[op](pc.cast(tb.column(v), pa.float64()), n)
+                    tb = tb.filter(pc.fill_null(mask, False))
+                return tb
+
+            res = res.map_batches(apply_having, batch_format="pyarrow")
         out_cols = (q.select or q.group_by) + [a.alias for a in q.aggs]
 
         def proj(tb: pa.Table, _c=tuple(out_cols)) -> pa.Table:
@@ -1123,7 +1418,7 @@ def sparql_query(
             if q.distinct:
                 from jena_ray.stages.dedup import dedup_exact
 
-                res = dedup_exact(res, cols=tuple(sel))
+                res = dedup_exact(res, cols=tuple(sel), coalesce=True)
         else:
             res = _execute_where(out_dir, q, sel, distinct=q.distinct,
                                  num_partitions=num_partitions,

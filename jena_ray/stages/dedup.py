@@ -139,6 +139,7 @@ def dedup_exact(
     cols: Sequence[str] = ("subj", "pred", "obj"),
     keep_cols: Sequence[str] | None = None,
     num_buckets: int = 64,
+    coalesce: bool = False,
 ):
     """Global exact dedup of a Dataset on `cols`.
 
@@ -155,6 +156,12 @@ def dedup_exact(
 
     Scale rule: each bucket must fit one worker's heap — size num_buckets ≈
     (distinct rows × row bytes) / 1 GiB at crawl scale.
+
+    ``coalesce=True`` repartitions to num_buckets blocks before the
+    groupby: the shuffle has at most num_buckets groups, so extra input
+    blocks only spawn empty reduce tasks. Used by the query layer, where
+    inputs are binding-sized and fixed task overhead dominates; the
+    flagship wave keeps its measured default.
     """
     cols = list(cols)
     sel = cols + [c for c in (keep_cols or []) if c not in cols]
@@ -166,6 +173,8 @@ def dedup_exact(
         return dedup_batch(g, cols).drop_columns(["_bucket"])
 
     pre = ds.map_batches(local, batch_format="pyarrow")
+    if coalesce:
+        pre = pre.repartition(num_buckets)
     return pre.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
@@ -176,6 +185,7 @@ def bucketed_group_apply(
     *,
     num_buckets: int = 64,
     batch_format: str = "pandas",
+    coalesce: bool = False,
 ):
     """Co-locate rows by key hash, then apply `fn` once per BUCKET (not per
     key). `fn` receives all rows of a bucket (every key fully present) and
@@ -184,6 +194,7 @@ def bucketed_group_apply(
     This is the engine's generic partitioned-wide-op primitive: one Python
     call per bucket instead of one per distinct key, which is what makes
     high-cardinality groupbys viable (same trick as dedup_exact).
+    ``coalesce`` as in dedup_exact (query-sized inputs).
     """
     key_cols = list(key_cols)
 
@@ -195,6 +206,8 @@ def bucketed_group_apply(
         return out
 
     pre = ds.map_batches(bucketize, batch_format="pyarrow")
+    if coalesce:
+        pre = pre.repartition(num_buckets)
     return pre.groupby("_bucket").map_groups(apply, batch_format=batch_format)
 
 

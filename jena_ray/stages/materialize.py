@@ -474,6 +474,13 @@ def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
             return out.append_column(_n, pc.take(tt.column("term"), idx))
 
         ds = ds.map_batches(bucketize, batch_format="pyarrow")
+        # coalesce to nb blocks first: the groupby has at most nb distinct
+        # groups, so extra input blocks only spawn EMPTY reduce tasks (a
+        # 16-group shuffle over 192 tiny blocks ran 176 no-op tasks — pure
+        # fixed overhead on query-sized data; at corpus scale the reduce
+        # already concentrates rows into nb groups, so nb blocks is the
+        # memory shape either way)
+        ds = ds.repartition(nb)
         ds = ds.groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
     return ds
 

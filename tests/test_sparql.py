@@ -38,6 +38,9 @@ def sparql_index(ray_session, tmp_path_factory):
         rows.append((_subj(i), "<http://ex.org/mentions>", "<http://ex.org/e2>"))
     for i in range(4):
         rows.append((_subj(i), "<http://ex.org/linksTo>", _subj(i + 1)))
+    # bnode chain off d0 (DESCRIBE bnode-closure semantics)
+    rows.append((_subj(0), "<http://ex.org/note>", "_:n1"))
+    rows.append(("_:n1", "<http://ex.org/text>", '"hi"'))
     t = pa.table(
         {
             "subj": pa.array([r[0] for r in rows]),
@@ -368,3 +371,84 @@ def test_bind_lang_and_concat(sparql_index):
         num_partitions=4,
     )
     assert _col(res, "tag") == ['"lang=en"', '"lang=fr"']
+
+
+def test_describe_iri_with_bnode_closure(sparql_index):
+    res = sparql_query(sparql_index, PFX + "DESCRIBE ex:d0", num_partitions=4)
+    df = res.to_pandas()
+    subs = df["subj"].value_counts().to_dict()
+    # d0: type, charCount, label, mentions e1, linksTo d1, note _:n1
+    assert subs[_subj(0)] == 6
+    # the bnode object is described too (DescribeBNodeClosure)
+    bn = [s for s in subs if s.startswith("_:")]
+    assert len(bn) == 1 and subs[bn[0]] == 1
+    assert '"hi"' in set(df["obj"])
+
+
+def test_describe_where(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + 'DESCRIBE ?d WHERE { ?d ex:mentions ex:e2 . '
+              'FILTER(REGEX(STR(?d), "d4$")) }',
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert set(df["subj"]) == {_subj(4)}
+    assert len(df) == 4  # type, charCount, label, mentions e2
+
+
+def test_path_sequence_and_inverse(sparql_index):
+    # d0 linksTo/linksTo d2; inverse: who links to d2?
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?y WHERE { ex:d0 ex:linksTo/ex:linksTo ?y }",
+        num_partitions=4,
+    )
+    assert _col(res, "y") == [_subj(2)]
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?x WHERE { ex:d2 ^ex:linksTo ?x }",
+        num_partitions=4,
+    )
+    assert _col(res, "x") == [_subj(1)]
+
+
+def test_path_zero_or_more_and_inverse_closure(sparql_index):
+    res = sparql_query(
+        sparql_index, PFX + "SELECT ?y WHERE { ex:d2 ex:linksTo* ?y }",
+        num_partitions=4,
+    )
+    assert _col(res, "y") == [_subj(2), _subj(3), _subj(4)]
+    res = sparql_query(
+        sparql_index, PFX + "SELECT ?y WHERE { ex:d2 ^ex:linksTo+ ?y }",
+        num_partitions=4,
+    )
+    assert _col(res, "y") == [_subj(0), _subj(1)]
+
+
+def test_having_and_median_mode(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?e (COUNT(*) AS ?n) (MEDIAN(?c) AS ?med)
+                      (MODE(?l) AS ?toplang)
+            WHERE { ?d ex:mentions ?e ; ex:charCount ?c ; ex:label ?l }
+            GROUP BY ?e HAVING(?n >= 4)""",
+        num_partitions=4,
+    )
+    df = res.to_pandas().set_index("e")
+    assert len(df) == 2
+    # e1: d0..d3 → median of 0,100,200,300 = 150; e2: 200..500 → 350
+    assert df.loc["<http://ex.org/e1>", "med"] == 150.0
+    assert df.loc["<http://ex.org/e2>", "med"] == 350.0
+    # labels of d0..d3: en,fr,en,fr → mode ties break to smallest term
+    assert df.loc["<http://ex.org/e1>", "toplang"].startswith('"Doc 0"')
+
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?e (COUNT(*) AS ?n) WHERE { ?d ex:mentions ?e }
+            GROUP BY ?e HAVING(?n > 10)""",
+        num_partitions=4,
+    )
+    assert len(res.to_pandas()) == 0
