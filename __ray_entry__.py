@@ -364,6 +364,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 GROUP BY ?l ORDER BY ?l""",
         )
 
+    def sparql_not_exists_docs(sf_dir):
+        """FILTER NOT EXISTS from query text (E_NotExists → the id-space
+        anti-join in bgp_exists): spark docs that never mention 'query'."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                PREFIX ent: <{V.ENT}>
+                SELECT ?d WHERE {{
+                  ?d rel:mentions ent:spark .
+                  FILTER NOT EXISTS {{ ?d rel:mentions ent:query }}
+                }} ORDER BY ?d""",
+        )
+
     def rdfs_materialize(sf_dir):
         from jena_ray.stages.inference import rdfs_materialize as rm
 
@@ -445,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_group_entity_docs": bgp_group_entity_docs,
         "sparql_star_docs": sparql_star_docs,
         "sparql_group_chars": sparql_group_chars,
+        "sparql_not_exists_docs": sparql_not_exists_docs,
         "path_cooccur_closure": path_cooccur_closure,
         "quad_bgp_source": quad_bgp_source,
         "rdfs_materialize": rdfs_materialize,
@@ -756,6 +774,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN triples b ON b.subj = a.subj AND b.pred = '<{V.P_CHARS}>'
             WHERE a.pred = '<{V.P_LANG}>'
             GROUP BY a.obj ORDER BY l
+        """,
+        "sparql_not_exists_docs": f"""
+            WITH {_TRIPLES_CTE}
+            SELECT DISTINCT subj AS d FROM triples
+            WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}spark>'
+              AND subj NOT IN (
+                SELECT subj FROM triples
+                WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}query>')
+            ORDER BY d
         """,
         "path_cooccur_closure": f"""
             WITH RECURSIVE {_TRIPLES_CTE},

@@ -216,7 +216,12 @@ def cmd_sparql(argv: list[str]) -> int:
     ap.add_argument("--query", help="query text")
     ap.add_argument("--query-file", help="file holding the query")
     ap.add_argument("--limit-print", type=int, default=50,
-                    help="max rows printed (result is still fully computed)")
+                    help="max rows printed in text mode (result is still "
+                         "fully computed)")
+    ap.add_argument("--results", choices=["text", "csv", "tsv", "json"],
+                    default="text",
+                    help="result-set format (arq --results analog; W3C "
+                         "sparql-results CSV/TSV/JSON)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if bool(args.query) == bool(args.query_file):
@@ -224,15 +229,23 @@ def cmd_sparql(argv: list[str]) -> int:
     text = args.query or open(args.query_file).read()
     _init_ray(args.num_cpus)
 
+    import pyarrow as pa
+
     from jena_ray.sparql import sparql_query
 
     t0 = time.time()
     res = sparql_query(args.loc, text)
     df = res.to_pandas()  # pa.Table and Dataset both expose to_pandas
     n = len(df)
-    print("\t".join(df.columns))
-    for _, row in df.head(args.limit_print).iterrows():
-        print("\t".join("" if v is None else str(v) for v in row))
+    if args.results != "text":
+        from jena_ray.resultset import RESULT_WRITERS
+
+        tb = pa.Table.from_pandas(df, preserve_index=False)
+        print(RESULT_WRITERS[args.results](tb), end="")
+    else:
+        print("\t".join(df.columns))
+        for _, row in df.head(args.limit_print).iterrows():
+            print("\t".join("" if v is None else str(v) for v in row))
     print(f"# {n} rows in {time.time() - t0:.2f}s", file=sys.stderr)
     import ray
 

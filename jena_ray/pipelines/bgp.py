@@ -317,17 +317,53 @@ def _str_value(col):
     return pc.coalesce(iri, lex, s)
 
 
+_NUM_DT = (
+    "integer|decimal|double|float|int|long|short|byte|nonPositiveInteger|"
+    "negativeInteger|nonNegativeInteger|positiveInteger|unsignedLong|"
+    "unsignedInt|unsignedShort|unsignedByte"
+)
+_RE_NUM_LIT = (
+    r'^"(?P<v>[^"]*)"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:' + _NUM_DT + r")>$"
+)
+
+
 def _num_value(col):
-    """Literal numeric value (canonical xsd integer/decimal/double lexical
-    forms cast to float64; non-numeric → null)."""
+    """Numeric VALUE of numeric-datatype literals only (XSD numeric tower);
+    plain/string literals, IRIs and bnodes → null — SPARQL numeric
+    comparison on them is a type error, which drops the row (E_Equals /
+    NodeValue promotion semantics, not a lexical cast)."""
     import pyarrow.compute as pc
 
-    lex = pc.struct_field(pc.extract_regex(pc.cast(col, pa.string()), _RE_LEX), "v")
+    lex = pc.struct_field(
+        pc.extract_regex(pc.cast(col, pa.string()), _RE_NUM_LIT), "v"
+    )
     num = pc.struct_field(
         pc.extract_regex(lex, r"^(?P<v>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)$"),
         "v",
     )
     return pc.cast(num, pa.float64())
+
+
+def _lit_value(col):
+    """Lexical form of LITERALS only — null for IRIs/bnodes. The E_Regex /
+    E_StrStartsWith family raises a type error on non-literals (filtering
+    the row) unless the query applies STR() first."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    lex = pc.struct_field(pc.extract_regex(s, _RE_LEX), "v")
+    has_esc = pc.any(pc.fill_null(pc.match_substring(lex, "\\"), False)).as_py()
+    if has_esc:
+        from jena_ray.term import split_literal
+
+        lex = pa.array(
+            [
+                split_literal(v)[0] if v is not None and v.startswith('"') else None
+                for v in s.to_pylist()
+            ],
+            type=pa.string(),
+        )
+    return lex
 
 
 def _lang_value(col):
@@ -369,9 +405,20 @@ def _value_filter_mask(tb: pa.Table, f: tuple, term_col: str):
         }[op]
         mask = kern(v, float(f[2]))
     elif op == "lang":
-        mask = pc.equal(_lang_value(col), f[2])
+        # lang() is only defined on literals (type error drops the row);
+        # the range "*" (langMatches) means "any non-empty tag"
+        is_lit = pc.starts_with(pc.cast(col, pa.string()), '"')
+        lv = _lang_value(col)
+        if f[2] == "*":
+            mask = pc.and_(is_lit, pc.not_equal(lv, ""))
+        else:
+            mask = pc.and_(is_lit, pc.equal(lv, f[2]))
     else:
-        sv = _str_value(col)
+        # 4th tuple slot: STR(...) applied → effective string value;
+        # absent/False → literal lexical only (type error on IRIs/bnodes
+        # drops the row). Programmatic 3-tuples keep the STR behavior.
+        wrapped = bool(f[3]) if len(f) > 3 else True
+        sv = _str_value(col) if wrapped else _lit_value(col)
         if op == "regex":
             mask = pc.match_substring_regex(sv, f[2])
         elif op == "strstarts":

@@ -1,0 +1,144 @@
+"""SPARQL result-set serializers — CSV / TSV / JSON (+ ASK forms).
+
+The reference registers result-set languages separately from RDF syntaxes
+(jena-arq riot/resultset/ResultSetLang.java:40-70 — "Used for result sets,
+not RDF syntaxes" — with writers in ResultSetWriterRegistry.java), exposed
+through ``arq --results=csv|tsv|json``. Formats follow the W3C specs:
+
+- CSV (sparql-results-csv): header row of variable names; RAW values —
+  IRIs bare, literal lexical forms only, bnodes ``_:label``; RFC-4180
+  quoting.
+- TSV (sparql-results-tsv): header ``?var`` names; full term syntax
+  (IRIs in ``<>``, literals with quotes/lang/datatype) — our canonical
+  term strings ARE that syntax.
+- JSON (sparql-results-json): ``{"head": {"vars": [...]}, "results":
+  {"bindings": [{var: {"type": ..., "value": ...}}]}}``; ASK results are
+  ``{"head": {}, "boolean": b}``.
+
+Inputs are pyarrow Tables of canonical term-string columns (what
+sparql_query returns once consumed); unbound OPTIONAL values are nulls and
+serialize as empty/absent per spec.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from jena_ray.term import split_literal
+
+
+def _raw_value(term: str | None) -> str:
+    if term is None:
+        return ""
+    if term.startswith("<"):
+        return term[1:-1]
+    if term.startswith("_:"):
+        return term
+    if term.startswith('"'):
+        return split_literal(term)[0]
+    return term
+
+
+def _csv_field(v: str) -> str:
+    if any(c in v for c in (',', '"', "\n", "\r")):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def write_csv_results(tb: pa.Table) -> str:
+    cols = tb.column_names
+    out = [",".join(_csv_field(c) for c in cols)]
+    for row in tb.to_pylist():
+        out.append(",".join(_csv_field(_raw_value(row[c])) for c in cols))
+    return "\r\n".join(out) + "\r\n"
+
+
+def write_tsv_results(tb: pa.Table) -> str:
+    cols = tb.column_names
+    out = ["\t".join("?" + c for c in cols)]
+    for row in tb.to_pylist():
+        out.append("\t".join(row[c] if row[c] is not None else "" for c in cols))
+    return "\n".join(out) + "\n"
+
+
+def _json_binding(term: str):
+    if term.startswith("<"):
+        return {"type": "uri", "value": term[1:-1]}
+    if term.startswith("_:"):
+        return {"type": "bnode", "value": term[2:]}
+    lex, lang, dt = split_literal(term)
+    b: dict = {"type": "literal", "value": lex}
+    if lang:
+        b["xml:lang"] = lang
+    elif dt:
+        b["datatype"] = dt
+    return b
+
+
+def write_json_results(tb: pa.Table) -> str:
+    cols = tb.column_names
+    if cols == ["ask"]:  # boolean result form
+        return json.dumps(
+            {"head": {}, "boolean": bool(tb.column("ask")[0].as_py())}
+        ) + "\n"
+    bindings = []
+    for row in tb.to_pylist():
+        bindings.append(
+            {c: _json_binding(row[c]) for c in cols if row[c] is not None}
+        )
+    return json.dumps(
+        {"head": {"vars": cols}, "results": {"bindings": bindings}},
+        ensure_ascii=False, indent=2,
+    ) + "\n"
+
+
+RESULT_WRITERS = {
+    "csv": write_csv_results,
+    "tsv": write_tsv_results,
+    "json": write_json_results,
+}
+
+
+# ------------------------------------------------------------- SRX reader
+
+_SRX_NS = "{http://www.w3.org/2005/sparql-results#}"
+
+
+def parse_srx(text: str) -> dict:
+    """Read the SPARQL Query Results XML Format (ResultSetReaderRegistry's
+    SPARQLResultSetXML lang — the DAWG suites' expected-result format).
+
+    Returns ``{"boolean": b}`` for ASK results, else ``{"vars": [...],
+    "rows": [ {var: canonical-term, ...} ]}`` (unbound vars absent)."""
+    import xml.etree.ElementTree as ET
+
+    from jena_ray.term import fmt_iri, fmt_literal
+
+    root = ET.fromstring(text)
+    b = root.find(f"{_SRX_NS}boolean")
+    if b is not None:
+        return {"boolean": b.text.strip() == "true"}
+    head = root.find(f"{_SRX_NS}head")
+    vars_ = [v.get("name") for v in head.findall(f"{_SRX_NS}variable")] \
+        if head is not None else []
+    rows = []
+    results = root.find(f"{_SRX_NS}results")
+    for r in (results or []):
+        row = {}
+        for bind in r.findall(f"{_SRX_NS}binding"):
+            name = bind.get("name")
+            el = list(bind)[0]
+            tag = el.tag.removeprefix(_SRX_NS)
+            val = el.text or ""
+            if tag == "uri":
+                row[name] = fmt_iri(val)
+            elif tag == "bnode":
+                row[name] = "_:" + val
+            else:  # literal
+                lang = el.get("{http://www.w3.org/XML/1998/namespace}lang")
+                dt = el.get("datatype")
+                row[name] = fmt_literal(val, lang=lang, datatype=dt)
+        rows.append(row)
+    return {"vars": vars_, "rows": rows}

@@ -79,7 +79,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
                (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^?])
     """,
     re.VERBOSE,
 )
@@ -241,7 +241,10 @@ class Parser:
             if nxt.kind == "OP" and nxt.text == "^^":
                 self.next()
                 dt = self._iri(self.next())[1:-1]
-                return fmt_literal(canonical_lexical(lex, dt), datatype=dt)
+                # keep the written lexical form — query constants match by
+                # TERM (sameTerm), exactly as Jena builds them; value-space
+                # equivalence is the FILTER layer's job, not the parser's
+                return fmt_literal(lex, datatype=dt)
             return fmt_literal(lex)
         if t.kind == "NUMBER":
             return _number_term(t.text)
@@ -622,6 +625,9 @@ class Parser:
         elif self.at_op("*"):
             self.next()
             mod = "*"
+        elif self.at_op("?"):
+            self.next()
+            mod = "?"
         return pred, inv, mod
 
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
@@ -711,6 +717,12 @@ class Parser:
 
     # -- FILTER expressions → bgp.py filter tuples
     def _parse_filter(self) -> list[tuple]:
+        # grammar: FILTER Constraint, Constraint = BrackettedExpression |
+        # BuiltInCall — a bare builtin (FILTER regex(...)) needs no parens
+        if not self.at_op("("):
+            t = self.peek()
+            if t.kind == "NAME" or (t.kind == "OP" and t.text == "!"):
+                return [self._parse_filter_atom()]
         self.expect_op("(")
         out = [self._parse_filter_atom()]
         while True:
@@ -761,13 +773,27 @@ class Parser:
             if fn in _STR_FNS:
                 self.next()
                 self.expect_op("(")
-                var = self._parse_str_arg()
+                var, wrapped = self._parse_str_arg()
                 self.expect_op(",")
                 s = self.next()
                 if s.kind != "STRING":
                     raise SparqlSyntaxError(f"{fn} pattern must be a string")
+                pat = unescape_string(s.text[1:-1])
+                if fn == "REGEX" and self.at_op(","):
+                    self.next()
+                    flags = self.next()
+                    if flags.kind != "STRING":
+                        raise SparqlSyntaxError("REGEX flags must be a string")
+                    fl = unescape_string(flags.text[1:-1])
+                    if fl not in ("", "i", "s", "m", "is", "si"):
+                        raise SparqlSyntaxError(f"unsupported REGEX flags {fl!r}")
+                    if fl:
+                        pat = f"(?{fl})" + pat
                 self.expect_op(")")
-                return (_STR_FNS[fn], var, unescape_string(s.text[1:-1]))
+                # 4th slot: STR(...) widens the op from literal-only to the
+                # effective string value (E_Regex raises a type error on
+                # IRIs/bnodes unless STR() is applied first)
+                return (_STR_FNS[fn], var, pat, wrapped)
             if fn == "LANGMATCHES":
                 self.next()
                 self.expect_op("(")
@@ -812,17 +838,19 @@ class Parser:
             raise SparqlSyntaxError("LANG needs a variable")
         return "?" + v.text[1:]
 
-    def _parse_str_arg(self) -> str:
+    def _parse_str_arg(self) -> tuple[str, bool]:
+        wrapped = False
         if self.at_kw("STR"):
             self.next()
             self.expect_op("(")
             v = self.next()
             self.expect_op(")")
+            wrapped = True
         else:
             v = self.next()
         if v.kind != "VAR":
             raise SparqlSyntaxError("string function argument must be a variable")
-        return "?" + v.text[1:]
+        return "?" + v.text[1:], wrapped
 
     def _parse_operand(self):
         t = self.peek()
@@ -865,7 +893,7 @@ def _number_term(text: str) -> str:
         dt = XSD + "decimal"
     else:
         dt = XSD + "double"
-    return fmt_literal(canonical_lexical(text, dt), datatype=dt)
+    return fmt_literal(text, datatype=dt)
 
 
 def parse_query(src: str) -> Query:
@@ -911,10 +939,16 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
             raise SparqlSyntaxError("FILTER with a property path is unsupported")
         if select != [obj[1:]]:
             raise SparqlSyntaxError("path queries must select the object variable")
-        res = bgp.path_closure(out_dir, pred, src, var=obj[1:],
-                               num_partitions=num_partitions, inverse=inv)
-        if mod == "*":
-            # P_ZeroOrMore: the source reaches itself in zero steps
+        if mod == "?":
+            # P_ZeroOrOne: direct objects plus the source itself
+            pat = (obj, pred, src) if inv else (src, pred, obj)
+            res = bgp.bgp_execute(out_dir, [pat], [obj[1:]],
+                                  num_partitions=num_partitions, stats=False)
+        else:
+            res = bgp.path_closure(out_dir, pred, src, var=obj[1:],
+                                   num_partitions=num_partitions, inverse=inv)
+        if mod in ("*", "?"):
+            # zero steps: the source reaches itself
             import ray.data as rd
 
             from jena_ray.stages.dedup import dedup_exact
@@ -1280,6 +1314,63 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
     )
 
 
+def _value_order(res, order_by: list[tuple[str, bool]]):
+    """ORDER BY with SPARQL's value comparator (OpOrder over NodeValue
+    ordering — unbound < blank nodes < IRIs < literals, numeric literals by
+    VALUE): each order variable expands to (type-rank, numeric-value,
+    string-value) key columns, sorted together, then dropped."""
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines.bgp import _str_value
+
+    n_keys = len(order_by)
+
+    def add_keys(tb: pa.Table, _ov=tuple(order_by)) -> pa.Table:
+        for i, (v, _d) in enumerate(_ov):
+            col = tb.column(v)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                s = pc.cast(col, pa.string())
+                rank = pc.if_else(
+                    pc.is_null(s),
+                    pa.scalar(0, type=pa.int8()),
+                    pc.if_else(
+                        pc.starts_with(s, "_:"),
+                        pa.scalar(1, type=pa.int8()),
+                        pc.if_else(pc.starts_with(s, "<"),
+                                   pa.scalar(2, type=pa.int8()),
+                                   pa.scalar(3, type=pa.int8())),
+                    ),
+                )
+                num = _term_number(s)
+                sv = _str_value(s)
+            else:  # aggregate alias columns are plain values already
+                rank = pa.array([3] * tb.num_rows, type=pa.int8())
+                num = pc.cast(col, pa.float64())
+                sv = pc.cast(col, pa.string())
+            # sort keys must be null-free: Ray's range-partitioned sort
+            # duplicates boundary rows when a key column is all-null
+            num = pc.fill_null(num, float("inf"))
+            sv = pc.fill_null(sv, "")
+            tb = tb.append_column(f"__o{i}r", rank)
+            tb = tb.append_column(f"__o{i}n", num)
+            tb = tb.append_column(f"__o{i}s", sv)
+        return tb
+
+    keys, descs = [], []
+    for i, (_v, d) in enumerate(order_by):
+        keys += [f"__o{i}r", f"__o{i}n", f"__o{i}s"]
+        descs += [d, d, d]
+    out = res.map_batches(add_keys, batch_format="pyarrow").sort(
+        keys, descending=descs
+    )
+    drop = [f"__o{i}{c}" for i in range(n_keys) for c in "rns"]
+
+    def strip(tb: pa.Table, _d=tuple(drop)) -> pa.Table:
+        return tb.drop_columns(list(_d))
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def sparql_query(
     out_dir: str,
     query: str | Query,
@@ -1429,9 +1520,7 @@ def sparql_query(
             res = reduced(res, sel)
 
     if q.order_by:
-        cols = [v for v, _ in q.order_by]
-        descs = [d for _, d in q.order_by]
-        res = res.sort(cols, descending=descs)
+        res = _value_order(res, q.order_by)
     if q.offset:
         if q.limit is None:
             raise SparqlSyntaxError("OFFSET requires LIMIT in this engine")

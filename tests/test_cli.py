@@ -76,3 +76,40 @@ def test_riot_nt_export_roundtrip(ray_session, tmp_path, capsys):
 
     text = "".join(open(p).read() for p in sorted(glob.glob(str(outdir) + "/*")))
     assert len(T.parse_ntriples(text)) == 2
+
+
+def test_sparql_cli_result_formats(ray_session, tmp_path, capsys):
+    """arq-style sparql subcommand with --results csv/json (W3C result-set
+    serializers from jena_ray.resultset)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "cliidx")
+    t = pa.table(
+        {
+            "subj": ["<http://e/a>", "<http://e/b>"],
+            "pred": ["<http://e/p>", "<http://e/p>"],
+            "obj": ['"1"', '"2"'],
+        }
+    )
+    import os
+
+    os.makedirs(f"{out}/triples")
+    pq.write_table(t, f"{out}/triples/part0.parquet")
+    from jena_ray.stages.materialize import materialize_indexes
+
+    materialize_indexes(out, num_buckets=2, min_rows_per_file=100)
+
+    q = "SELECT ?s ?o WHERE { ?s <http://e/p> ?o } ORDER BY ?s"
+    rc, outp = _run(["sparql", "--loc", out, "--query", q,
+                     "--results", "csv"], capsys)
+    assert rc == 0
+    lines = outp.strip().splitlines()
+    assert lines[0].strip() == "s,o"
+    assert lines[1].strip() == "http://e/a,1"
+
+    rc, outp = _run(["sparql", "--loc", out, "--query", q,
+                     "--results", "json"], capsys)
+    doc = json.loads(outp)
+    assert doc["head"]["vars"] == ["s", "o"]
+    assert len(doc["results"]["bindings"]) == 2

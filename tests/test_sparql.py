@@ -452,3 +452,11 @@ def test_having_and_median_mode(sparql_index):
         num_partitions=4,
     )
     assert len(res.to_pandas()) == 0
+
+
+def test_path_zero_or_one(sparql_index):
+    res = sparql_query(
+        sparql_index, PFX + "SELECT ?y WHERE { ex:d2 ex:linksTo? ?y }",
+        num_partitions=4,
+    )
+    assert _col(res, "y") == [_subj(2), _subj(3)]
