@@ -222,11 +222,19 @@ def cmd_sparql(argv: list[str]) -> int:
                     default="text",
                     help="result-set format (arq --results analog; W3C "
                          "sparql-results CSV/TSV/JSON)")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the SSE-style plan tree and exit "
+                         "(arq --explain / tdbqueryplan analog)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if bool(args.query) == bool(args.query_file):
         ap.error("exactly one of --query / --query-file")
     text = args.query or open(args.query_file).read()
+    if args.explain:
+        from jena_ray.sparql import explain
+
+        print(explain(text), end="")
+        return 0
     _init_ray(args.num_cpus)
 
     import pyarrow as pa

@@ -274,7 +274,8 @@ def _is_pf_pattern(p: Pattern) -> bool:
 
 _ID_FILTER_OPS = {"=", "!=", "bound", "!bound"}
 _NUM_FILTER_OPS = {"<", "<=", ">", ">=", "=", "!="}
-_STR_FILTER_OPS = {"regex", "strstarts", "strends", "contains", "lang"}
+_STR_FILTER_OPS = {"regex", "strstarts", "strends", "contains", "lang",
+                   "langmatches"}
 
 # canonical-NT lexical extraction: IRI <...>, literal "..." (suffix ignored)
 _RE_IRI = r"^<(?P<v>.*)>$"
@@ -404,15 +405,24 @@ def _value_filter_mask(tb: pa.Table, f: tuple, term_col: str):
             ">=": pc.greater_equal, "=": pc.equal, "!=": pc.not_equal,
         }[op]
         mask = kern(v, float(f[2]))
-    elif op == "lang":
-        # lang() is only defined on literals (type error drops the row);
-        # the range "*" (langMatches) means "any non-empty tag"
+    elif op in ("lang", "langmatches"):
+        # lang() is only defined on literals (type error drops the row).
+        # langMatches uses BCP-47 basic ranges: case-insensitive, "*" = any
+        # non-empty tag, "en" matches "en" and "en-GB" (E_LangMatches);
+        # plain LANG(?x) = "tag" stays an exact string compare.
         is_lit = pc.starts_with(pc.cast(col, pa.string()), '"')
         lv = _lang_value(col)
-        if f[2] == "*":
-            mask = pc.and_(is_lit, pc.not_equal(lv, ""))
+        if op == "langmatches":
+            rng = f[2].lower()
+            lvl = pc.utf8_lower(lv)
+            if rng == "*":
+                m = pc.not_equal(lvl, "")
+            else:
+                m = pc.or_(pc.equal(lvl, rng),
+                           pc.starts_with(lvl, rng + "-"))
         else:
-            mask = pc.and_(is_lit, pc.equal(lv, f[2]))
+            m = pc.equal(lv, f[2])
+        mask = pc.and_(is_lit, m)
     else:
         # 4th tuple slot: STR(...) applied → effective string value;
         # absent/False → literal lexical only (type error on IRIs/bnodes
@@ -447,6 +457,11 @@ def _apply_filters(res, res_vars: set[str], filters, out_dir: str):
     for f in val_f:
         if f[0] not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
             raise ValueError(f"unknown filter op: {f[0]}")
+        if f[0] in _NUM_FILTER_OPS and not isinstance(f[2], (int, float)):
+            # ordering comparisons are numeric-only in this engine (dates /
+            # strings would need value-space comparators); fail at PLAN
+            # time, not inside a Ray task
+            raise ValueError(f"non-numeric ordering comparison unsupported: {f}")
 
     if id_f:
 

@@ -29,9 +29,11 @@ import pyarrow as pa
 from jena_ray.term import split_literal
 
 
-def _raw_value(term: str | None) -> str:
+def _raw_value(term) -> str:
     if term is None:
         return ""
+    if not isinstance(term, str):  # aggregate alias columns (plain numbers)
+        return str(term)
     if term.startswith("<"):
         return term[1:-1]
     if term.startswith("_:"):
@@ -59,11 +61,23 @@ def write_tsv_results(tb: pa.Table) -> str:
     cols = tb.column_names
     out = ["\t".join("?" + c for c in cols)]
     for row in tb.to_pylist():
-        out.append("\t".join(row[c] if row[c] is not None else "" for c in cols))
+        out.append(
+            "\t".join(
+                "" if row[c] is None
+                else row[c] if isinstance(row[c], str) else str(row[c])
+                for c in cols
+            )
+        )
     return "\n".join(out) + "\n"
 
 
-def _json_binding(term: str):
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _json_binding(term):
+    if not isinstance(term, str):  # aggregate alias columns (plain numbers)
+        dt = _XSD + ("integer" if isinstance(term, int) else "double")
+        return {"type": "literal", "value": str(term), "datatype": dt}
     if term.startswith("<"):
         return {"type": "uri", "value": term[1:-1]}
     if term.startswith("_:"):

@@ -51,7 +51,6 @@ from jena_ray.term import (
     RDF_NS,
     XSD,
     canonical_langtag,
-    canonical_lexical,
     fmt_iri,
     fmt_literal,
     resolve_iri,
@@ -73,6 +72,8 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+|\#[^\n]*)
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<BNODE>_:[A-Za-z_][A-Za-z_0-9.\-]*)
+  | (?P<ANON>\[[ \t]*\])
   | (?P<STRING>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
@@ -178,6 +179,7 @@ class Parser:
         self.base: str | None = None
         self.prefixes: dict[str, str] = {}
         self._seq = 0  # fresh-variable counter for '/' path desugaring
+        self._bnode_vars: dict[str, str] = {}  # query bnodes act as vars
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok:
@@ -230,6 +232,16 @@ class Parser:
         t = self.next()
         if t.kind == "VAR":
             return "?" + t.text[1:]
+        if t.kind == "ANON":
+            # [] in a query pattern is a fresh non-selectable variable
+            # (SPARQL treats pattern bnodes as scoped variables)
+            self._seq += 1
+            return f"?__bn{self._seq}"
+        if t.kind == "BNODE":
+            v = self._bnode_vars.setdefault(
+                t.text, f"?__bl{len(self._bnode_vars)}"
+            )
+            return v
         if t.kind in ("IRIREF", "PNAME"):
             return self._iri(t)
         if t.kind == "STRING":
@@ -803,7 +815,7 @@ class Parser:
                 self.expect_op(")")
                 if s.kind != "STRING":
                     raise SparqlSyntaxError("LANGMATCHES range must be a string")
-                return ("lang", var, unescape_string(s.text[1:-1]).lower())
+                return ("langmatches", var, unescape_string(s.text[1:-1]).lower())
             if fn == "LANG":
                 var = self._parse_lang_arg()
                 self.expect_op("=")
@@ -1034,9 +1046,6 @@ def _term_number(col):
         "v",
     )
     return pc.cast(num, pa.float64())
-
-
-_INT_DT = f'"^^<{XSD}integer>'
 
 
 # ------------------------------------------------------------- BIND exprs
@@ -1369,6 +1378,107 @@ def _value_order(res, order_by: list[tuple[str, bool]]):
         return tb.drop_columns(list(_d))
 
     return out.map_batches(strip, batch_format="pyarrow")
+
+
+def explain(query: str | Query, *, stats: dict | None = None) -> str:
+    """Render the query plan as an SSE-style op tree (ARQ's
+    ``arq --explain`` / Algebra.compile printout; the fork's
+    jena-neo-optimizer tdbqueryplan.java:150 dumps the same shape to train
+    its learned reorderer). BGP patterns are shown in the join order the
+    executor will use — stats-greedy when a stats side-car is supplied,
+    else most-bound-first (ReorderFixed)."""
+    from jena_ray.pipelines.bgp import REORDER_STRATEGIES
+
+    q = parse_query(query) if isinstance(query, str) else query
+    reorder = REORDER_STRATEGIES["stats" if stats else "fixed"]
+
+    def bgp_lines(patterns, indent):
+        pats = reorder(list(patterns), stats) if patterns else []
+        pad = " " * indent
+        out = [f"{pad}(bgp"]
+        for p in pats:
+            out.append(f"{pad}  (triple {' '.join(p)})")
+        out.append(f"{pad})")
+        return out
+
+    def group_lines(g: Group, indent) -> list[str]:
+        pad = " " * indent
+        if g.paths:
+            s, p, o, mod, inv = g.paths[0]
+            op = {"+": "path+", "*": "path*", "?": "path?"}[mod]
+            inner = [f"{pad}({op}{' ^' if inv else ''} {s} {p} {o})"]
+        elif g.union is not None:
+            inner = [f"{pad}(union"]
+            for b in g.union:
+                inner += group_lines(b, indent + 2)
+            inner.append(f"{pad})")
+        else:
+            inner = bgp_lines(g.patterns, indent)
+        if g.graph is not None:
+            inner = [f"{pad}(graph {g.graph}"] + \
+                ["  " + ln for ln in inner] + [f"{pad})"]
+        if g.values:
+            inner = [f"{pad}(join (table {len(g.values)} rows)"] + \
+                ["  " + ln for ln in inner] + [f"{pad})"]
+        if g.optionals:
+            inner = [f"{pad}(leftjoin"] + ["  " + ln for ln in inner]
+            for o in g.optionals:
+                inner += ["  " + ln for ln in group_lines(o, indent)]
+            inner.append(f"{pad})")
+        for m in g.minuses:
+            inner = [f"{pad}(minus"] + ["  " + ln for ln in inner] + \
+                ["  " + ln for ln in group_lines(m, indent)] + [f"{pad})"]
+        for eg, neg in g.exists:
+            op = "notexists" if neg else "exists"
+            inner = [f"{pad}(filter-{op}"] + ["  " + ln for ln in inner] + \
+                ["  " + ln for ln in group_lines(eg, indent)] + [f"{pad})"]
+        for f in g.filters:
+            args = " ".join(str(a) for a in f[1:])
+            inner = [f"{pad}(filter ({f[0]} {args})"] + \
+                ["  " + ln for ln in inner] + [f"{pad})"]
+        for expr, v in g.binds:
+            inner = [f"{pad}(extend (?{v} {expr})"] + \
+                ["  " + ln for ln in inner] + [f"{pad})"]
+        return inner
+
+    lines = group_lines(q.where, 0) if q.where else ["(table empty)"]
+    if q.aggs or q.group_by:
+        aggs = " ".join(
+            f"(?{a.alias} ({a.func}{' distinct' if a.distinct else ''} "
+            f"{'?' + a.var if a.var else '*'}))" for a in q.aggs
+        )
+        gb = " ".join("?" + v for v in q.group_by)
+        lines = [f"(group ({gb}) ({aggs})"] + \
+            ["  " + ln for ln in lines] + [")"]
+        for op, v, n in q.having:
+            lines = [f"(filter ({op} ?{v} {n})"] + \
+                ["  " + ln for ln in lines] + [")"]
+    if q.form == "select":
+        sel = "*" if q.star else " ".join(
+            "?" + v for v in (q.select + [a.alias for a in q.aggs])
+        )
+        lines = [f"(project ({sel})"] + ["  " + ln for ln in lines] + [")"]
+        if q.distinct:
+            lines = ["(distinct"] + ["  " + ln for ln in lines] + [")"]
+        if q.reduced:
+            lines = ["(reduced"] + ["  " + ln for ln in lines] + [")"]
+    elif q.form == "construct":
+        tmpl = " ".join(f"(triple {' '.join(t)})" for t in q.template or [])
+        lines = [f"(construct ({tmpl})"] + ["  " + ln for ln in lines] + [")"]
+    elif q.form == "ask":
+        lines = ["(ask"] + ["  " + ln for ln in lines] + [")"]
+    elif q.form == "describe":
+        lines = [f"(describe ({' '.join(q.describe)})"] + \
+            ["  " + ln for ln in lines] + [")"]
+    if q.order_by:
+        conds = " ".join(
+            f"({'desc' if d else 'asc'} ?{v})" for v, d in q.order_by
+        )
+        lines = [f"(order ({conds})"] + ["  " + ln for ln in lines] + [")"]
+    if q.limit is not None or q.offset:
+        lines = [f"(slice {q.offset} {q.limit if q.limit is not None else '_'}"] \
+            + ["  " + ln for ln in lines] + [")"]
+    return "\n".join(lines) + "\n"
 
 
 def sparql_query(

@@ -222,7 +222,6 @@ def serialize_jsonld(triples: Iterable[Triple]) -> str:
     return json.dumps([nodes[k] for k in order], indent=2, ensure_ascii=False) + "\n"
 
 
-_NCNAME_START = re.compile(r"[A-Za-z_]")
 _NCNAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 

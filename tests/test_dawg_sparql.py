@@ -36,8 +36,11 @@ SKIP: dict[tuple[str, str], str] = {
     ("algebra", "filter-nested-2"): "nested-group FILTER scoping: the subset "
     "flattens nested groups, so the filter sees the outer binding",
     ("i18n", "normalization-2"): "IRI unicode NFC normalization not applied",
-    ("expr-builtin", "dawg-langMatches-2"): "langMatches prefix ranges "
-    "(en matching en-GB) not implemented — exact tag compare only",
+    ("open-world", "open-eq-06"): "'!=' on unknown-datatype literals must be "
+    "a type error for every row (open-world value spaces); the engine's "
+    "'!=' is sameTerm-based",
+    ("open-world", "date-2"): "XSD date/dateTime value comparison with "
+    "timezone indeterminacy (±14h partial order) not implemented",
 }
 
 # minimum number of accepted (executed) tests per suite — the vacuity guard
@@ -57,6 +60,9 @@ SUITES: dict[str, int] = {
     "reduced": 1,
     "i18n": 1,
     "expr-builtin": 4,
+    "solution-seq": 8,
+    "optional-filter": 1,
+    "open-world": 4,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -55,3 +55,14 @@ def test_json_results_bindings_and_ask():
 
     ask = json.loads(write_json_results(pa.table({"ask": [True]})))
     assert ask == {"head": {}, "boolean": True}
+
+
+def test_numeric_alias_columns():
+    """Aggregate alias columns are plain numbers, not term strings — all
+    three writers must serialize them (caught live via sparql --results)."""
+    tb = pa.table({"l": ['"en"'], "n": pa.array([5], type=pa.int64())})
+    assert "en,5" in write_csv_results(tb)
+    assert '"en"\t5' in write_tsv_results(tb)
+    doc = json.loads(write_json_results(tb))
+    b = doc["results"]["bindings"][0]["n"]
+    assert b["value"] == "5" and b["datatype"].endswith("integer")

@@ -460,3 +460,30 @@ def test_path_zero_or_one(sparql_index):
         num_partitions=4,
     )
     assert _col(res, "y") == [_subj(2), _subj(3)]
+
+
+def test_explain_plan_tree():
+    """arq --explain / the fork's tdbqueryplan shape: SSE op tree with the
+    BGP shown in executor join order (most-bound-first here)."""
+    from jena_ray.sparql import explain
+
+    plan = explain(
+        PFX
+        + """SELECT DISTINCT ?d WHERE {
+              ?d ex:charCount ?c ; a ex:Document .
+              FILTER(?c >= 100)
+            } ORDER BY ?d LIMIT 3"""
+    )
+    assert plan.index("(slice") < plan.index("(order") < plan.index(
+        "(distinct") < plan.index("(project") < plan.index("(filter")
+    # most-bound-first: the 2-bound type pattern precedes the 1-bound one
+    assert plan.index("rdf-syntax-ns#type>") < plan.index("charCount>")
+    assert "(triple ?d <http://ex.org/charCount> ?c)" in plan
+
+
+def test_parse_query_bnodes_as_variables():
+    q = parse_query(PFX + "SELECT ?v WHERE { [] ex:num ?v . _:a ex:p _:a }")
+    pats = q.where.patterns
+    assert pats[0][0].startswith("?__bn")
+    assert pats[1][0] == pats[1][2]  # same label → same variable
+    assert pats[1][0].startswith("?__bl")
