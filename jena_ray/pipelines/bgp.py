@@ -282,8 +282,13 @@ _RE_IRI = r"^<(?P<v>.*)>$"
 _RE_LEX = r'^"(?P<v>(?:[^"\\]|\\.)*)"'
 
 
+_TYPE_FILTER_OPS = {"isiri", "isblank", "isliteral", "isnumeric"}
+
+
 def _is_id_filter(f: tuple) -> bool:
     op = f[0]
+    if op in ("or", "and"):
+        return False  # compound expressions evaluate in value space
     if op in ("bound", "!bound"):
         return True
     if op in ("=", "!=") and isinstance(f[2], str):
@@ -292,7 +297,32 @@ def _is_id_filter(f: tuple) -> bool:
 
 
 def _filter_vars(f: tuple) -> set[str]:
-    return {a[1:] for a in f[1:] if isinstance(a, str) and a.startswith("?")}
+    out: set[str] = set()
+    for a in f[1:]:
+        if isinstance(a, tuple):
+            out |= _filter_vars(a)
+        elif isinstance(a, str) and a.startswith("?"):
+            out.add(a[1:])
+    return out
+
+
+def _validate_filter(f: tuple) -> None:
+    op = f[0]
+    if op in ("or", "and"):
+        for sub in f[1:]:
+            _validate_filter(sub)
+        return
+    if op in ("bound", "!bound") or op in _TYPE_FILTER_OPS:
+        return
+    if op in ("=", "!=") and isinstance(f[2], str):
+        return  # sameTerm leaf
+    if op not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
+        raise ValueError(f"unknown filter op: {f[0]}")
+    if op in _NUM_FILTER_OPS and not isinstance(f[2], (int, float)):
+        # ordering comparisons are numeric-only in this engine (dates /
+        # strings would need value-space comparators); fail at PLAN
+        # time, not inside a Ray task
+        raise ValueError(f"non-numeric ordering comparison unsupported: {f}")
 
 
 def _str_value(col):
@@ -393,11 +423,48 @@ def _id_filter_mask(tb: pa.Table, f: tuple):
     return pc.fill_null(mask, False)
 
 
-def _value_filter_mask(tb: pa.Table, f: tuple, term_col: str):
+def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
+    """Boolean mask for a (possibly compound) value-space filter.
+    ``col_for(varname)`` names the resolved term column of a variable.
+    Error rows evaluate to False (SPARQL effective boolean value: an
+    erroring branch cannot make the row pass; true||error stays true)."""
     import pyarrow.compute as pc
 
     op = f[0]
-    col = tb.column(term_col)
+    if op in ("or", "and"):
+        comb = pc.or_ if op == "or" else pc.and_
+        mask = None
+        for sub in f[1:]:
+            m = _value_filter_mask(tb, sub, col_for)
+            mask = m if mask is None else comb(mask, m)
+        return pc.fill_null(mask, False)
+    if op in ("bound", "!bound"):
+        col = tb.column(col_for(f[1][1:]))
+        return pc.is_valid(col) if op == "bound" else pc.is_null(col)
+    if op in _TYPE_FILTER_OPS:
+        s = pc.cast(tb.column(col_for(f[1][1:])), pa.string())
+        if op == "isiri":
+            mask = pc.starts_with(s, "<")
+        elif op == "isblank":
+            mask = pc.starts_with(s, "_:")
+        elif op == "isliteral":
+            mask = pc.starts_with(s, '"')
+        else:  # isnumeric
+            mask = pc.is_valid(_num_value(s))
+        return pc.fill_null(mask, False)
+    if op in ("=", "!=") and isinstance(f[2], str):
+        # sameTerm leaf reached in value space (inside a compound)
+        col = pc.cast(tb.column(col_for(f[1][1:])), pa.string())
+        rhs = f[2]
+        other = (
+            pc.cast(tb.column(col_for(rhs[1:])), pa.string())
+            if rhs.startswith("?") else rhs
+        )
+        mask = pc.equal(col, other)
+        if op == "!=":
+            mask = pc.invert(mask)
+        return pc.fill_null(mask, False)
+    col = tb.column(col_for(f[1][1:]))
     if op in _NUM_FILTER_OPS:
         v = _num_value(col)
         kern = {
@@ -455,13 +522,7 @@ def _apply_filters(res, res_vars: set[str], filters, out_dir: str):
     id_f = [f for f in filters if _is_id_filter(f)]
     val_f = [f for f in filters if not _is_id_filter(f)]
     for f in val_f:
-        if f[0] not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
-            raise ValueError(f"unknown filter op: {f[0]}")
-        if f[0] in _NUM_FILTER_OPS and not isinstance(f[2], (int, float)):
-            # ordering comparisons are numeric-only in this engine (dates /
-            # strings would need value-space comparators); fail at PLAN
-            # time, not inside a Ray task
-            raise ValueError(f"non-numeric ordering comparison unsupported: {f}")
+        _validate_filter(f)
 
     if id_f:
 
@@ -487,8 +548,9 @@ def _apply_filters(res, res_vars: set[str], filters, out_dir: str):
 
         def apply_val(tb: pa.Table, _fs=tuple(val_f), _vs=tuple(vvars)) -> pa.Table:
             for f in _fs:
-                var = next(iter(_filter_vars(f)))
-                tb = tb.filter(_value_filter_mask(tb, f, f"__ft_{var}"))
+                tb = tb.filter(
+                    _value_filter_mask(tb, f, lambda v: f"__ft_{v}")
+                )
             return tb.drop_columns([f"__ft_{v}" for v in _vs])
 
         res = res.map_batches(apply_val, batch_format="pyarrow")

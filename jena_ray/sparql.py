@@ -26,11 +26,13 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   ``p1/p2`` sequences desugar into the BGP (PathCompiler reduction);
   ``term p+ ?v`` / ``term p* ?v`` closures run path_closure
   (P_OneOrMore / P_ZeroOrMore), including inverted ``^p+``.
-- FILTER expressions: ``&&`` conjunctions of comparisons
+- FILTER expressions: ``&&`` / ``||`` boolean combinations (``&&`` binds
+  tighter; parenthesised sub-expressions allowed) of comparisons
   (``= != < <= > >=`` over numbers or terms), ``BOUND`` / ``!BOUND``,
-  ``sameTerm``, ``REGEX``, ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS``
-  (with or without ``STR(...)``), and ``LANG(?x) = "tag"`` /
-  ``LANGMATCHES(LANG(?x), "tag")``.
+  ``sameTerm``, ``isIRI`` / ``isBlank`` / ``isLiteral`` / ``isNumeric``,
+  ``REGEX`` (with flags), ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS``
+  (with or without ``STR(...)``), ``LANG(?x) = "tag"``, and
+  ``LANGMATCHES`` with BCP-47 basic ranges incl. ``"*"``.
 - BIND expressions: ``STR`` / ``LANG`` / ``DATATYPE`` / ``STRLEN`` /
   ``UCASE`` / ``LCASE`` / ``CONCAT`` / ``MD5`` / ``SHA1..SHA512`` over
   variables and string constants.
@@ -727,7 +729,8 @@ class Parser:
         self.expect_op("}")
         return rows
 
-    # -- FILTER expressions → bgp.py filter tuples
+    # -- FILTER expressions → bgp.py filter tuples ('&&' binds tighter
+    #    than '||'; a top-level conjunction splits into separate filters)
     def _parse_filter(self) -> list[tuple]:
         # grammar: FILTER Constraint, Constraint = BrackettedExpression |
         # BuiltInCall — a bare builtin (FILTER regex(...)) needs no parens
@@ -736,26 +739,32 @@ class Parser:
             if t.kind == "NAME" or (t.kind == "OP" and t.text == "!"):
                 return [self._parse_filter_atom()]
         self.expect_op("(")
-        out = [self._parse_filter_atom()]
-        while True:
-            t = self.peek()
-            if t.kind == "OP" and t.text == "&&":
-                self.next()
-                out.append(self._parse_filter_atom())
-            elif t.kind == "OP" and t.text == "||":
-                raise SparqlSyntaxError(
-                    "FILTER '||' is not in the supported subset (use UNION)"
-                )
-            else:
-                break
+        expr = self._parse_filter_or()
         self.expect_op(")")
-        return out
+        return list(expr[1:]) if expr[0] == "and" else [expr]
+
+    def _parse_filter_or(self) -> tuple:
+        branches = [self._parse_filter_and()]
+        while self.at_op("||"):
+            self.next()
+            branches.append(self._parse_filter_and())
+        return branches[0] if len(branches) == 1 else ("or", *branches)
+
+    def _parse_filter_and(self) -> tuple:
+        atoms = [self._parse_filter_atom()]
+        while self.at_op("&&"):
+            self.next()
+            atoms.append(self._parse_filter_atom())
+        return atoms[0] if len(atoms) == 1 else ("and", *atoms)
+
+    _TYPE_FNS = {"ISIRI": "isiri", "ISURI": "isiri", "ISBLANK": "isblank",
+                 "ISLITERAL": "isliteral", "ISNUMERIC": "isnumeric"}
 
     def _parse_filter_atom(self) -> tuple:
         neg = False
-        while self.at_op("("):
+        if self.at_op("("):
             self.next()
-            a = self._parse_filter_atom()
+            a = self._parse_filter_or()
             self.expect_op(")")
             return a
         if self.at_op("!"):
@@ -764,6 +773,18 @@ class Parser:
         t = self.peek()
         if t.kind == "NAME":
             fn = t.text.upper()
+            if fn in self._TYPE_FNS:
+                if neg:
+                    raise SparqlSyntaxError(
+                        f"'!' before {fn} is not in the supported subset"
+                    )
+                self.next()
+                self.expect_op("(")
+                v = self.next()
+                self.expect_op(")")
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError(f"{fn} needs a variable")
+                return (self._TYPE_FNS[fn], "?" + v.text[1:])
             if fn == "BOUND":
                 self.next()
                 self.expect_op("(")

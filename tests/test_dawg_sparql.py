@@ -47,22 +47,22 @@ SKIP: dict[tuple[str, str], str] = {
 SUITES: dict[str, int] = {
     "basic": 10,
     "triple-match": 4,
-    "distinct": 1,
-    "sort": 2,
+    "distinct": 10,
+    "sort": 8,
     "bound": 0,
-    "regex": 2,
-    "optional": 1,
+    "regex": 4,
+    "optional": 2,
     "construct": 2,
     "ask": 3,
-    "expr-equals": 8,
+    "expr-equals": 10,
     "bnode-coreference": 1,
     "algebra": 4,
     "reduced": 1,
     "i18n": 1,
-    "expr-builtin": 4,
-    "solution-seq": 8,
-    "optional-filter": 1,
-    "open-world": 4,
+    "expr-builtin": 9,
+    "solution-seq": 10,
+    "optional-filter": 2,
+    "open-world": 6,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -88,7 +88,7 @@ def test_parse_base_resolution():
         "SELECT WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o } FOO",
         PFX + "SELECT ?s WHERE { ?s ex:p [ ex:q 1 ] }",
-        PFX + 'SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o = 1 || ?o = 2) }',
+        PFX + "SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o + 1 = 2) }",
         "SELECT ?s WHERE { ?s undefined:p ?o }",
     ],
 )
@@ -487,3 +487,44 @@ def test_parse_query_bnodes_as_variables():
     assert pats[0][0].startswith("?__bn")
     assert pats[1][0] == pats[1][2]  # same label → same variable
     assert pats[1][0].startswith("?__bl")
+
+
+def test_filter_disjunction(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d ?c WHERE {
+              ?d ex:charCount ?c .
+              FILTER(?c < 200 || ?c > 700)
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(i) for i in (0, 1, 8, 9)]
+
+
+def test_filter_nested_bool_and_type_checks(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?d WHERE {
+              ?d ex:label ?l ; ex:charCount ?c .
+              FILTER((LANG(?l) = "fr" && ?c >= 500) || ?c = 0)
+            }""",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(i) for i in (0, 5, 7, 9)]
+
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?o WHERE { ex:d0 ?p ?o . FILTER(isBlank(?o)) }",
+        num_partitions=4,
+    )
+    vals = _col(res, "o")
+    assert len(vals) == 1 and vals[0].startswith("_:")
+
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?o WHERE { ex:d0 ?p ?o . FILTER(isNumeric(?o)) }",
+        num_partitions=4,
+    )
+    assert _col(res, "o") == [f'"0"^^{XSD_INT}']
