@@ -432,6 +432,21 @@ class Parser:
 
     def _parse_construct(self) -> Query:
         self.expect_kw("CONSTRUCT")
+        if self.at_kw("WHERE"):
+            # SPARQL 1.1 shorthand: CONSTRUCT WHERE { patterns } — the
+            # pattern doubles as the template (plain BGP only)
+            self.next()
+            q = Query(form="construct")
+            q.where = self._parse_group()
+            g = q.where
+            if (g.filters or g.optionals or g.minuses or g.union or g.values
+                    or g.paths or g.graph or g.exists or g.binds):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT WHERE shorthand allows only triple patterns"
+                )
+            q.template = list(g.patterns)
+            self._parse_modifiers(q)
+            return q
         self.expect_op("{")
         template: list[tuple] = []
         g = Group()
@@ -1526,6 +1541,11 @@ def sparql_query(
                          pf_context=pf_context, stats=stats)
 
     if q.form == "construct":
+        if q.order_by or q.limit is not None or q.offset or q.group_by or q.aggs:
+            raise SparqlSyntaxError(
+                "solution modifiers on CONSTRUCT are not in the supported "
+                "subset (they would bound the WHERE solutions, not the graph)"
+            )
         res = bgp.bgp_construct(
             out_dir, q.where.patterns, q.template,
             num_partitions=num_partitions,

@@ -528,3 +528,14 @@ def test_filter_nested_bool_and_type_checks(sparql_index):
         num_partitions=4,
     )
     assert _col(res, "o") == [f'"0"^^{XSD_INT}']
+
+
+def test_construct_where_shorthand(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "CONSTRUCT WHERE { ?d ex:mentions ex:e1 }",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert len(df) == 4
+    assert set(df["pred"]) == {"<http://ex.org/mentions>"}
