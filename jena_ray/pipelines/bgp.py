@@ -44,6 +44,7 @@ canonical N-Triples form.
 from __future__ import annotations
 
 import os
+import re
 
 import pyarrow as pa
 
@@ -316,12 +317,26 @@ def _validate_filter(f: tuple) -> None:
         return
     if op in ("=", "!=") and isinstance(f[2], str):
         return  # sameTerm leaf
+    if op == "dtcmp":
+        # ("dtcmp", cmp, "?v", iso_lexical, kind) — temporal value compare
+        # with XSD tz-indeterminacy semantics
+        if (f[1] not in ("<", "<=", ">", ">=", "=", "!=")
+                or not isinstance(f[3], str)
+                or f[4] not in ("date", "dateTime")):
+            raise ValueError(f"malformed dtcmp filter: {f}")
+        return
+    if op == "cmp":
+        # ("cmp", cmp, exprA, exprB) — arithmetic value comparison; the
+        # expression ASTs are validated at evaluation time
+        if f[1] not in ("<", "<=", ">", ">=", "=", "!="):
+            raise ValueError(f"malformed cmp filter: {f}")
+        return
     if op not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
         raise ValueError(f"unknown filter op: {f[0]}")
     if op in _NUM_FILTER_OPS and not isinstance(f[2], (int, float)):
-        # ordering comparisons are numeric-only in this engine (dates /
-        # strings would need value-space comparators); fail at PLAN
-        # time, not inside a Ray task
+        # ordering comparisons on arbitrary term strings are unsupported
+        # (numeric / dateTime constants are lowered to value filters by the
+        # parser); fail at PLAN time, not inside a Ray task
         raise ValueError(f"non-numeric ordering comparison unsupported: {f}")
 
 
@@ -406,6 +421,147 @@ def _lang_value(col):
     return pc.fill_null(pc.struct_field(tag, "v"), "")
 
 
+_RE_DT_KIND = {
+    # date and dateTime occupy DISJOINT value spaces in the reference's
+    # operator dispatch (NodeValue): ordering across kinds is a type
+    # error; '='/'!=' across kinds is determinately not-equal
+    "dateTime": (
+        r'^"(?P<v>[^"]*)"\^\^<http://www\.w3\.org/2001/XMLSchema#'
+        r"(?:dateTime|dateTimeStamp)>$"
+    ),
+    "date": r'^"(?P<v>[^"]*)"\^\^<http://www\.w3\.org/2001/XMLSchema#date>$',
+}
+
+# xsd:date allows a trailing timezone ("2006-08-23Z", "…+05:00") that
+# pandas cannot parse on a bare date — rewrite to midnight-of-that-zone
+_RE_DATE_TZ = re.compile(r"^(\d{4,}-\d{2}-\d{2})(Z|[+-]\d{2}:\d{2})?$")
+_RE_HAS_TZ = re.compile(r"(?:Z|[+-]\d{2}:\d{2})$")
+
+_TZ_WINDOW_NS = 14 * 3600 * 1_000_000_000  # XSD ±14:00 indeterminacy window
+
+
+def _date_to_dt_lexical(lex: str) -> str | None:
+    m = _RE_DATE_TZ.match(lex)
+    if m is None:
+        return None
+    return f"{m.group(1)}T00:00:00{m.group(2) or ''}"
+
+
+def _parse_dt_ns(vals: list[str | None]):
+    """UTC epoch ns (int64, null on unparsable) for ISO lexicals.
+    format="ISO8601" — mixed tz-aware / naive lexicals in one column; plain
+    inference locks onto the first row's format and coerces the rest."""
+    import pandas as pd
+
+    ser = pd.to_datetime(
+        pd.Series(vals, dtype="object"), errors="coerce", utc=True,
+        format="ISO8601",
+    )
+    return pa.array(
+        ser.astype("int64").where(ser.notna(), None), type=pa.int64()
+    )
+
+
+def _dt_parts(col, kind: str):
+    """(t0, has_tz) for one temporal kind: UTC-reading epoch ns of
+    xsd:date / xsd:dateTime literals (null for every other term) and
+    whether the lexical carries an explicit timezone. A timezone-less
+    lexical reads as UTC; the ±14h XSD indeterminacy window is applied by
+    the comparison (mixed tz-ness is determinate only outside it),
+    mirroring NodeValue's XSDDateTime comparators."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    lex = pc.struct_field(pc.extract_regex(s, _RE_DT_KIND[kind]), "v")
+    vals = lex.to_pylist()
+    has_tz = pa.array(
+        [None if v is None else bool(_RE_HAS_TZ.search(v)) for v in vals],
+        type=pa.bool_(),
+    )
+    if kind == "date":
+        vals = [None if v is None else _date_to_dt_lexical(v) for v in vals]
+    return _parse_dt_ns(vals), has_tz
+
+
+def _dt_value(col, kind: str = "any"):
+    """Temporal VALUE as UTC epoch ns for ORDER BY keys (both kinds merged;
+    same-kind ordering is all SPARQL defines, and the sort key only needs
+    a consistent total order)."""
+    import pyarrow.compute as pc
+
+    kinds = ("date", "dateTime") if kind == "any" else (kind,)
+    out = None
+    for k in kinds:
+        arr, _ = _dt_parts(col, k)
+        out = arr if out is None else pc.coalesce(out, arr)
+    return out
+
+
+def _dtcmp_mask(col, cmp_op: str, lexical: str, kind: str):
+    """Determinate-TRUE mask for one temporal comparison against a constant
+    (three-valued: indeterminate and type-error rows are False → dropped).
+    Same tz-ness compares UTC readings directly; mixed tz-ness is
+    determinate only outside the ±14h window; ordering across kinds is a
+    type error while '='/'!=' across kinds is determinately not-equal."""
+    import pyarrow.compute as pc
+
+    c_tz = bool(_RE_HAS_TZ.search(lexical))
+    lex = _date_to_dt_lexical(lexical) if kind == "date" else lexical
+    c0 = _parse_dt_ns([lex])[0].as_py()
+    if c0 is None:
+        raise ValueError(f"unparsable temporal constant: {lexical!r}")
+
+    t0, has_tz = _dt_parts(col, kind)
+    other = "date" if kind == "dateTime" else "dateTime"
+    t0_other, _ = _dt_parts(col, other)
+
+    d = pc.subtract(t0, c0)
+    same_tz = pc.equal(has_tz, c_tz)
+    H = _TZ_WINDOW_NS
+    if cmp_op == "=":
+        mask = pc.and_(same_tz, pc.equal(d, 0))
+    elif cmp_op == "!=":
+        near = {"same": pc.not_equal(d, 0),
+                "mixed": pc.greater(pc.abs(d), H)}
+        mask = pc.if_else(same_tz, near["same"], near["mixed"])
+        # different temporal kind → determinately not equal
+        mask = pc.or_kleene(
+            pc.fill_null(mask, False), pc.is_valid(t0_other)
+        )
+    else:
+        strict = {"<": pc.less, ">": pc.greater}
+        wide = {"<=": pc.less_equal, ">=": pc.greater_equal}
+        kern = (strict | wide)[cmp_op]
+        shift = -H if cmp_op in ("<", "<=") else H
+        mask = pc.if_else(same_tz, kern(d, 0), kern(d, shift))
+    return pc.fill_null(mask, False)
+
+
+def _eval_num_expr(tb: pa.Table, expr, col_for):
+    """Numeric value of an arithmetic expression AST over resolved term
+    columns (E_Add/E_Subtract/E_Multiply/E_Divide with float64 promotion).
+    Leaves: float constants and '?var' strings; nodes: ('+'|'-'|'*'|'/',
+    a, b) and ('neg', a). Non-numeric terms → null → the comparison row
+    drops (SPARQL type error)."""
+    import pyarrow.compute as pc
+
+    if isinstance(expr, (int, float)):
+        return pa.array([float(expr)] * tb.num_rows, type=pa.float64())
+    if isinstance(expr, str) and expr.startswith("?"):
+        return _num_value(tb.column(col_for(expr[1:])))
+    op = expr[0]
+    if op == "neg":
+        return pc.negate(_eval_num_expr(tb, expr[1], col_for))
+    a = _eval_num_expr(tb, expr[1], col_for)
+    b = _eval_num_expr(tb, expr[2], col_for)
+    kern = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+            "/": pc.divide}[op]
+    if op == "/":
+        # SPARQL division by zero is a type error (row drops), not inf
+        b = pc.if_else(pc.equal(b, 0.0), pa.scalar(None, pa.float64()), b)
+    return kern(a, b)
+
+
 def _id_filter_mask(tb: pa.Table, f: tuple):
     import pyarrow.compute as pc
 
@@ -452,6 +608,17 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
         else:  # isnumeric
             mask = pc.is_valid(_num_value(s))
         return pc.fill_null(mask, False)
+    if op == "dtcmp":
+        cmp_op, var, lexical, kind = f[1], f[2][1:], f[3], f[4]
+        return _dtcmp_mask(tb.column(col_for(var)), cmp_op, lexical, kind)
+    if op == "cmp":
+        cmp_op = f[1]
+        a = _eval_num_expr(tb, f[2], col_for)
+        b = _eval_num_expr(tb, f[3], col_for)
+        kern = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+                ">=": pc.greater_equal, "=": pc.equal,
+                "!=": pc.not_equal}[cmp_op]
+        return pc.fill_null(kern(a, b), False)
     if op in ("=", "!=") and isinstance(f[2], str):
         # sameTerm leaf reached in value space (inside a compound)
         col = pc.cast(tb.column(col_for(f[1][1:])), pa.string())

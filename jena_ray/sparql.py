@@ -82,7 +82,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
                (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^?])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+\-=<>!/^?])
     """,
     re.VERBOSE,
 )
@@ -553,6 +553,13 @@ class Parser:
         self.expect_op("{")
         g = Group()
         while not self.at_op("}"):
+            if g.graph is not None:
+                # anything following a GRAPH block in the same group would
+                # silently be absorbed into the named graph — reject (the
+                # subset compiles one GRAPH block per group, nothing else)
+                raise SparqlSyntaxError(
+                    "GRAPH must be the only pattern block in its group"
+                )
             if self.take_kw("FILTER"):
                 nxt = self.peek()
                 if nxt.kind == "NAME" and (
@@ -584,6 +591,14 @@ class Parser:
                 inner = self._parse_group()
                 if inner.graph is not None or inner.union or inner.optionals:
                     raise SparqlSyntaxError("nested GRAPH/UNION inside GRAPH")
+                if (inner.minuses or inner.binds or inner.values
+                        or inner.exists):
+                    # only inner patterns/paths/filters compile to quads —
+                    # anything else would be silently dropped, so raise
+                    raise SparqlSyntaxError(
+                        "MINUS/BIND/VALUES/EXISTS inside GRAPH are not in "
+                        "the supported subset"
+                    )
                 inner.graph = gt
                 if g.patterns or g.paths or g.union:
                     raise SparqlSyntaxError(
@@ -778,10 +793,23 @@ class Parser:
     def _parse_filter_atom(self) -> tuple:
         neg = False
         if self.at_op("("):
+            # a '(' here is either a nested boolean expression or a
+            # parenthesised arithmetic operand of a comparison — try the
+            # boolean parse first, backtrack to arithmetic on failure
+            save = self.i
             self.next()
-            a = self._parse_filter_or()
-            self.expect_op(")")
-            return a
+            try:
+                a = self._parse_filter_or()
+                self.expect_op(")")
+                if not (self.at_op("+") or self.at_op("-") or self.at_op("*")
+                        or self.at_op("/")
+                        or (self.peek().kind == "OP" and self.peek().text in
+                            ("=", "!=", "<", "<=", ">", ">="))):
+                    return a
+            except SparqlSyntaxError:
+                pass
+            self.i = save
+            return self._parse_comparison_tail(self._parse_add_expr())
         if self.at_op("!"):
             self.next()
             neg = True
@@ -861,13 +889,67 @@ class Parser:
                 return ("lang", var, unescape_string(s.text[1:-1]))
         if neg:
             raise SparqlSyntaxError("'!' only supported before BOUND")
-        # comparison: operand OP operand
-        lhs = self._parse_operand()
+        # comparison: additive-expr (OP additive-expr | IN (...) | NOT IN (...))
+        return self._parse_comparison_tail(self._parse_add_expr())
+
+    def _parse_comparison_tail(self, lhs) -> tuple:
+        if self.at_kw("IN") or (self.at_kw("NOT") and self.peek(1).kind == "NAME"
+                                and self.peek(1).text.upper() == "IN"):
+            # E_OneOf / E_NotOneOf — sugar for a disjunction/conjunction of
+            # '='/'!=' atoms, which reuse the value/term lowering below
+            negated = self.take_kw("NOT")
+            self.expect_kw("IN")
+            self.expect_op("(")
+            items = []
+            if not self.at_op(")"):
+                items.append(self._parse_add_expr())
+                while self.at_op(","):
+                    self.next()
+                    items.append(self._parse_add_expr())
+            self.expect_op(")")
+            if not items:
+                # IN () is always false; NOT IN () always true — no mask
+                # machinery for constants, so reject the degenerate form
+                raise SparqlSyntaxError("empty IN () list is not supported")
+            atoms = [self._lower_comparison("!=" if negated else "=", lhs, it)
+                     for it in items]
+            if len(atoms) == 1:
+                return atoms[0]
+            return ("and", *atoms) if negated else ("or", *atoms)
         op_t = self.next()
         if op_t.kind != "OP" or op_t.text not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlSyntaxError(f"expected comparison operator at {op_t.text!r}")
-        op = op_t.text
-        rhs = self._parse_operand()
+        rhs = self._parse_add_expr()
+        return self._lower_comparison(op_t.text, lhs, rhs)
+
+    def _lower_comparison(self, op: str, lhs, rhs) -> tuple:
+        """Lower one comparison to the executor's filter forms: arithmetic
+        sides → ('cmp', …) value compare; XSD-numeric constants → numeric
+        value filter like bare NUMBER tokens (E_Equals/E_LessThan numeric
+        promotion); dateTime/date constants → ('dtcmp', …); otherwise the
+        flat var-on-left form (sameTerm in id space for '='/'!=')."""
+        lhs_n, rhs_n = _numeric_const(lhs), _numeric_const(rhs)
+        if lhs_n is not None:
+            lhs = lhs_n
+        if rhs_n is not None:
+            rhs = rhs_n
+        if isinstance(lhs, tuple) or isinstance(rhs, tuple):
+            for side in (lhs, rhs):
+                if (isinstance(side, str) and not side.startswith("?")):
+                    raise SparqlSyntaxError(
+                        f"non-numeric operand in arithmetic comparison: {side!r}"
+                    )
+            return ("cmp", op, lhs, rhs)
+        # dateTime/date constants compare by temporal VALUE (NodeValue
+        # dateTime comparators) — lowered to the dtcmp value filter
+        for a, b, flipped in ((lhs, rhs, False), (rhs, lhs, True)):
+            dt = _datetime_const(b)
+            if (dt is not None and isinstance(a, str) and a.startswith("?")):
+                o2 = op
+                if flipped:
+                    o2 = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                          "=": "=", "!=": "!="}[op]
+                return ("dtcmp", o2, a, dt[1], dt[0])
         if isinstance(lhs, float) and isinstance(rhs, float):
             raise SparqlSyntaxError("constant-only FILTER comparison")
         if isinstance(lhs, float):  # flip to var-on-left
@@ -876,6 +958,59 @@ class Parser:
         if not (isinstance(lhs, str) and lhs.startswith("?")):
             raise SparqlSyntaxError("comparison left side must be a variable")
         return (op, lhs, rhs)
+
+    def _parse_add_expr(self):
+        """Additive arithmetic expression over FILTER operands (E_Add /
+        E_Subtract over E_Multiply/E_Divide, standard precedence). Returns
+        a float constant, a '?var' / term string, or a nested tuple AST
+        ('+'|'-'|'*'|'/', a, b) / ('neg', a) for the cmp value filter."""
+        e = self._parse_mul_expr()
+        while self.at_op("+") or self.at_op("-"):
+            op = self.next().text
+            r = self._parse_mul_expr()
+            e = self._fold_arith(op, e, r)
+        return e
+
+    def _parse_mul_expr(self):
+        e = self._parse_unary_expr()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next().text
+            r = self._parse_unary_expr()
+            e = self._fold_arith(op, e, r)
+        return e
+
+    @staticmethod
+    def _fold_arith(op: str, a, b):
+        a2 = _numeric_const(a)
+        b2 = _numeric_const(b)
+        a, b = (a2 if a2 is not None else a), (b2 if b2 is not None else b)
+        for side in (a, b):
+            if isinstance(side, str) and not side.startswith("?"):
+                raise SparqlSyntaxError(
+                    f"non-numeric operand in arithmetic: {side!r}"
+                )
+        if isinstance(a, float) and isinstance(b, float):  # constant fold
+            if op == "/" and b == 0.0:
+                raise SparqlSyntaxError("constant division by zero")
+            return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+        return (op, a, b)
+
+    def _parse_unary_expr(self):
+        if self.at_op("-"):
+            self.next()
+            e = self._parse_unary_expr()
+            if isinstance(e, float):
+                return -e
+            return ("neg", e)
+        if self.at_op("+"):
+            self.next()
+            return self._parse_unary_expr()
+        if self.at_op("("):
+            self.next()
+            e = self._parse_add_expr()
+            self.expect_op(")")
+            return e
+        return self._parse_operand()
 
     def _parse_lang_arg(self) -> str:
         self.expect_kw("LANG")
@@ -942,6 +1077,42 @@ def _number_term(text: str) -> str:
     else:
         dt = XSD + "double"
     return fmt_literal(text, datatype=dt)
+
+
+_NUM_CONST_RE = re.compile(
+    r'^"([^"]*)"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:integer|decimal|'
+    r"double|float|int|long|short|byte|nonPositiveInteger|negativeInteger|"
+    r"nonNegativeInteger|positiveInteger|unsignedLong|unsignedInt|"
+    r"unsignedShort|unsignedByte)>$"
+)
+_DT_CONST_RE = re.compile(
+    r'^"(\d{4,}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?)?'
+    r'(?:Z|[+-]\d{2}:\d{2})?)"\^\^'
+    r"<http://www\.w3\.org/2001/XMLSchema#(dateTime|date)>$"
+)
+
+
+def _numeric_const(operand) -> float | None:
+    """Numeric VALUE of an XSD-numeric-datatype literal term, else None."""
+    if not isinstance(operand, str) or not operand.startswith('"'):
+        return None
+    m = _NUM_CONST_RE.match(operand)
+    if m is None:
+        return None
+    try:
+        return float(m.group(1))
+    except ValueError:
+        return None
+
+
+def _datetime_const(operand) -> tuple[str, str] | None:
+    """(kind, ISO lexical form) of an xsd:dateTime/xsd:date literal term,
+    else None (timezone kept; the dtcmp kernel parses it to an instant and
+    compares type-strictly within the kind's value space)."""
+    if not isinstance(operand, str) or not operand.startswith('"'):
+        return None
+    m = _DT_CONST_RE.match(operand)
+    return (m.group(2), m.group(1)) if m else None
 
 
 def parse_query(src: str) -> Query:
@@ -1236,6 +1407,12 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
                     s = g[a.var].nunique()
                 else:
                     s = g[a.var].count()
+            elif a.func in ("min", "max") and df[f"__num_{a.var}"].isna().all():
+                # non-numeric variable (strings/dates/IRIs): fall back to
+                # lexicographic term min/max (the reference's MIN/MAX order
+                # terms by NodeValue; codepoint order on the canonical term
+                # string approximates it for same-kind terms — documented)
+                s = g[a.var].min() if a.func == "min" else g[a.var].max()
             elif a.func in ("sum", "avg", "min", "max", "median"):
                 col = g[f"__num_{a.var}"]
                 s = {"sum": col.sum, "avg": col.mean, "min": col.min,
@@ -1386,7 +1563,16 @@ def _value_order(res, order_by: list[tuple[str, bool]]):
                                    pa.scalar(3, type=pa.int8())),
                     ),
                 )
-                num = _term_number(s)
+                from jena_ray.pipelines.bgp import _dt_value
+
+                # numeric literals order by numeric value; dateTime/date
+                # literals by temporal value (epoch ns — disjoint from the
+                # numeric range in practice, and same-kind ordering is all
+                # SPARQL defines)
+                num = pc.coalesce(
+                    _term_number(s),
+                    pc.cast(_dt_value(s), pa.float64(), safe=False),
+                )
                 sv = _str_value(s)
             else:  # aggregate alias columns are plain values already
                 rank = pa.array([3] * tb.num_rows, type=pa.int8())
@@ -1517,6 +1703,32 @@ def explain(query: str | Query, *, stats: dict | None = None) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _replace_order(q: Query) -> Query:
+    """Copy of the query with ORDER BY cleared (already applied upstream)."""
+    import copy
+
+    q2 = copy.copy(q)
+    q2.order_by = []
+    return q2
+
+
+def ground_pattern_holds(out_dir: str, pattern: tuple,
+                         *, num_partitions: int = 16) -> bool:
+    """Existence probe for one fully-ground triple pattern (the ground-BGP
+    leg of ASK / update-WHERE): open the subject slot as a variable and
+    constrain it back with a sameTerm id filter — one bucket-pruned index
+    scan, no join."""
+    from jena_ray.pipelines import bgp
+
+    s, p, o = pattern
+    res = bgp.bgp_execute(
+        out_dir, [("?__g0", p, o)], ["__g0"],
+        filters=[("=", "?__g0", s)],
+        num_partitions=num_partitions, stats=False,
+    )
+    return len(res.limit(1).take(1)) > 0
+
+
 def sparql_query(
     out_dir: str,
     query: str | Query,
@@ -1563,18 +1775,20 @@ def sparql_query(
 
     if q.form == "ask":
         if not wvars:
-            # fully-ground ASK: open one slot per pattern as a variable
-            # constrained back to the concrete term by a sameTerm filter
+            # fully-ground ASK: ground conjuncts are independent — evaluate
+            # each pattern as its own existence probe and AND the booleans
+            # (a shared fresh variable would demand the probes join, which
+            # ground patterns with different subjects never do)
             g = q.where
-            if g.union or g.optionals or g.minuses or g.paths or g.graph:
+            if (g.union or g.optionals or g.minuses or g.paths or g.graph
+                    or g.filters or g.exists):
                 raise SparqlSyntaxError("ground ASK must be a plain BGP")
-            new_pats, fs = [], list(g.filters)
-            for i, (s, p, o) in enumerate(g.patterns):
-                v = f"?__g{i}"
-                new_pats.append((v, p, o))
-                fs.append(("=", v, s))
-            g.patterns, g.filters = new_pats, fs
-            wvars = _group_vars(g)
+            got = all(
+                ground_pattern_holds(out_dir, p,
+                                     num_partitions=num_partitions)
+                for p in g.patterns
+            )
+            return pa.table({"ask": pa.array([got], type=pa.bool_())})
         sel = sorted(wvars)[:1]
         res = _execute_where(out_dir, q, sel, distinct=False,
                              num_partitions=num_partitions,
@@ -1662,9 +1876,28 @@ def sparql_query(
 
                 res = dedup_exact(res, cols=tuple(sel), coalesce=True)
         else:
-            res = _execute_where(out_dir, q, sel, distinct=q.distinct,
+            # ORDER BY may reference non-projected pattern variables: carry
+            # them through execution and drop them after the sort (illegal
+            # under DISTINCT — the projection changes the multiset first)
+            extra_order = [v for v, _ in q.order_by
+                           if v not in sel and v in wvars]
+            if extra_order and q.distinct:
+                raise SparqlSyntaxError(
+                    f"ORDER BY on non-projected vars with DISTINCT: {extra_order}"
+                )
+            res = _execute_where(out_dir, q, sel + extra_order,
+                                 distinct=q.distinct,
                                  num_partitions=num_partitions,
                                  pf_context=pf_context, stats=stats)
+            if extra_order:
+                if q.order_by:
+                    res = _value_order(res, q.order_by)
+                    q = _replace_order(q)
+
+                def proj_sel(tb: pa.Table, _s=tuple(sel)) -> pa.Table:
+                    return tb.select(list(_s))
+
+                res = res.map_batches(proj_sel, batch_format="pyarrow")
         if q.reduced:
             from jena_ray.pipelines.relational import reduced
 

@@ -53,6 +53,24 @@ def _template_dataset(out_dir: str, op: UpdateOp, template: list[tuple],
         )
     ground = [t for t in template if not any(s.startswith("?") for s in t)]
     templ = [t for t in template if any(s.startswith("?") for s in t)]
+    wvars = sorted({t[1:] for p in g.patterns for t in p if t.startswith("?")})
+    if not wvars:
+        # fully-ground WHERE: the template must be ground too; it applies
+        # once iff every ground conjunct holds (independent probes — the
+        # ground-ASK path), instead of running a zero-variable BGP
+        from jena_ray.sparql import ground_pattern_holds
+
+        if templ:
+            raise SparqlSyntaxError(
+                f"template variables not bound by the ground WHERE: {templ}"
+            )
+        if g.filters:
+            raise SparqlSyntaxError("ground WHERE cannot carry FILTERs")
+        holds = all(
+            ground_pattern_holds(out_dir, p, num_partitions=num_partitions)
+            for p in g.patterns
+        )
+        return _ground_dataset(ground) if (holds and ground) else None
     parts = []
     if templ:
         parts.append(
@@ -64,10 +82,10 @@ def _template_dataset(out_dir: str, op: UpdateOp, template: list[tuple],
         # ground template triples apply once if the WHERE matches at all
         from jena_ray.pipelines.bgp import bgp_execute
 
-        one = bgp_execute(out_dir, g.patterns, sorted(
-            {t[1:] for p in g.patterns for t in p if t.startswith("?")}
-        )[:1], num_partitions=num_partitions, filters=g.filters or None,
-            stats=False).limit(1)
+        one = bgp_execute(out_dir, g.patterns, wvars[:1],
+                          num_partitions=num_partitions,
+                          filters=g.filters or None,
+                          stats=False).limit(1)
         if len(one.take(1)) > 0:
             parts.append(_ground_dataset(ground))
     if not parts:

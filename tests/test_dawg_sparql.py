@@ -39,8 +39,6 @@ SKIP: dict[tuple[str, str], str] = {
     ("open-world", "open-eq-06"): "'!=' on unknown-datatype literals must be "
     "a type error for every row (open-world value spaces); the engine's "
     "'!=' is sameTerm-based",
-    ("open-world", "date-2"): "XSD date/dateTime value comparison with "
-    "timezone indeterminacy (±14h partial order) not implemented",
 }
 
 # minimum number of accepted (executed) tests per suite — the vacuity guard
@@ -62,7 +60,7 @@ SUITES: dict[str, int] = {
     "expr-builtin": 9,
     "solution-seq": 10,
     "optional-filter": 2,
-    "open-world": 6,
+    "open-world": 8,
 }
 
 pytestmark = pytest.mark.skipif(

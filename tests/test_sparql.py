@@ -41,6 +41,13 @@ def sparql_index(ray_session, tmp_path_factory):
     # bnode chain off d0 (DESCRIBE bnode-closure semantics)
     rows.append((_subj(0), "<http://ex.org/note>", "_:n1"))
     rows.append(("_:n1", "<http://ex.org/text>", '"hi"'))
+    # dateTime values on d6..d9 only (describe-count tests cover d0/d4)
+    for i in range(6, 10):
+        rows.append((
+            _subj(i), "<http://ex.org/created>",
+            f'"2024-01-0{i - 5}T12:00:00Z"'
+            '^^<http://www.w3.org/2001/XMLSchema#dateTime>',
+        ))
     t = pa.table(
         {
             "subj": pa.array([r[0] for r in rows]),
@@ -88,8 +95,13 @@ def test_parse_base_resolution():
         "SELECT WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o } FOO",
         PFX + "SELECT ?s WHERE { ?s ex:p [ ex:q 1 ] }",
-        PFX + "SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o + 1 = 2) }",
+        PFX + 'SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o + "a" = 2) }',
         "SELECT ?s WHERE { ?s undefined:p ?o }",
+        # trailing patterns after GRAPH would silently join the named graph
+        PFX + "SELECT ?s WHERE { GRAPH <urn:g> { ?s ex:p ?o } ?s ex:q ?x }",
+        # constructs inside GRAPH braces would silently be dropped
+        PFX + "SELECT ?s WHERE { GRAPH <urn:g> { ?s ex:p ?o "
+              "MINUS { ?s ex:q ?o } } }",
     ],
 )
 def test_parse_rejects(bad):
@@ -539,3 +551,112 @@ def test_construct_where_shorthand(sparql_index):
     df = res.to_pandas()
     assert len(df) == 4
     assert set(df["pred"]) == {"<http://ex.org/mentions>"}
+
+
+# ------------------------------------------------- round-3 expression breadth
+
+def test_ground_ask_multi_pattern(sparql_index):
+    """Fully-ground ASK with several conjuncts — each is an independent
+    existence probe AND'd together (same or different subjects)."""
+    def ask(body):
+        res = sparql_query(sparql_index, PFX + "ASK { " + body + " }",
+                           num_partitions=4)
+        return res.column("ask").to_pylist()[0]
+
+    assert ask("ex:d2 ex:mentions ex:e1 . ex:d2 ex:mentions ex:e2") is True
+    assert ask("ex:d0 ex:mentions ex:e1 . ex:d5 ex:mentions ex:e2") is True
+    assert ask("ex:d0 ex:mentions ex:e1 . ex:d0 ex:mentions ex:e2") is False
+
+
+def test_filter_typed_numeric_constant_equality(sparql_index):
+    """'=' against an XSD-numeric constant compares by VALUE (E_Equals
+    numeric promotion) — non-canonical lexicals and sibling datatypes
+    match (the sameTerm shortcut would miss both)."""
+    for const in ('"200"^^xsd:integer', '"0200"^^xsd:integer',
+                  '"200"^^xsd:int', "200"):
+        res = sparql_query(
+            sparql_index,
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n" + PFX
+            + "SELECT ?d WHERE { ?d ex:charCount ?c . FILTER(?c = "
+            + const + ") }",
+            num_partitions=4,
+        )
+        assert _col(res, "d") == [_subj(2)], const
+
+
+def test_filter_arithmetic(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . "
+              "FILTER(?c / 100 + 1 > 9) }",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(9)]
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . "
+              "FILTER((?c + 100) * 2 >= 1800) }",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(8), _subj(9)]
+    # var-to-var arithmetic comparison across two bindings
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?a WHERE { ?a ex:linksTo ?b . ?a ex:charCount ?ca . "
+              "?b ex:charCount ?cb . FILTER(?cb - ?ca = 100) }",
+        num_partitions=4,
+    )
+    assert _col(res, "a") == [_subj(i) for i in range(4)]
+
+
+def test_filter_in_not_in(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:mentions ?e . "
+              "FILTER(?e IN (ex:e2, ex:nosuch)) }",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(i) for i in (2, 3, 4, 5)]
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:mentions ?e . "
+              "FILTER(?e NOT IN (ex:e2)) }",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(i) for i in range(4)]
+    # numeric IN uses value comparison
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . FILTER(?c IN (100, 300)) }",
+        num_partitions=4,
+    )
+    assert _col(res, "d") == [_subj(1), _subj(3)]
+
+
+def test_filter_and_order_datetime(sparql_index):
+    q = ("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n" + PFX
+         + "SELECT ?d WHERE { ?d ex:created ?t . "
+           'FILTER(?t > "2024-01-02T00:00:00Z"^^xsd:dateTime) }')
+    res = sparql_query(sparql_index, q, num_partitions=4)
+    assert _col(res, "d") == [_subj(7), _subj(8), _subj(9)]
+    # temporal ORDER BY (value, not lexical): descending
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:created ?t } ORDER BY DESC(?t) LIMIT 2",
+        num_partitions=4,
+    )
+    assert [r["d"] for r in res.to_pandas().to_dict("records")] == [
+        _subj(9), _subj(8)
+    ]
+
+
+def test_min_max_non_numeric_terms(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?e (MIN(?d) AS ?lo) (MAX(?d) AS ?hi) "
+              "WHERE { ?d ex:mentions ?e } GROUP BY ?e ORDER BY ?e",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert list(df["lo"]) == [_subj(0), _subj(2)]
+    assert list(df["hi"]) == [_subj(3), _subj(5)]
