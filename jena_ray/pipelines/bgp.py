@@ -377,9 +377,14 @@ def _num_value(col):
     """Numeric VALUE of numeric-datatype literals only (XSD numeric tower);
     plain/string literals, IRIs and bnodes → null — SPARQL numeric
     comparison on them is a type error, which drops the row (E_Equals /
-    NodeValue promotion semantics, not a lexical cast)."""
+    NodeValue promotion semantics, not a lexical cast). Columns that are
+    already numeric (aggregate aliases joined from a subquery) pass
+    through as float64."""
     import pyarrow.compute as pc
 
+    typ = col.type
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pc.cast(col, pa.float64())
     lex = pc.struct_field(
         pc.extract_regex(pc.cast(col, pa.string()), _RE_NUM_LIT), "v"
     )
@@ -734,8 +739,13 @@ def binding_join(
     how: str = "inner",
     num_buckets: int = 16,
     right_extra: tuple[str, ...] = (),
+    col_types: dict | None = None,
 ):
     """Hash-bucketed join of two id-space binding Datasets.
+
+    ``col_types`` maps column name → pa.DataType for non-int64 columns
+    (term-level joins pad with string nulls, aggregate-alias columns keep
+    their value type); unlisted columns default to int64 id columns.
 
     NOT ``Dataset.join``: ray 2.49's native hash join derives each
     aggregator's schema from the first data block each side submits, and an
@@ -766,11 +776,15 @@ def binding_join(
     rcols = sorted(set(rvars) | set(right_extra))
     all_cols = sorted(set(lcols) | set(rcols))
 
+    types = col_types or {}
+
     def prep(side: int, own: tuple[str, ...]):
         def f(tb: pa.Table, _own=own, _side=side) -> pa.Table:
             for c in all_cols:
                 if c not in _own:
-                    tb = tb.append_column(c, pa.nulls(tb.num_rows, type=pa.int64()))
+                    tb = tb.append_column(
+                        c, pa.nulls(tb.num_rows, type=types.get(c, pa.int64()))
+                    )
             tb = tb.select(all_cols)
             tb = tb.append_column(
                 "_side", pa.array([_side] * tb.num_rows, type=pa.int8())

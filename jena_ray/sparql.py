@@ -28,14 +28,20 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   (P_OneOrMore / P_ZeroOrMore), including inverted ``^p+``.
 - FILTER expressions: ``&&`` / ``||`` boolean combinations (``&&`` binds
   tighter; parenthesised sub-expressions allowed) of comparisons
-  (``= != < <= > >=`` over numbers or terms), ``BOUND`` / ``!BOUND``,
+  (``= != < <= > >=`` over numbers or terms, with arithmetic
+  ``+ - * /`` operand expressions, XSD-numeric typed constants compared
+  by value, and xsd:date/dateTime constants compared in the temporal
+  value space with XSD ±14h timezone-indeterminacy semantics),
+  ``IN`` / ``NOT IN`` lists, ``BOUND`` / ``!BOUND``,
   ``sameTerm``, ``isIRI`` / ``isBlank`` / ``isLiteral`` / ``isNumeric``,
   ``REGEX`` (with flags), ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS``
   (with or without ``STR(...)``), ``LANG(?x) = "tag"``, and
   ``LANGMATCHES`` with BCP-47 basic ranges incl. ``"*"``.
 - BIND expressions: ``STR`` / ``LANG`` / ``DATATYPE`` / ``STRLEN`` /
   ``UCASE`` / ``LCASE`` / ``CONCAT`` / ``MD5`` / ``SHA1..SHA512`` over
-  variables and string constants.
+  variables and string constants; arithmetic (``+ - * /`` with standard
+  precedence and unary minus); ``IF(cond, a, b)`` with the FILTER
+  expression grammar for the condition; ``COALESCE(a, b, ...)``.
 - Solution modifiers: ``GROUP BY`` with ``COUNT`` (incl. ``DISTINCT`` and
   ``*``), ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` / ``MEDIAN`` / ``MODE`` /
   ``SAMPLE`` / ``GROUP_CONCAT(...; SEPARATOR "..")``; ``HAVING`` (numeric
@@ -124,6 +130,7 @@ class Group:
     union: list["Group"] | None = None
     values: list[dict] | None = None
     graph: str | None = None
+    subqueries: list["Query"] = field(default_factory=list)  # { SELECT ... }
 
 
 @dataclass
@@ -270,16 +277,21 @@ class Parser:
     def parse_query(self) -> Query:
         self._parse_prologue()
         if self.at_kw("SELECT"):
-            return self._parse_select()
-        if self.at_kw("ASK"):
-            return self._parse_ask()
-        if self.at_kw("CONSTRUCT"):
-            return self._parse_construct()
-        if self.at_kw("DESCRIBE"):
-            return self._parse_describe()
-        raise SparqlSyntaxError(
-            f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {self.peek().text!r}"
-        )
+            q = self._parse_select()
+        elif self.at_kw("ASK"):
+            q = self._parse_ask()
+        elif self.at_kw("CONSTRUCT"):
+            q = self._parse_construct()
+        elif self.at_kw("DESCRIBE"):
+            q = self._parse_describe()
+        else:
+            raise SparqlSyntaxError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {self.peek().text!r}"
+            )
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(f"unexpected trailing input at {t.text!r}")
+        return q
 
     # -- update requests (ParserSPARQL11Update / UpdateEngineMain lineage)
     def parse_update(self) -> UpdateOp:
@@ -440,7 +452,8 @@ class Parser:
             q.where = self._parse_group()
             g = q.where
             if (g.filters or g.optionals or g.minuses or g.union or g.values
-                    or g.paths or g.graph or g.exists or g.binds):
+                    or g.paths or g.graph or g.exists or g.binds
+                    or g.subqueries):
                 raise SparqlSyntaxError(
                     "CONSTRUCT WHERE shorthand allows only triple patterns"
                 )
@@ -544,9 +557,6 @@ class Parser:
             q.offset = int(self.next().text)
         if self.take_kw("LIMIT"):  # OFFSET-then-LIMIT order also legal
             q.limit = int(self.next().text)
-        t = self.peek()
-        if t.kind != "EOF":
-            raise SparqlSyntaxError(f"unexpected trailing input at {t.text!r}")
 
     # -- group graph pattern
     def _parse_group(self) -> Group:
@@ -592,7 +602,7 @@ class Parser:
                 if inner.graph is not None or inner.union or inner.optionals:
                     raise SparqlSyntaxError("nested GRAPH/UNION inside GRAPH")
                 if (inner.minuses or inner.binds or inner.values
-                        or inner.exists):
+                        or inner.exists or inner.subqueries):
                     # only inner patterns/paths/filters compile to quads —
                     # anything else would be silently dropped, so raise
                     raise SparqlSyntaxError(
@@ -611,6 +621,21 @@ class Parser:
             elif self.take_kw("VALUES"):
                 g.values = (g.values or []) + self._parse_values()
             elif self.at_op("{"):
+                nxt = self.peek(1)
+                if nxt.kind == "NAME" and nxt.text.upper() == "SELECT":
+                    # ElementSubQuery: { SELECT ... } — a nested query whose
+                    # solution table joins the enclosing group
+                    self.next()
+                    sub = self._parse_select()
+                    if sub.star:
+                        raise SparqlSyntaxError(
+                            "subqueries must project explicit variables"
+                        )
+                    self.expect_op("}")
+                    g.subqueries.append(sub)
+                    if self.at_op("."):
+                        self.next()
+                    continue
                 first = self._parse_group()
                 branches = [first]
                 while self.take_kw("UNION"):
@@ -639,6 +664,7 @@ class Parser:
         g.minuses.extend(h.minuses)
         g.exists.extend(h.exists)
         g.binds.extend(h.binds)
+        g.subqueries.extend(h.subqueries)
         if h.union:
             if g.union is not None:
                 raise SparqlSyntaxError("only one UNION block per group")
@@ -1043,11 +1069,43 @@ class Parser:
         return self.parse_term()
 
     # -- BIND expressions (E_Str / E_Lang / E_Datatype / E_StrLength /
-    #    E_StrUpperCase / E_StrLowerCase / E_StrConcat / E_MD5 / E_SHA*)
+    #    E_StrUpperCase / E_StrLowerCase / E_StrConcat / E_MD5 / E_SHA* /
+    #    E_Add..E_Divide / E_Conditional / E_Coalesce)
     _BIND_FNS = {"STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE",
                  "CONCAT", "MD5", "SHA1", "SHA256", "SHA384", "SHA512"}
 
     def _parse_bind_expr(self) -> tuple:
+        return self._parse_bind_add()
+
+    def _parse_bind_add(self) -> tuple:
+        e = self._parse_bind_mul()
+        while self.at_op("+") or self.at_op("-"):
+            op = self.next().text
+            e = ("arith", op, e, self._parse_bind_mul())
+        return e
+
+    def _parse_bind_mul(self) -> tuple:
+        e = self._parse_bind_unary()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next().text
+            e = ("arith", op, e, self._parse_bind_unary())
+        return e
+
+    def _parse_bind_unary(self) -> tuple:
+        if self.at_op("-"):
+            self.next()
+            return ("neg", self._parse_bind_unary())
+        if self.at_op("+"):
+            self.next()
+            return self._parse_bind_unary()
+        if self.at_op("("):
+            self.next()
+            e = self._parse_bind_add()
+            self.expect_op(")")
+            return e
+        return self._parse_bind_atom()
+
+    def _parse_bind_atom(self) -> tuple:
         t = self.peek()
         if t.kind == "VAR":
             self.next()
@@ -1055,6 +1113,33 @@ class Parser:
         if t.kind == "STRING":
             self.next()
             return ("const", unescape_string(t.text[1:-1]))
+        if t.kind == "NUMBER":
+            self.next()
+            return ("numconst", float(t.text))
+        if t.kind == "NAME" and t.text.upper() == "IF":
+            # E_Conditional: IF(cond, then, else). The condition reuses the
+            # FILTER expression grammar/kernels; an erroring condition row
+            # takes the else branch (engine simplification of "error →
+            # error" — documented; the common guards isNumeric/BOUND are
+            # exact)
+            self.next()
+            self.expect_op("(")
+            cond = self._parse_filter_or()
+            self.expect_op(",")
+            a = self._parse_bind_add()
+            self.expect_op(",")
+            b = self._parse_bind_add()
+            self.expect_op(")")
+            return ("if", cond, a, b)
+        if t.kind == "NAME" and t.text.upper() == "COALESCE":
+            self.next()
+            self.expect_op("(")
+            args = [self._parse_bind_add()]
+            while self.at_op(","):
+                self.next()
+                args.append(self._parse_bind_add())
+            self.expect_op(")")
+            return ("coalesce", args)
         if t.kind == "NAME" and t.text.upper() in self._BIND_FNS:
             fn = self.next().text.upper()
             self.expect_op("(")
@@ -1131,7 +1216,15 @@ def _group_vars(g: Group) -> set[str]:
         out.add(g.graph[1:])
     for r in g.values or []:
         out |= {k.lstrip("?") for k in r}
+    for sub in g.subqueries:
+        out |= set(_sub_vars(sub))
     return out
+
+
+def _sub_vars(sub: "Query") -> list[str]:
+    """Variables a subquery projects into the enclosing group (explicit
+    projection + aggregate aliases)."""
+    return list(sub.select) + [a.alias for a in sub.aggs]
 
 
 def _execute_where(out_dir: str, q: Query, select: list[str], *,
@@ -1142,6 +1235,12 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
 
     g = q.where
     kw = dict(num_partitions=num_partitions, distinct=distinct)
+
+    if g.subqueries:
+        return _execute_subquery_group(
+            out_dir, q, select, distinct=distinct,
+            num_partitions=num_partitions, pf_context=pf_context, stats=stats,
+        )
 
     if g.paths:
         if (len(g.paths) != 1 or g.patterns or g.optionals or g.minuses
@@ -1241,6 +1340,108 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
                            pf_context=pf_context, stats=stats, **kw)
 
 
+def _execute_subquery_group(out_dir: str, q: Query, select: list[str], *,
+                            distinct: bool, num_partitions: int,
+                            pf_context, stats):
+    """``{ SELECT ... }`` inside a group (ElementSubQuery,
+    sparql/syntax/ElementSubQuery.java:24): evaluate the nested query to
+    its own solution table, then join it to the enclosing BGP at the TERM
+    level — aggregate aliases are plain values, not terms, so the id-space
+    chain can't carry them. Group FILTERs apply post-join (they may
+    reference both sides, the aggregate-then-filter shape). The subquery
+    result is aggregate-/projection-bounded, so materializing it for
+    schema discovery stays in the object store and is small relative to
+    the corpus; the join itself is the bucketed shuffle join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.pipelines import bgp
+    from jena_ray.stages.dedup import dedup_exact
+
+    g = q.where
+    if (len(g.subqueries) != 1 or g.union or g.optionals or g.minuses
+            or g.graph or g.paths or g.exists or g.values):
+        raise SparqlSyntaxError(
+            "a subquery combines only with plain patterns + FILTER"
+        )
+    sub = g.subqueries[0]
+    subvars = _sub_vars(sub)
+    sub_res = sparql_query(out_dir, sub, num_partitions=num_partitions,
+                           pf_context=pf_context, stats=stats)
+    if isinstance(sub_res, pa.Table):
+        sub_res = rd.from_arrow(sub_res)
+    sub_m = sub_res.materialize()
+    sub_schema = sub_m.schema()
+    sub_types = dict(zip(sub_schema.names, sub_schema.types))
+
+    outer_vars = set()
+    for p in g.patterns:
+        outer_vars |= {t[1:] for t in p if t.startswith("?")}
+
+    if not g.patterns:
+        res, res_vars = sub_m, set(subvars)
+    else:
+        shared = sorted(set(subvars) & outer_vars)
+        if not shared:
+            raise SparqlSyntaxError(
+                "the subquery must share a variable with the group patterns"
+            )
+        need = (set(select) & outer_vars) | set(shared)
+        for f in g.filters:
+            need |= bgp._filter_vars(f) & outer_vars
+        outer = bgp.bgp_execute(
+            out_dir, g.patterns, sorted(need),
+            num_partitions=num_partitions, distinct=False, stats=stats,
+            pf_context=pf_context,
+        )
+        col_types = {c: pa.string() for c in need} | sub_types
+        res = bgp.binding_join(
+            outer, need, sub_m, set(subvars), shared,
+            num_buckets=num_partitions, col_types=col_types,
+        )
+        res_vars = need | set(subvars)
+
+    if g.filters:
+        def lower(f: tuple, tb: pa.Table) -> tuple:
+            # var-to-var comparisons against a joined aggregate alias
+            # column (plain numeric, not a term) compare by VALUE — the
+            # aggregate-then-filter shape this operator exists for
+            def numeric(v):
+                t = tb.column(v[1:]).type
+                return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+            if (f[0] in ("<", "<=", ">", ">=", "=", "!=")
+                    and isinstance(f[2], str) and f[2].startswith("?")
+                    and (numeric(f[1]) or numeric(f[2]))):
+                return ("cmp", f[0], f[1], f[2])
+            return f
+
+        fs = tuple(g.filters)
+
+        def fmask(tb: pa.Table, _fs=fs) -> pa.Table:
+            m = None
+            for f in _fs:
+                mm = bgp._value_filter_mask(tb, lower(f, tb), lambda v: v)
+                m = mm if m is None else pc.and_(m, mm)
+            return tb.filter(pc.fill_null(m, False))
+
+        res = res.map_batches(fmask, batch_format="pyarrow")
+
+    missing = [v for v in select if v not in res_vars]
+    if missing:
+        raise SparqlSyntaxError(
+            f"selected vars not bound by patterns or subquery: {missing}"
+        )
+
+    def proj(tb: pa.Table, _s=tuple(select)) -> pa.Table:
+        return tb.select(list(_s))
+
+    res = res.map_batches(proj, batch_format="pyarrow")
+    if distinct:
+        res = dedup_exact(res, cols=tuple(select), coalesce=True)
+    return res
+
+
 def _term_number(col):
     """Numeric value of a term-string column (canonical numeric literals)."""
     import pyarrow.compute as pc
@@ -1261,8 +1462,17 @@ def _bind_vars(expr: tuple) -> set[str]:
     k = expr[0]
     if k == "var":
         return {expr[1]}
-    if k == "const":
+    if k in ("const", "numconst"):
         return set()
+    if k == "if":
+        from jena_ray.pipelines.bgp import _filter_vars
+
+        return (_filter_vars(expr[1]) | _bind_vars(expr[2])
+                | _bind_vars(expr[3]))
+    if k == "arith":
+        return _bind_vars(expr[2]) | _bind_vars(expr[3])
+    if k == "neg":
+        return _bind_vars(expr[1])
     return set().union(*(_bind_vars(a) for a in expr[1])) if expr[1] else set()
 
 
@@ -1296,6 +1506,8 @@ def _eval_raw(tb: pa.Table, expr: tuple):
         return _str_value(tb.column(expr[1]))
     if k == "const":
         return pa.array([expr[1]] * tb.num_rows, type=pa.string())
+    if k in ("numconst", "arith", "neg", "if", "coalesce"):
+        return _str_value(_eval_bind(tb, expr))
     if k == "lang":
         from jena_ray.pipelines.bgp import _lang_value
 
@@ -1345,13 +1557,70 @@ def _datatype_term(col):
     return pc.binary_join_element_wise("<", full, ">", "")
 
 
+def _eval_bind_num(tb: pa.Table, expr: tuple):
+    """Numeric float64 value of a BIND sub-expression (promotion per
+    E_Add..E_Divide; non-numeric rows → null → unbound)."""
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines.bgp import _num_value
+
+    k = expr[0]
+    if k == "numconst":
+        return pa.array([expr[1]] * tb.num_rows, type=pa.float64())
+    if k == "neg":
+        return pc.negate(_eval_bind_num(tb, expr[1]))
+    if k == "arith":
+        a = _eval_bind_num(tb, expr[2])
+        b = _eval_bind_num(tb, expr[3])
+        if expr[1] == "/":
+            # division by zero is a type error (unbound), not inf
+            b = pc.if_else(pc.equal(b, 0.0), pa.scalar(None, pa.float64()), b)
+        kern = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+                "/": pc.divide}[expr[1]]
+        return kern(a, b)
+    return _num_value(pc.cast(_eval_bind(tb, expr), pa.string()))
+
+
+def _num_to_term(v):
+    """Format a float64 column as canonical numeric literal terms: integral
+    values → xsd:integer (exact, the common case); non-integral → xsd:double
+    with Arrow's shortest-roundtrip lexical (engine-defined — the reference
+    keeps decimal arithmetic in xsd:decimal)."""
+    import pyarrow.compute as pc
+
+    finite = pc.and_kleene(pc.is_valid(v), pc.is_finite(v))
+    v = pc.if_else(pc.fill_null(finite, False), v,
+                   pa.scalar(None, pa.float64()))
+    integral = pc.fill_null(pc.equal(v, pc.round(v)), False)
+    int_lex = pc.cast(
+        pc.cast(pc.if_else(integral, v, 0.0), pa.int64()), pa.string()
+    )
+    dbl_lex = pc.cast(v, pa.string())
+    term = pc.if_else(
+        integral,
+        pc.binary_join_element_wise('"', int_lex, f'"^^<{XSD}integer>', ""),
+        pc.binary_join_element_wise('"', dbl_lex, f'"^^<{XSD}double>', ""),
+    )
+    return pc.if_else(pc.is_valid(v), term, pa.scalar(None, pa.string()))
+
+
 def _eval_bind(tb: pa.Table, expr: tuple):
     """Evaluate a BIND expression to a column of canonical TERM strings."""
     import pyarrow.compute as pc
 
-    from jena_ray.pipelines.bgp import _lang_value
+    from jena_ray.pipelines.bgp import _lang_value, _value_filter_mask
 
     k = expr[0]
+    if k in ("numconst", "arith", "neg"):
+        return _num_to_term(_eval_bind_num(tb, expr))
+    if k == "if":
+        mask = pc.fill_null(
+            _value_filter_mask(tb, expr[1], lambda v: v), False
+        )
+        return pc.if_else(mask, _eval_bind(tb, expr[2]),
+                          _eval_bind(tb, expr[3]))
+    if k == "coalesce":
+        return pc.coalesce(*[_eval_bind(tb, a) for a in expr[1]])
     if k == "var":
         return pc.cast(tb.column(expr[1]), pa.string())
     if k == "strlen":

@@ -660,3 +660,95 @@ def test_min_max_non_numeric_terms(sparql_index):
     df = res.to_pandas()
     assert list(df["lo"]) == [_subj(0), _subj(2)]
     assert list(df["hi"]) == [_subj(3), _subj(5)]
+
+
+def test_bind_arithmetic_if_coalesce(sparql_index):
+    # arithmetic BIND: integral results are exact xsd:integer terms
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d ?k WHERE { ?d ex:charCount ?c . "
+              "BIND(?c / 100 + 1 AS ?k) } ORDER BY ?d LIMIT 3",
+        num_partitions=4,
+    )
+    df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    assert list(df["k"]) == [
+        f'"{i + 1}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        for i in range(3)
+    ]
+    # IF with a FILTER-grammar condition choosing string literals
+    res = sparql_query(
+        sparql_index,
+        PFX + 'SELECT ?d ?size WHERE { ?d ex:charCount ?c . '
+              'BIND(IF(?c >= 500, "long", "short") AS ?size) }',
+        num_partitions=4,
+    )
+    df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    sizes = dict(zip(df["d"], df["size"]))
+    assert sizes[_subj(2)] == '"short"'
+    assert sizes[_subj(7)] == '"long"'
+    # COALESCE over an OPTIONAL-unbound variable
+    res = sparql_query(
+        sparql_index,
+        PFX + 'SELECT ?d ?w WHERE { ?d ex:charCount ?c . '
+              "OPTIONAL { ?d ex:created ?t } "
+              'BIND(COALESCE(?t, "unknown") AS ?w) }',
+        num_partitions=4,
+    )
+    df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    w = dict(zip(df["d"], df["w"]))
+    assert w[_subj(0)] == '"unknown"'
+    assert w[_subj(6)].startswith('"2024-01-01T12:00:00Z"')
+
+
+def test_bind_arithmetic_division_by_zero_unbinds(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d ?k WHERE { ?d ex:charCount ?c . "
+              "BIND(100 / ?c AS ?k) } ORDER BY ?d LIMIT 2",
+        num_partitions=4,
+    )
+    df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    assert df["k"].isna().tolist() == [True, False]  # d0 has c=0
+
+
+def test_subquery_aggregate_then_join(sparql_index):
+    """{ SELECT (MAX ...) } aggregate-then-join: docs whose charCount equals
+    the per-entity maximum over mentioning docs."""
+    q = PFX + """
+    SELECT ?e ?d WHERE {
+      ?d ex:mentions ?e .
+      ?d ex:charCount ?c .
+      { SELECT ?e (MAX(?c2) AS ?mx) WHERE {
+          ?d2 ex:mentions ?e . ?d2 ex:charCount ?c2 } GROUP BY ?e }
+      FILTER(?c = ?mx)
+    }
+    """
+    res = sparql_query(sparql_index, q, num_partitions=4)
+    df = res.to_pandas()
+    got = sorted(zip(df["e"], df["d"]))
+    assert got == [
+        ("<http://ex.org/e1>", _subj(3)),
+        ("<http://ex.org/e2>", _subj(5)),
+    ]
+
+
+def test_subquery_alone_with_modifiers(sparql_index):
+    """A group that IS a subquery (with ORDER/LIMIT inside)."""
+    q = PFX + """
+    SELECT ?d WHERE {
+      { SELECT ?d WHERE { ?d ex:mentions ex:e1 } ORDER BY ?d LIMIT 2 }
+    }
+    """
+    res = sparql_query(sparql_index, q, num_partitions=4)
+    assert _col(res, "d") == [_subj(0), _subj(1)]
+
+
+def test_subquery_rejects(sparql_index):
+    for bad in (
+        PFX + "SELECT ?d WHERE { { SELECT * WHERE { ?d ex:mentions ?e } } }",
+        PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . "
+              "{ SELECT ?x WHERE { ?x ex:mentions ex:e1 } } }",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            res = sparql_query(sparql_index, bad, num_partitions=4)
+            res.to_pandas() if hasattr(res, "to_pandas") else None
