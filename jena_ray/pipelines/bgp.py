@@ -60,8 +60,9 @@ from jena_ray.stages.materialize import (
 Pattern = tuple[str, ...]  # 3 slots (s, p, o) or 4 (g, s, p, o)
 
 
-def is_var(t: str) -> bool:
-    return t.startswith("?")
+def is_var(t) -> bool:
+    # predicate slots may hold ("alt", ...) / ("negset", ...) path tuples
+    return isinstance(t, str) and t.startswith("?")
 
 
 def _reorder_fixed(patterns: list[Pattern], _stats) -> list[Pattern]:
@@ -138,6 +139,36 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
     parquet read, bucket-pruned when the bucket key is fully bound)."""
     import pyarrow.compute as pc
     import ray.data as rd
+
+    if len(pattern) == 3 and isinstance(pattern[1], tuple):
+        s, pred, o = pattern
+        if pred[0] == "alt":
+            # P_Alt (sparql/path/P_Alt.java:23) over plain IRIs: the union
+            # of the per-predicate scans. Branch matches are disjoint by
+            # construction (each triple carries exactly one predicate), so
+            # concatenation preserves bag semantics exactly.
+            ds = None
+            for iri in pred[1:]:
+                d = _scan_pattern(out_dir, (s, iri, o), info)
+                ds = d if ds is None else ds.union(d)
+            return ds
+        if pred[0] == "negset":
+            # P_NegPropSet (P_NegPropSet.java:27): scan with the predicate
+            # open, then drop the excluded predicate ids — one vectorized
+            # mask per block (the excluded set is tiny and ships with the
+            # task closure)
+            excluded = pa.array([term_id(i) for i in pred[1:]],
+                                type=pa.int64())
+            pvar = "?__negp"
+            ds = _scan_pattern(out_dir, (s, pvar, o), info)
+            keep = [v[1:] for v in (s, o) if is_var(v)]
+
+            def drop_excluded(tb: pa.Table, _ex=excluded, _keep=tuple(keep)):
+                m = pc.invert(pc.is_in(tb.column(pvar[1:]), value_set=_ex))
+                return tb.filter(m).select(list(_keep))
+
+            return ds.map_batches(drop_excluded, batch_format="pyarrow")
+        raise ValueError(f"unknown path predicate form: {pred}")
 
     if len(pattern) == 4:
         from jena_ray.stages.quads import QUAD_BUCKET_KEYS, _TERM_FOR_QID
@@ -248,6 +279,7 @@ def _is_pf_pattern(p: Pattern) -> bool:
     pred = p[-2]
     return (
         len(p) == 3
+        and isinstance(pred, str)
         and not is_var(pred)
         and pred.startswith("<")
         and pred[1:-1] in BGP_PROPERTY_FUNCTIONS
@@ -837,8 +869,10 @@ def _execute_bgp_ids(
     pf_pats = [p for p in patterns if _is_pf_pattern(p)]
     scan_pats = [p for p in patterns if not _is_pf_pattern(p)]
 
-    if any(len(p) == 4 for p in scan_pats):
-        stats = False  # stats side-car models triple predicates only
+    if any(len(p) == 4 for p in scan_pats) or any(
+        isinstance(p[1], tuple) for p in scan_pats if len(p) == 3
+    ):
+        stats = False  # stats side-car models plain triple predicates only
     if stats is None:
         stats = load_stats(out_dir)
     if stats:  # pass stats=False to force the fixed-order fallback

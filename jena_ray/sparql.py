@@ -88,7 +88,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
                (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+\-=<>!/^?])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+\-=<>!/^?|])
     """,
     re.VERBOSE,
 )
@@ -672,9 +672,32 @@ class Parser:
         if h.values:
             g.values = (g.values or []) + h.values
 
-    def _parse_path_step(self) -> tuple[str, bool, str | None]:
+    def _path_iri(self) -> str:
+        t = self.peek()
+        if t.kind == "NAME" and t.text == "a":
+            self.next()
+            return fmt_iri(RDF_TYPE_IRI)
+        return self._iri(self.next())
+
+    def _parse_path_step(self) -> tuple[str | tuple, bool, str | None]:
         """One path step → (pred, inverse, modifier). Modifiers: '+' / '*'
-        (P_OneOrMore / P_ZeroOrMore), '^' inverse (P_Inverse)."""
+        (P_OneOrMore / P_ZeroOrMore), '^' inverse (P_Inverse). A '!'
+        prefix parses a negated property set — ``!iri`` or
+        ``!(iri1|iri2|...)`` (P_NegPropSet, forward IRIs only) — returned
+        as a ("negset", ...) predicate tuple."""
+        if self.at_op("!"):
+            self.next()
+            iris = []
+            if self.at_op("("):
+                self.next()
+                iris.append(self._path_iri())
+                while self.at_op("|"):
+                    self.next()
+                    iris.append(self._path_iri())
+                self.expect_op(")")
+            else:
+                iris.append(self._path_iri())
+            return ("negset", *iris), False, None
         inv = False
         if self.at_op("^"):
             self.next()
@@ -709,14 +732,38 @@ class Parser:
             while self.at_op("/"):
                 self.next()
                 steps.append(self._parse_path_step())
+            if self.at_op("|"):
+                # P_Alt: alternation of PLAIN forward IRIs ('|' binds
+                # looser than '/', so mixing them in one path is out of
+                # the subset — parenthesised paths are unsupported anyway)
+                if len(steps) > 1:
+                    raise SparqlSyntaxError(
+                        "'|' cannot combine with '/' sequences in a path"
+                    )
+                alts = [steps[0]]
+                while self.at_op("|"):
+                    self.next()
+                    alts.append(self._parse_path_step())
+                iris = []
+                for pred, inv, mod in alts:
+                    if (inv or mod is not None or isinstance(pred, tuple)
+                            or pred.startswith("?")):
+                        raise SparqlSyntaxError(
+                            "path alternation supports plain forward IRIs"
+                        )
+                    iris.append(pred)
+                steps = [(("alt", *iris), False, None)]
             if len(steps) > 1:
                 for pred, _inv, mod in steps:
                     if mod is not None:
                         raise SparqlSyntaxError(
                             "closure modifiers inside '/' sequences are unsupported"
                         )
-                    if pred.startswith("?"):
-                        raise SparqlSyntaxError("variables not allowed in paths")
+                    if isinstance(pred, tuple) or pred.startswith("?"):
+                        raise SparqlSyntaxError(
+                            "variables / property sets not allowed in '/' "
+                            "sequences"
+                        )
             while True:
                 obj = self.parse_term()
                 if len(steps) == 1 and steps[0][2] is not None:
@@ -738,7 +785,7 @@ class Parser:
                             self._seq += 1
                         trip = (nxt, pred, node) if inv else (node, pred, nxt)
                         if template_out is not None:
-                            if inv or len(steps) > 1:
+                            if inv or len(steps) > 1 or isinstance(pred, tuple):
                                 raise SparqlSyntaxError("property path in template")
                             template_out.append(trip)
                         else:
@@ -1209,7 +1256,8 @@ def parse_query(src: str) -> Query:
 def _group_vars(g: Group) -> set[str]:
     out = set()
     for p in g.patterns:
-        out |= {t[1:] for t in p if t.startswith("?")}
+        out |= {t[1:] for t in p
+                if isinstance(t, str) and t.startswith("?")}
     for s, _p, o, *_ in g.paths:
         out |= {t[1:] for t in (s, o) if t.startswith("?")}
     if g.graph and g.graph.startswith("?"):
@@ -1376,7 +1424,8 @@ def _execute_subquery_group(out_dir: str, q: Query, select: list[str], *,
 
     outer_vars = set()
     for p in g.patterns:
-        outer_vars |= {t[1:] for t in p if t.startswith("?")}
+        outer_vars |= {t[1:] for t in p
+                       if isinstance(t, str) and t.startswith("?")}
 
     if not g.patterns:
         res, res_vars = sub_m, set(subvars)

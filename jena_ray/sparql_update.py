@@ -53,7 +53,8 @@ def _template_dataset(out_dir: str, op: UpdateOp, template: list[tuple],
         )
     ground = [t for t in template if not any(s.startswith("?") for s in t)]
     templ = [t for t in template if any(s.startswith("?") for s in t)]
-    wvars = sorted({t[1:] for p in g.patterns for t in p if t.startswith("?")})
+    wvars = sorted({t[1:] for p in g.patterns for t in p
+                    if isinstance(t, str) and t.startswith("?")})
     if not wvars:
         # fully-ground WHERE: the template must be ground too; it applies
         # once iff every ground conjunct holds (independent probes — the

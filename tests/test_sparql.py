@@ -752,3 +752,47 @@ def test_subquery_rejects(sparql_index):
         with pytest.raises(SparqlSyntaxError):
             res = sparql_query(sparql_index, bad, num_partitions=4)
             res.to_pandas() if hasattr(res, "to_pandas") else None
+
+
+def test_path_alternation(sparql_index):
+    """p1|p2 (P_Alt) — union of the per-predicate scans, join-able with
+    other patterns."""
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d ?o WHERE { ?d ex:mentions|ex:linksTo ?o . "
+              "?d ex:charCount ?c . FILTER(?c < 200) }",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    got = sorted(zip(df["d"], df["o"]))
+    assert got == [
+        (_subj(0), _subj(1)), (_subj(0), "<http://ex.org/e1>"),
+        (_subj(1), _subj(2)), (_subj(1), "<http://ex.org/e1>"),
+    ]
+
+
+def test_path_negated_property_set(sparql_index):
+    """!(...) (P_NegPropSet) — open predicate scan minus the excluded set."""
+    T = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    res = sparql_query(
+        sparql_index,
+        PFX + "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+        "SELECT ?p2 WHERE { ?s !(rdf:type|ex:charCount|ex:label"
+        "|ex:mentions|ex:linksTo) ?o . ?s ?p2 ?o }",
+        num_partitions=4,
+    )
+    # remaining predicates: note, text, created — ?p2 re-binds them
+    assert set(_col(res, "p2")) == {
+        "<http://ex.org/note>", "<http://ex.org/text>",
+        "<http://ex.org/created>",
+    }
+
+
+def test_path_alternation_rejects_mixing():
+    for bad in (
+        PFX + "SELECT ?o WHERE { ex:d0 ex:a/ex:b|ex:c ?o }",
+        PFX + "SELECT ?o WHERE { ex:d0 ^ex:a|ex:b ?o }",
+        PFX + "SELECT ?o WHERE { ex:d0 ex:a+|ex:b ?o }",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            parse_query(bad)
