@@ -43,6 +43,13 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 # 256 odd position weights, themselves derived from splitmix64 — fixed forever.
 _POS_WEIGHTS = splitmix64(np.arange(256, dtype=np.uint64)) | _U64(1)
+# an INDEPENDENT weight table for the second 64-bit lane of 128-bit ids —
+# the per-byte map is linear, so a seed mixed only into the finalizer would
+# collide whenever the first lane's weighted sum collides; different weights
+# make the two lanes' sums independent linear forms
+_POS_WEIGHTS_HI = splitmix64(
+    np.arange(256, dtype=np.uint64) + _U64(0xA076_1D64_78BD_642F)
+) | _U64(1)
 
 
 def _hash_bytes_rows(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -78,9 +85,9 @@ def _hash_bytes_rows(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return splitmix64(sums)
 
 
-def hash_string_array(arr) -> np.ndarray:
-    """uint64 hash per element of an Arrow string/large_string/binary array
-    (or ChunkedArray). Null rows hash as empty strings."""
+def _string_bytes_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(data uint8, rebased offsets int64) view of an Arrow string/binary
+    array's value window. Null rows view as empty strings."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
@@ -95,7 +102,45 @@ def hash_string_array(arr) -> np.ndarray:
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
     # slice the value buffer to this array's window and rebase offsets
     base = offsets[0]
-    return _hash_bytes_rows(data[base : offsets[-1]], offsets - base)
+    return data[base : offsets[-1]], offsets - base
+
+
+def hash_string_array(arr) -> np.ndarray:
+    """uint64 hash per element of an Arrow string/large_string/binary array
+    (or ChunkedArray). Null rows hash as empty strings."""
+    data, offsets = _string_bytes_view(arr)
+    return _hash_bytes_rows(data, offsets)
+
+
+def _hash_bytes_rows_hi(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """The second (independent) 64-bit lane: same reduceat structure as
+    _hash_bytes_rows but over _POS_WEIGHTS_HI, a different position mix,
+    and a different length constant."""
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    if len(data) == 0:
+        return splitmix64(lengths.astype(np.uint64) ^ _U64(0xD1B5_4A32_D192_ED03))
+    starts = offsets[:-1]
+    pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lengths)
+    with np.errstate(over="ignore"):
+        contrib = (
+            (data.astype(np.uint64) + _U64(0x9E37))
+            * _POS_WEIGHTS_HI[pos & 255]
+            * (pos.astype(np.uint64) * _U64(4) + _U64(3))
+        )
+        contrib = np.concatenate([contrib, np.zeros(1, np.uint64)])
+        sums = np.add.reduceat(contrib, starts) if n else np.empty(0, np.uint64)
+        sums[lengths == 0] = _U64(0)
+        sums ^= lengths.astype(np.uint64) * _U64(0xD1B5_4A32_D192_ED03)
+    return splitmix64(sums)
+
+
+def hash128_string_array(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) uint64 lanes of a 128-bit content hash per element — two
+    independent linear byte maps over one buffer view (the 10^12-distinct-
+    value id space: 64-bit ids hit the birthday bound near 10^9-10^10)."""
+    data, offsets = _string_bytes_view(arr)
+    return _hash_bytes_rows(data, offsets), _hash_bytes_rows_hi(data, offsets)
 
 
 def mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:

@@ -10,10 +10,10 @@ forward). Ray-Data-first mapping:
 - each triple pattern becomes a **pattern scan**: the index whose leading
   columns are bound serves a filtered parquet read (bucket-pruned when the
   bucket key is fully bound) producing a Dataset of VARIABLE BINDINGS in
-  id space — int64 columns named by variable;
+  id space — fixed_size_binary(16) columns named by variable;
 - patterns join left-to-right on shared variables with the hash-bucketed
   groupby join (``binding_join`` — one shuffle, vectorized per-bucket
-  ``pa.Table.join``) — 8-byte id keys, never term strings (the join order
+  ``pa.Table.join``) — 16-byte id keys, never term strings (the join order
   heuristic is most-bound-first; a StatsMatcher-style cardinality planner
   slots in here);
 - selected variables resolve ids → terms at the END, one hash join per
@@ -49,6 +49,7 @@ import re
 import pyarrow as pa
 
 from jena_ray.stages.materialize import (
+    ID_TYPE,
     ID_BUCKET_KEYS,
     ID_ORDERS,
     _TERM_FOR_ID,
@@ -141,34 +142,33 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
     import ray.data as rd
 
     if len(pattern) == 3 and isinstance(pattern[1], tuple):
+        # P_Alt (sparql/path/P_Alt.java:23) / P_NegPropSet
+        # (P_NegPropSet.java:27) over plain IRIs: ONE open-predicate scan
+        # with a vectorized predicate-id membership mask per block — the
+        # predicate set is tiny and ships with the task closure. A single
+        # read stage, deliberately NOT a Dataset.union of per-predicate
+        # scans: union adds an operator per branch and long streaming
+        # sessions have hung on those chains (round-2 path_closure lesson).
+        # Branch matches are disjoint by construction (each triple carries
+        # exactly one predicate), so the mask preserves bag semantics
+        # exactly.
         s, pred, o = pattern
-        if pred[0] == "alt":
-            # P_Alt (sparql/path/P_Alt.java:23) over plain IRIs: the union
-            # of the per-predicate scans. Branch matches are disjoint by
-            # construction (each triple carries exactly one predicate), so
-            # concatenation preserves bag semantics exactly.
-            ds = None
-            for iri in pred[1:]:
-                d = _scan_pattern(out_dir, (s, iri, o), info)
-                ds = d if ds is None else ds.union(d)
-            return ds
-        if pred[0] == "negset":
-            # P_NegPropSet (P_NegPropSet.java:27): scan with the predicate
-            # open, then drop the excluded predicate ids — one vectorized
-            # mask per block (the excluded set is tiny and ships with the
-            # task closure)
-            excluded = pa.array([term_id(i) for i in pred[1:]],
-                                type=pa.int64())
-            pvar = "?__negp"
-            ds = _scan_pattern(out_dir, (s, pvar, o), info)
-            keep = [v[1:] for v in (s, o) if is_var(v)]
+        if pred[0] not in ("alt", "negset"):
+            raise ValueError(f"unknown path predicate form: {pred}")
+        ids = pa.array([term_id(i) for i in pred[1:]], type=ID_TYPE)
+        invert = pred[0] == "negset"
+        pvar = "?__setp"
+        ds = _scan_pattern(out_dir, (s, pvar, o), info)
+        keep = [v[1:] for v in (s, o) if is_var(v)]
 
-            def drop_excluded(tb: pa.Table, _ex=excluded, _keep=tuple(keep)):
-                m = pc.invert(pc.is_in(tb.column(pvar[1:]), value_set=_ex))
-                return tb.filter(m).select(list(_keep))
+        def pred_mask(tb: pa.Table, _ids=ids, _keep=tuple(keep),
+                      _inv=invert):
+            m = pc.is_in(tb.column(pvar[1:]), value_set=_ids)
+            if _inv:
+                m = pc.invert(m)
+            return tb.filter(m).select(list(_keep))
 
-            return ds.map_batches(drop_excluded, batch_format="pyarrow")
-        raise ValueError(f"unknown path predicate form: {pred}")
+        return ds.map_batches(pred_mask, batch_format="pyarrow")
 
     if len(pattern) == 4:
         from jena_ray.stages.quads import QUAD_BUCKET_KEYS, _TERM_FOR_QID
@@ -202,14 +202,18 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
             path = bpath
         else:
             return rd.from_arrow(
-                pa.table({terms[t][1:]: pa.array([], type=pa.int64())
+                pa.table({terms[t][1:]: pa.array([], type=ID_TYPE)
                           for idc, t in term_for_id.items() if is_var(terms[t])})
             )
     expr = None
     for idc, val in bound_ids.items():
         if val is None:
             continue
-        e = pc.field(idc) == val
+        # the scalar MUST be typed fixed_size_binary(16): an untyped Python
+        # bytes literal becomes a variable-length binary scalar, and
+        # pyarrow's dataset scanner SEGFAULTS evaluating fsb16 == binary
+        # in a pushed-down parquet filter (observed pyarrow 19/ray 2.49)
+        e = pc.field(idc) == pa.scalar(val, ID_TYPE)
         expr = e if expr is None else (expr & e)
     ds = rd.read_parquet(
         path, columns=id_cols,
@@ -243,7 +247,7 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
 # OpExecutor via transformProperty; jena-text registers text:query there,
 # TextQueryPF.java). A registered predicate IRI turns its pattern into a
 # binding GENERATOR: fn(out_dir, pattern, info, context) → Dataset of
-# int64 id columns named by the pattern's variables.
+# id columns named by the pattern's variables.
 # ---------------------------------------------------------------------------
 
 TEXT_QUERY_IRI = "http://jena.apache.org/text#query"
@@ -609,7 +613,8 @@ def _id_filter_mask(tb: pa.Table, f: tuple):
     if op == "!bound":
         return pc.is_null(col)
     rhs = f[2]
-    other = tb.column(rhs[1:]) if rhs.startswith("?") else term_id(rhs)
+    other = (tb.column(rhs[1:]) if rhs.startswith("?")
+             else pa.scalar(term_id(rhs), ID_TYPE))
     mask = pc.equal(col, other)
     if op == "!=":
         mask = pc.invert(mask)
@@ -785,8 +790,9 @@ def binding_join(
     (hash_shuffle._shuffle_block returns before honoring
     ``send_empty_blocks``), so a side whose first-arriving block is empty —
     a pattern that matched nothing, a filtered read — crashes the join with
-    "No match for FieldRef". Binding schemas here are fully known (int64
-    per variable), so the bucketed-groupby join is both immune and
+    "No match for FieldRef". Binding schemas here are fully known (a
+    fixed_size_binary(16) id per variable), so the bucketed-groupby join
+    is both immune and
     idiomatic: pad both sides to the combined column set, tag the side,
     hash-bucket on the join keys, co-locate with ONE groupby shuffle, and
     run the vectorized ``pa.Table.join`` per bucket (the same per-partition
@@ -815,7 +821,7 @@ def binding_join(
             for c in all_cols:
                 if c not in _own:
                     tb = tb.append_column(
-                        c, pa.nulls(tb.num_rows, type=types.get(c, pa.int64()))
+                        c, pa.nulls(tb.num_rows, type=types.get(c, ID_TYPE))
                     )
             tb = tb.select(all_cols)
             tb = tb.append_column(
@@ -855,7 +861,7 @@ def _execute_bgp_ids(
     stats: dict | None | bool = None,
     pf_context: dict | None = None,
 ):
-    """Execute a BGP in id space → (bindings Dataset of int64 var columns,
+    """Execute a BGP in id space → (bindings Dataset of id var columns,
     bound var set). The inner-join chain shared by bgp_execute and
     bgp_optional (OpBGP inside OpJoin/OpLeftJoin — OpExecutor.java:62).
 
@@ -1031,7 +1037,7 @@ def bgp_union(
 
         def pad(tb: pa.Table, _missing=tuple(sorted(all_vars - rv)), _cols=tuple(cols)) -> pa.Table:
             for m in _missing:
-                tb = tb.append_column(m, pa.nulls(tb.num_rows, type=pa.int64()))
+                tb = tb.append_column(m, pa.nulls(tb.num_rows, type=ID_TYPE))
             return tb.select(list(_cols))
 
         padded.append(res.map_batches(pad, batch_format="pyarrow"))
@@ -1103,6 +1109,7 @@ def _semi_anti_join(left, lvars, right, shared, *, keep_matched, num_buckets):
     j = binding_join(
         left, lvars, rkeys, set(shared), shared,
         how="left_outer", num_buckets=num_buckets, right_extra=("__m",),
+        col_types={"__m": pa.int64()},
     )
     keep = pc.is_valid if keep_matched else pc.is_null
 
@@ -1212,7 +1219,7 @@ def values_bindings(rows: list[dict[str, str]]):
             raise ValueError(f"VALUES row binds {sorted(got)}, expected {vars_}")
         for v in vars_:
             cols[v].append(term_id(got[v]))
-    tbl = pa.table({v: pa.array(cols[v], type=pa.int64()) for v in vars_})
+    tbl = pa.table({v: pa.array(cols[v], type=ID_TYPE) for v in vars_})
     return rd.from_arrow(tbl), set(vars_)
 
 
@@ -1248,6 +1255,15 @@ def bgp_construct(
     missing = [v for v in tvars if v not in res_vars]
     if missing:
         raise ValueError(f"template vars not bound by the BGP: {missing}")
+    has_bnodes = any(
+        isinstance(t, str) and t.startswith("_:")
+        for trip in template for t in trip
+    )
+    if has_bnodes and not tvars:
+        raise ValueError(
+            "bnode template slots need at least one template variable "
+            "(fresh labels are allocated per distinct solution)"
+        )
 
     def proj(tb: pa.Table, _v=tuple(tvars)) -> pa.Table:
         return tb.select(list(_v))
@@ -1259,12 +1275,36 @@ def bgp_construct(
     outs = []
     for trip in template:
 
-        def emit(tb: pa.Table, _t=tuple(trip)) -> pa.Table:
+        def emit(tb: pa.Table, _t=tuple(trip), _tv=tuple(tvars)) -> pa.Table:
+            import numpy as np
+
+            from jena_ray.functions.hashing import (
+                hash_string_array,
+                splitmix64,
+            )
+            from jena_ray.stages.dedup import _key_hash
+
             n = tb.num_rows
             cols = {}
+            row_h = None
             for slot, name in zip(_t, ("subj", "pred", "obj")):
                 if is_var(slot):
                     cols[name] = tb.column(slot[1:])
+                elif slot.startswith("_:"):
+                    # fresh bnode PER SOLUTION (Template.java remaps
+                    # template bnodes per binding): skolemize with the
+                    # solution row's content hash — deterministic, and the
+                    # same label in two template slots of one solution
+                    # yields the same node
+                    if row_h is None:
+                        row_h = _key_hash(tb.select(list(_tv)), list(_tv))
+                    lbl_h = hash_string_array(pa.array([slot]))[0]
+                    h = splitmix64(row_h ^ np.uint64(lbl_h))
+                    hexes = h.astype(">u8").tobytes().hex()
+                    cols[name] = pa.array(
+                        ["_:c" + hexes[i * 16:(i + 1) * 16] for i in range(n)],
+                        type=pa.string(),
+                    )
                 else:
                     cols[name] = pa.array([slot] * n, type=pa.string())
             return pa.table(cols)
@@ -1289,7 +1329,7 @@ def path_closure(
     visited set). Semi-naive BFS in id space: each hop probes the
     distributed edge scan with a broadcast frontier (one vectorized
     ``is_in`` filter per block — no shuffle per hop), and the frontier /
-    visited sets live on the DRIVER as int64 sets, exactly because the
+    visited sets live on the DRIVER as id-byte sets, exactly because the
     closure of one source node is tiny next to the corpus (the reference's
     PathEngine holds its visited set in the query engine for the same
     reason). The loop runs at most graph diameter ≤ max_iters hops.
@@ -1306,10 +1346,10 @@ def path_closure(
     edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info).materialize()
 
     probe_col, out_col = ("y", "x") if inverse else ("x", "y")
-    frontier: set[int] = {term_id(source)}
-    visited: set[int] = set()
+    frontier: set[bytes] = {term_id(source)}
+    visited: set[bytes] = set()
     for _ in range(max_iters):
-        probe = pa.array(sorted(frontier), type=pa.int64())
+        probe = pa.array(sorted(frontier), type=ID_TYPE)
 
         def hop(tb: pa.Table, _p=probe) -> pa.Table:
             keep = pc.is_in(tb.column(probe_col), value_set=_p)
@@ -1329,14 +1369,14 @@ def path_closure(
     if not visited:
         return rd.from_arrow(pa.table({var: pa.array([], type=pa.string())}))
     ids = rd.from_arrow(
-        pa.table({"y": pa.array(sorted(visited), type=pa.int64())})
+        pa.table({"y": pa.array(sorted(visited), type=ID_TYPE)})
     )
     return resolve_id_columns(ids, out_dir, {"y": var})
 
 
 def kg_text_index_dir(sf_dir: str) -> str:
     """text:query side-car for the KG tier: an inverted index whose doc key
-    is ``term_id(<doc IRI>)`` — int64, the same id space as the triple
+    is ``term_id(<doc IRI>)`` — the same id space as the triple
     indexes, so text:query bindings join the BGP chain with no resolve
     (jena-text builds its Lucene index next to the TDB dataset the same
     way: TextDatasetFactory wires index and graph into one dataset).

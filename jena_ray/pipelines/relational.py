@@ -378,9 +378,13 @@ def customer_order_totals(sf_dir: str):
 
 def order_priority_aggs(sf_dir: str):
     """Aggregate parity (Agg*.java): GroupConcat(DISTINCT, ordered), Median,
-    Mode (min tie-break), CountDistinct, Sample (deterministic = min) per
-    o_orderpriority, via the registered AggregateFn factories (§2.10
-    AggregateRegistry seam)."""
+    Mode (min tie-break), CountDistinct, Sample (deterministic = min),
+    Min/Max per o_orderpriority, via the registered AggregateFn factories
+    (§2.10 AggregateRegistry seam). Subsumes the former agg_minmax_orders
+    registry entry (still available below) so the driver registry stays at
+    its 50-row cap."""
+    from ray.data.aggregate import Max, Min
+
     from jena_ray.functions.scalar import AGGREGATES
 
     ds = _read(
@@ -394,6 +398,8 @@ def order_priority_aggs(sf_dir: str):
         AGGREGATES["mode"]("o_orderstatus", "mode_status"),
         AGGREGATES["count_distinct"]("o_custkey", "n_custkeys"),
         AGGREGATES["sample"]("o_orderkey", "sample_orderkey"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
     )
     return _round_cols(out, {"median_price": 6}).sort("o_orderpriority")
 

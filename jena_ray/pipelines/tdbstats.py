@@ -11,7 +11,7 @@ chosen pattern's variables as bound for subsequent estimates
 Ray-Data-first mapping:
 
 - ``collect_stats`` is a two-stage aggregate over the **id-space** SPO index
-  (int64 columns only — the strings stay in the NodeTable): map-side partial
+  (id columns only — the strings stay in the NodeTable): map-side partial
   counts per ``p_id`` plus distinct (p,s)/(p,o) pair counts, then a small
   groupby. Per-predicate distinct-subject/object counts give the planner
   average fan-outs, which stats.opt approximates with fixed weights.

@@ -31,18 +31,77 @@ import pyarrow as pa
 
 
 def _int_cols(batch: pa.Table, cols: Sequence[str]):
-    """The key columns as null-free int64 numpy arrays, or None when any
-    column is non-integer / has nulls (string path applies then)."""
+    """The key columns as null-free int64/uint64 numpy LANES, or None when
+    any column is neither integer nor fixed_size_binary(16) or has nulls
+    (string path applies then). A fixed_size_binary(16) id column (128-bit
+    term ids) contributes two uint64 lanes — zero-copy views of the value
+    buffer."""
     import numpy as np
+
+    import pyarrow.compute as pc
 
     out = []
     for c in cols:
         a = batch.column(c)
-        if not pa.types.is_integer(a.type) or a.null_count:
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if pa.types.is_integer(a.type):
+            if a.null_count:
+                return None
+            out.append(a.to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        elif (pa.types.is_fixed_size_binary(a.type)
+              and a.type.byte_width == 16):
+            # id columns can be nullable (OPTIONAL outputs) and can't take
+            # the string fallback (arbitrary bytes aren't UTF-8): ALWAYS
+            # emit a validity lane (so the key hash is identical whether or
+            # not a given batch happens to contain nulls) and fill nulls
+            # with zero bytes — null stays a distinct key from any real id
+            out.append(
+                pc.is_valid(a).to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            if a.null_count:
+                a = pc.fill_null(a, b"\x00" * 16)
+            raw = np.frombuffer(a.buffers()[1], dtype="<u8")
+            w = raw[a.offset * 2 : (a.offset + len(a)) * 2]
+            out.append(np.ascontiguousarray(w[0::2]).view(np.int64))
+            out.append(np.ascontiguousarray(w[1::2]).view(np.int64))
+        else:
             return None
-        out.append(
-            a.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        )
+    return out
+
+
+def _string_key_cols(batch: pa.Table, cols: Sequence[str]) -> list:
+    """String arrays for the concatenated-key fallback. fixed_size_binary
+    id columns are NOT UTF-8-castable: decompose each into a validity
+    column plus two EXACT int64 lanes (cast to string), preserving exact
+    key identity (null ids equal each other, distinct from every real
+    id)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    out = []
+    for c in cols:
+        a = batch.column(c)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if (pa.types.is_fixed_size_binary(a.type)
+                and a.type.byte_width == 16):
+            out.append(pc.cast(pc.is_valid(a), pa.string()))
+            if a.null_count:
+                a = pc.fill_null(a, b"\x00" * 16)
+            raw = np.frombuffer(a.buffers()[1], dtype="<u8")
+            w = raw[a.offset * 2 : (a.offset + len(a)) * 2]
+            out.append(pc.cast(
+                pa.array(np.ascontiguousarray(w[0::2]).view(np.int64)),
+                pa.string(),
+            ))
+            out.append(pc.cast(
+                pa.array(np.ascontiguousarray(w[1::2]).view(np.int64)),
+                pa.string(),
+            ))
+        else:
+            out.append(pc.cast(a, pa.string()))
     return out
 
 
@@ -72,7 +131,7 @@ def dedup_batch(batch: pa.Table, cols: Sequence[str]) -> pa.Table:
         # (np.unique collapses the null codes), silently dropping rows
         # (bit OPTIONAL/left-join outputs, where unmatched vars are null)
         joined = pc.binary_join_element_wise(
-            *[pc.cast(batch.column(c), pa.string()) for c in cols],
+            *_string_key_cols(batch, cols),
             "\x1f",
             null_handling="replace",
             null_replacement="\x00\x00"
@@ -100,11 +159,11 @@ def _key_hash(batch: pa.Table, cols: Sequence[str]):
     triples — the id-index shuffles were spending more time stringifying
     int64s than sorting).
 
-    HAZARD: a single null in an int column flips the whole batch to the
-    string path, which hashes DIFFERENT bucket values than the int path.
-    Callers that must stay bucket-aligned with an int-hashed layout (the
-    terms NodeTable) must fill nulls before bucketing — see
-    materialize.resolve_id_columns."""
+    HAZARD: a single null in an INT column flips the whole batch to the
+    string path, which hashes DIFFERENT bucket values than the int path —
+    callers bucketing on int keys must fill nulls first. fixed_size_binary
+    id columns are immune: their lane decomposition always includes a
+    validity lane, so the hash is identical with or without nulls."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -117,7 +176,7 @@ def _key_hash(batch: pa.Table, cols: Sequence[str]):
             h = splitmix64(h ^ splitmix64(v.view(np.uint64)))
         return h
     joined = pc.binary_join_element_wise(
-        *[pc.cast(batch.column(c), pa.string()) for c in cols],
+        *_string_key_cols(batch, cols),
         "\x1f",
         null_handling="replace",
         null_replacement="\x00\x00",

@@ -7,11 +7,13 @@ tdbloader2 builds them with per-permutation unix ``sort -u``,
 apache-jena/bin/tdbloader2index:270,363). This module reproduces that design
 Ray-Data-first:
 
-- **term ids** are stateless 64-bit content hashes of the canonical term
-  string (the same trick TDB uses for term hashes — NodeLib.hash,
-  jena-tdb/.../lib/NodeLib.java:122-149 — no mutable dictionary service).
-  All index shuffles move 3x int64 per row instead of 3 term strings
-  (~8x fewer bytes through the object store).
+- **term ids** are stateless 128-bit content hashes of the canonical term
+  string, stored as ONE fixed_size_binary(16) column (the same trick TDB
+  uses for term hashes — NodeLib.hash,
+  jena-tdb/.../lib/NodeLib.java:122-149 — no mutable dictionary service;
+  widened from round 2's 64 bits, whose birthday bound fires at 10^9-10^10
+  distinct terms). All index shuffles move 3x16 bytes per row instead of
+  3 term strings (~4x fewer bytes through the object store).
 - **terms table** (the NodeTable analog): distinct (id, term) rows, written
   hash-bucketed to ``terms/bucket=<id%B>/`` — built once with the only
   string shuffle in the phase.
@@ -34,9 +36,10 @@ order for consumers that need cross-file order (legacy path, string rows).
 
 A ``_layout.json`` sidecar records layout + bucket count for readers.
 
-Collision note: 64-bit ids are adequate to ~10^9 distinct terms
-(birthday bound); the 10^12-term scale path widens to 128-bit (two int64
-columns) with no structural change.
+Collision note: 128-bit ids push the birthday bound past 10^18 distinct
+terms (50% at ~2^64) — comfortably beyond the 10^12-document north star.
+The NodeTable build still verifies (id, term) uniqueness per bucket and
+fails loudly rather than conflating terms.
 """
 
 from __future__ import annotations
@@ -79,21 +82,39 @@ def read_layout(out_dir: str) -> dict:
         return {"layout": "global", "num_buckets": 0}
 
 
+import pyarrow as _pa
+
+# ONE fixed_size_binary(16) column per id slot: 128-bit ids with the same
+# single-column ergonomics (joins, buckets, sorts, parquet filters) as the
+# round-2 int64 ids
+ID_TYPE = _pa.binary(16)
+NULL_ID = b"\x00" * 16
+
+
 def term_id_array(arr):
-    """Stateless 64-bit term id (signed int64 view of the deterministic
-    content hash — NodeLib.hash analog). Vectorized."""
+    """Stateless 128-bit term id (fixed_size_binary(16) of two independent
+    64-bit content-hash lanes — NodeLib.hash analog, widened for the
+    10^12-term space). Vectorized, one pass over the value buffer."""
+    import numpy as np
     import pyarrow as pa
 
-    from jena_ray.stages.dedup import _key_hash
+    from jena_ray.functions.hashing import hash128_string_array
 
-    t = pa.table({"t": arr})
-    return _key_hash(t, ["t"]).astype("int64")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lo, hi = hash128_string_array(arr)
+    packed = np.empty(len(lo) * 2, dtype="<u8")
+    packed[0::2] = lo
+    packed[1::2] = hi
+    return pa.Array.from_buffers(
+        ID_TYPE, len(lo), [None, pa.py_buffer(packed.tobytes())]
+    )
 
 
-def term_id(term: str) -> int:
+def term_id(term: str) -> bytes:
     import pyarrow as pa
 
-    return int(term_id_array(pa.array([term]))[0])
+    return term_id_array(pa.array([term]))[0].as_py()
 
 
 def _add_ids(batch):
@@ -152,6 +173,93 @@ def _build_bucketed_ids(
     out.write_parquet(
         path, partition_cols=["bucket"], min_rows_per_file=min_rows_per_file
     )
+
+
+def _build_all_permutations(
+    ds,
+    orders: tuple[str, ...],
+    out_dir: str,
+    num_buckets: int,
+    min_rows_per_file: int,
+    *,
+    dedup: bool = False,
+):
+    """Build ALL index permutations with ONE combined all-to-all.
+
+    Round-2 measured that concurrent full-resource shuffles interfere 2×,
+    so the three permutation builds ran back-to-back — three barriers, and
+    the index phase scaled only 2.45× (8→32 CPUs) vs the wave's 3.01×.
+    The fix is not overlap but FUSION: emit each id-triple once per
+    permutation tagged ``(tag, bucket)`` and run a single groupby shuffle.
+    Total bytes moved are identical (3 × N id rows either way); what
+    changes is that the exchange's fixed synchronization cost is paid once
+    and every reduce slot stays busy across 3 × num_buckets groups instead
+    of draining per-permutation. Each group sorts and lands via one
+    write_parquet partitioned on (tag, bucket); the per-tag hive dirs are
+    then renamed to the reader layout (``spo/ pos/ osp/`` — a metadata-only
+    rename locally; on an object store readers would take the hive paths
+    straight from ``_layout.json`` instead).
+
+    ``dedup=True`` keeps the fused global ``sort -u``: identical triples
+    carry identical (tag, bucket) keys, so the block-local combiner plus a
+    per-group dedup is globally exact for every permutation at once.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jena_ray.stages.dedup import add_bucket, dedup_batch
+
+    staging = os.path.join(out_dir, "_ids_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.select(["s_id", "p_id", "o_id"])
+        if dedup:
+            t = dedup_batch(t, list(t.schema.names))  # pre-shuffle combiner
+        parts = []
+        for order in orders:
+            b = add_bucket(t, ID_BUCKET_KEYS[order], num_buckets)
+            b = b.rename_columns(["s_id", "p_id", "o_id", "bucket"])
+            parts.append(
+                b.append_column(
+                    "tag", pa.array([order] * t.num_rows, type=pa.string())
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def sort_within(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # Ray can hand map_groups an empty table
+            return g
+        keys = ID_ORDERS[g.column("tag")[0].as_py()]
+        if dedup:
+            g = dedup_batch(g, keys)
+        idx = pc.sort_indices(g, sort_keys=[(k, "ascending") for k in keys])
+        return g.take(idx)
+
+    (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["tag", "bucket"])
+        .map_groups(sort_within, batch_format="pyarrow")
+        .write_parquet(
+            staging,
+            partition_cols=["tag", "bucket"],
+            min_rows_per_file=min_rows_per_file,
+        )
+    )
+    stats: dict[str, str] = {}
+    for order in orders:
+        path = os.path.join(out_dir, order)
+        shutil.rmtree(path, ignore_errors=True)
+        src = os.path.join(staging, f"tag={order}")
+        if not os.path.isdir(src):  # no rows at all — keep an empty dir
+            os.makedirs(path, exist_ok=True)
+        else:
+            os.rename(src, path)
+        stats[order] = path
+    shutil.rmtree(staging, ignore_errors=True)
+    return stats
 
 
 def _build_terms_table(ds, path: str, num_buckets: int, min_rows_per_file: int):
@@ -279,9 +387,8 @@ def materialize_indexes(
     _build_terms_table(with_ids, terms_path, num_buckets, min_rows_per_file)
     stats["terms"] = terms_path
 
-    # ---- phase B: primary with global id-dedup fused (`sort -u`), then
-    # secondaries rebuilt from the primary's id rows (BulkLoader copyIndex) --
-    primary, *secondary = orders
+    # ---- phase B: ALL permutations in one combined shuffle, with the
+    # global id-dedup (`sort -u`) fused in (_build_all_permutations) ----
     if pre_stamped:
         ids = rd.read_parquet(triples_path, columns=["s_id", "p_id", "o_id"])
     else:
@@ -291,30 +398,25 @@ def materialize_indexes(
             lambda t: _add_ids(t).select(["s_id", "p_id", "o_id"]),
             batch_format="pyarrow",
         )
-    primary_path = os.path.join(out_dir, primary)
-    shutil.rmtree(primary_path, ignore_errors=True)
-    _build_bucketed_ids(
-        ids, primary, primary_path, num_buckets, min_rows_per_file,
-        dedup=not assume_deduped,
+    stats.update(
+        _build_all_permutations(
+            ids, tuple(orders), out_dir, num_buckets, min_rows_per_file,
+            dedup=not assume_deduped,
+        )
     )
-    stats[primary] = primary_path
-    for order in secondary:
-        sds = rd.read_parquet(primary_path, columns=["s_id", "p_id", "o_id"])
-        path = os.path.join(out_dir, order)
-        shutil.rmtree(path, ignore_errors=True)
-        _build_bucketed_ids(sds, order, path, num_buckets, min_rows_per_file)
-        stats[order] = path
     _write_layout(out_dir, layout, num_buckets)
     return stats
 
 
-def _term_bucket_ids(ids: list[int], num_buckets: int) -> int:
+def _term_bucket_ids(ids: list, num_buckets: int) -> int:
     """Bucket id for bound leading id(s) — same hash path as add_bucket."""
     import pyarrow as pa
 
     from jena_ray.stages.dedup import _key_hash
 
-    t = pa.table({f"c{i}": pa.array([v], type=pa.int64()) for i, v in enumerate(ids)})
+    t = pa.table(
+        {f"c{i}": pa.array([v], type=ID_TYPE) for i, v in enumerate(ids)}
+    )
     h = _key_hash(t, [f"c{i}" for i in range(len(ids))])
     return int(h[0]) % num_buckets
 
@@ -339,7 +441,7 @@ def lookup_terms(out_dir: str, ids: list[int]) -> dict[int, str]:
         if not os.path.isdir(path):
             continue
         t = pq.read_table(path, columns=["id", "term"])
-        mask = pc.is_in(t.column("id"), value_set=pa.array(wanted, type=pa.int64()))
+        mask = pc.is_in(t.column("id"), value_set=pa.array(wanted, type=ID_TYPE))
         sel = t.filter(mask)
         out.update(zip(sel.column("id").to_pylist(), sel.column("term").to_pylist()))
     return out
@@ -408,7 +510,11 @@ def pattern_scan(
     for idc, val in bound_ids.items():
         if val is None:
             continue
-        e = pc.field(idc) == val
+        # typed scalar REQUIRED: fsb16 == untyped-bytes (variable binary)
+        # segfaults pyarrow's scanner in pushed-down parquet filters
+        import pyarrow as pa
+
+        e = pc.field(idc) == pa.scalar(val, ID_TYPE)
         expr = e if expr is None else (expr & e)
     cols = ["s_id", "p_id", "o_id"]
     ds = (
@@ -452,16 +558,11 @@ def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
     for idc, name in col_map.items():
 
         def bucketize(t, _c=idc):
-            # nulls (unmatched OPTIONAL bindings) must not flip _key_hash
-            # to the string path — that would desync bucket assignment from
-            # the int-hash layout the terms table was written with. Fill
-            # nulls for BUCKETING only (any bucket resolves null → null);
-            # the column itself keeps its nulls.
-            col = t.column(_c)
-            if col.null_count:
-                i = t.schema.get_field_index(_c)
-                filled = t.set_column(i, _c, pc.fill_null(col, 0))
-                return add_bucket(filled, [_c], nb).set_column(i, _c, col)
+            # nulls (unmatched OPTIONAL bindings) are safe: _key_hash's
+            # fixed_size_binary lane path always emits a validity lane, so
+            # bucket assignment is identical with or without nulls in the
+            # batch, and null rows land in one bucket where they resolve
+            # to null terms
             return add_bucket(t, [_c], nb)
 
         def resolve(g, _c=idc, _n=name):

@@ -167,6 +167,7 @@ def quad_pattern_scan(
     import ray.data as rd
 
     from jena_ray.stages.materialize import (
+        ID_TYPE,
         _term_bucket_ids,
         read_layout,
         term_id,
@@ -199,7 +200,9 @@ def quad_pattern_scan(
     for idc, val in bound_ids.items():
         if val is None:
             continue
-        e = pc.field(idc) == val
+        # typed scalar REQUIRED: fsb16 == untyped-bytes segfaults the
+        # pyarrow scanner in pushed-down parquet filters
+        e = pc.field(idc) == pa.scalar(val, ID_TYPE)
         expr = e if expr is None else (expr & e)
     ds = rd.read_parquet(
         path, columns=_QUAD_ID_COLS, **({"filter": expr} if expr is not None else {})

@@ -62,8 +62,12 @@ def build_text_index(
     os.makedirs(out_dir, exist_ok=True)
 
     n_docs = docs.count()
+    id_type = docs.schema().base_schema.field("doc_id").type
+    id_kind = "binary16" if id_type == pa.binary(16) else "int64"
 
     def postings(batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+
         toks = batch["text"].str.split(" ")
         doc_ids = np.repeat(batch["doc_id"].to_numpy(), toks.str.len().to_numpy())
         flat = toks.explode().to_numpy()
@@ -74,6 +78,12 @@ def build_text_index(
             .reset_index(name="tf")
         )
         t = pa.Table.from_pandas(df, preserve_index=False)
+        if id_kind == "binary16":
+            # pandas round-trips fixed_size_binary ids as object bytes →
+            # variable binary; restore the id dtype so text_match bindings
+            # join the fixed_size_binary(16) id space directly
+            i = t.schema.get_field_index("doc_id")
+            t = t.set_column(i, "doc_id", pc.cast(t.column("doc_id"), id_type))
         return add_bucket(t, ["token"], num_buckets).rename_columns(
             ["token", "doc_id", "tf", "bucket"]
         )
@@ -81,6 +91,13 @@ def build_text_index(
     def per_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if id_kind == "binary16" and g.column("doc_id").type != id_type:
+            # an EMPTY pandas postings batch infers doc_id as a loose type
+            # and ray's schema unification then degrades fixed_size_binary
+            # to variable binary for the whole shuffle — restore before
+            # writing the layout
+            i = g.schema.get_field_index("doc_id")
+            g = g.set_column(i, "doc_id", pc.cast(g.column("doc_id"), id_type))
         idx = pc.sort_indices(
             g, sort_keys=[("token", "ascending"), ("doc_id", "ascending")]
         )
@@ -122,7 +139,11 @@ def build_text_index(
     )
 
     with open(_meta_path(out_dir), "w") as f:
-        json.dump({"n_docs": int(n_docs), "num_buckets": num_buckets}, f)
+        json.dump(
+            {"n_docs": int(n_docs), "num_buckets": num_buckets,
+             "id_kind": id_kind},
+            f,
+        )
     return out_dir
 
 
@@ -167,10 +188,18 @@ def text_match(index_dir: str, terms: list[str], *, id_col: str = "doc_id"):
             )
         )
     if not datasets:
-        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+        empty_t = (pa.binary(16) if meta.get("id_kind") == "binary16"
+                   else pa.int64())
+        return rd.from_arrow(pa.table({id_col: pa.array([], empty_t)}))
     matches = datasets[0] if len(datasets) == 1 else datasets[0].union(*datasets[1:])
 
-    def local(tb: pa.Table, _n=id_col) -> pa.Table:
+    fix_type = (pa.binary(16) if meta.get("id_kind") == "binary16" else None)
+
+    def local(tb: pa.Table, _n=id_col, _t=fix_type) -> pa.Table:
+        if _t is not None and tb.column("doc_id").type != _t:
+            import pyarrow.compute as pc
+
+            tb = tb.set_column(0, "doc_id", pc.cast(tb.column("doc_id"), _t))
         return dedup_batch(tb, ["doc_id"]).rename_columns([_n])
 
     return matches.map_batches(local, batch_format="pyarrow")

@@ -247,7 +247,7 @@ def test_text_query_property_function(algebra_index, tmp_path_factory):
     import ray.data as rd
 
     from jena_ray.pipelines.bgp import TEXT_QUERY_IRI, bgp_execute
-    from jena_ray.stages.materialize import term_id
+    from jena_ray.stages.materialize import ID_TYPE, term_id
     from jena_ray.stages.textindex import build_text_index
 
     tix = str(tmp_path_factory.mktemp("textpf"))
@@ -256,7 +256,7 @@ def test_text_query_property_function(algebra_index, tmp_path_factory):
         pa.table(
             {
                 "doc_id": pa.array(
-                    [term_id(_subj(i)) for i in texts], type=pa.int64()
+                    [term_id(_subj(i)) for i in texts], type=ID_TYPE
                 ),
                 "text": pa.array(list(texts.values())),
             }
