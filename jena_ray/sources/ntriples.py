@@ -25,14 +25,29 @@ TRIPLE_COLS = ("subj", "pred", "obj")
 class ParseNTriplesBatch:
     """Actor-pool stage: text lines → triple rows. Errors either raise
     (strict, the `riot` default — CmdLangParse.java:256-261) or are routed to
-    an error column for a side output."""
+    an error column for a side output.
+
+    The hot path is the vectorized RE2 parse (sources/nt_fast.py — one
+    ``pc.extract_regex`` pass over the whole column, ~6.6× the per-line
+    loop); only escape-bearing / exotic lines fall back to the exact
+    Python parser. An explicit ``base`` disables the fast path (every IRI
+    may need resolution)."""
 
     def __init__(self, *, strict: bool = True, base: str | None = None):
         self.strict = strict
         self.base = base
 
+    def _slow_line(self, line: str) -> list[tuple[str, str, str]]:
+        return T.parse_ntriples(line, strict=self.strict, base=self.base)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = "text" if "text" in batch.schema.names else batch.schema.names[0]
+        if self.base is None:
+            from jena_ray.sources.nt_fast import parse_nt_batch_fast
+
+            return parse_nt_batch_fast(
+                batch.column(col), self._slow_line, strict=self.strict
+            )
         subjs: list[str] = []
         preds: list[str] = []
         objs: list[str] = []

@@ -194,3 +194,54 @@ def test_ground_filters(ray_session):
     )
     outq = ground_quads(rd.from_arrow(q)).to_pandas()
     assert outq["graph"].tolist() == ["<http://g>"]
+
+
+def test_nt_fast_path_matches_slow(ray_session):
+    """The vectorized RE2 fast path must emit EXACTLY what the per-line
+    parser emits, in the same order, across plain/typed/tagged/escaped/
+    bnode lines (fallback interleave)."""
+    import pyarrow as pa
+
+    from jena_ray import term as T
+    from jena_ray.sources.nt_fast import parse_nt_batch_fast
+
+    lines = [
+        '<http://e/s1> <http://e/p> <http://e/o> .',
+        '<http://e/s2> <http://e/p> "plain" .',
+        '<http://e/s3> <http://e/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/s4> <http://e/p> "s"^^<http://www.w3.org/2001/XMLSchema#string> .',
+        '_:b0 <http://e/p> _:b1.c .',
+        '',
+        '# comment',
+        '<http://e/s5> <http://e/p> "esc\\nape" .   # fallback: ECHAR',
+        '<http://e/s6> <http://e/p> "tag"@EN-gb .   # fallback: langtag canon',
+        '<http://e/s7> <http://e/p> "\\u0041" .     # fallback: UCHAR',
+        '<http://e/s8><http://e/p><http://e/o>.',
+    ]
+    got = parse_nt_batch_fast(
+        pa.array(lines), lambda ln: T.parse_ntriples(ln, strict=True)
+    )
+    exp = []
+    for ln in lines:
+        if T._BLANK_RE.match(ln):
+            continue
+        exp.extend(T.parse_ntriples(ln, strict=True))
+    assert [tuple(r.values()) for r in got.to_pylist()] == exp
+
+
+def test_nt_fast_path_rejects_bad_lines(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from jena_ray import term as T
+    from jena_ray.sources.nt_fast import parse_nt_batch_fast
+
+    for bad in (
+        '<rel/iri> <http://e/p> <http://e/o> .',   # relative IRI
+        '_:b. <http://e/p> <http://e/o> .',        # label ends with dot
+        '<http://e/s> <http://e/p> .',             # missing object
+    ):
+        with pytest.raises(T.TermError):
+            parse_nt_batch_fast(
+                pa.array([bad]), lambda ln: T.parse_ntriples(ln, strict=True)
+            )
