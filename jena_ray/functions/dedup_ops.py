@@ -250,25 +250,90 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_candidate_pairs(sf_dir: str):
+def collapse_exact_docs(ds):
+    """(doc_id, text) Dataset → one representative row (min doc_id) per
+    distinct text. The scale-path prelude to MinHash LSH: a boilerplate-
+    heavy crawl puts millions of IDENTICAL docs into one band bucket, and
+    C(n,2) pair emission is O(n²) — exact collapse removes that entire
+    class before any banding (identical docs are found by exact_dedup
+    anyway). Hash-partitioned on md5(text); no driver materialization."""
+    import hashlib
+
+    from jena_ray.stages.dedup import bucketed_group_apply
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+        ]
+        return batch
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby("text_md5", sort=False)["doc_id"].idxmin()
+        return df.loc[idx, ["doc_id", "text"]]
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    # local representative per block, then one bucketed shuffle
+    local = hashed.map_batches(
+        lambda df: df.loc[
+            df.groupby("text_md5", sort=False)["doc_id"].idxmin(),
+            ["doc_id", "text", "text_md5"],
+        ],
+        batch_format="pandas",
+    )
+    return bucketed_group_apply(local, ["text_md5"], keep_min)
+
+
+# all C(n,2) pairs in a band bucket up to this many member docs; larger
+# buckets emit the star n-1 pairs to the smallest id instead (connectivity
+# preserved for union-find-style clustering; pairwise links beyond the
+# representative are dropped and COUNTED — at crawl scale a mega-bucket is
+# boilerplate, and its members verify against the representative anyway)
+LSH_BUCKET_CAP = 256
+
+
+def minhash_candidate_pairs(sf_dir: str, *, collapse_exact: bool = False,
+                            bucket_cap: int = LSH_BUCKET_CAP):
     """Near-dup candidate pairs via MinHash LSH: shingle → minhash → band →
     bucket groupby → pairs within a bucket. Returns distinct (doc_a, doc_b)
-    with doc_a < doc_b."""
+    with doc_a < doc_b.
+
+    ``collapse_exact`` chains the exact-dedup collapse first (the 100 TB
+    default — see collapse_exact_docs); ``bucket_cap`` bounds per-bucket
+    pair emission (star fallback, dropped-pair counts logged)."""
+    import logging
+
     import ray.data as rd
 
     from jena_ray.stages.dedup import dedup_exact
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if collapse_exact:
+        ds = collapse_exact_docs(ds)
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        dropped = 0
         for (_, _), grp in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.sort(grp["doc_id"].unique())
-            if len(ids) > 1:
-                ia, ib = np.triu_indices(len(ids), k=1)
+            n = len(ids)
+            if n <= 1:
+                continue
+            if n <= bucket_cap:
+                ia, ib = np.triu_indices(n, k=1)
                 out_a.append(ids[ia])
                 out_b.append(ids[ib])
+            else:
+                # star link to the smallest id: n-1 pairs instead of C(n,2)
+                out_a.append(np.repeat(ids[0], n - 1))
+                out_b.append(ids[1:])
+                dropped += n * (n - 1) // 2 - (n - 1)
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "LSH bucket cap %d: dropped %d pairwise candidates "
+                "(star-linked instead)", bucket_cap, dropped
+            )
         if not out_a:
             return pd.DataFrame({"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)})
         return pd.DataFrame(
