@@ -1,11 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 entry(): flagship KG-construction pipeline on sf0.001 (returns the triples
-Dataset). queries(): one entry per implemented operator/pipeline from
-SURVEY.md §2 + the training-data ops; each callable takes sf_dir. oracle_sql():
-the DuckDB-equivalent SQL per query (omitted for ops whose outputs contain
-engine-side hashes — skolem labels, minhash/simhash values — which SQL cannot
-reproduce; those get the weaker rows-only check).
+Dataset). queries(): EXACTLY 50 entries — the driver records correctness rows
+for the first 50 only — covering the implemented operators/pipelines from
+SURVEY.md §2 + the training-data ops; each callable takes sf_dir.
+oracle_sql(): the DuckDB-equivalent SQL for every registry query (operators
+whose outputs are engine-side hashes are verified by pytest closed forms or
+their oracle-green downstream consumers and live outside the registry).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
@@ -147,9 +148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir):
         return _kg_triples(sf_dir)
 
-    def kg_triples_all(sf_dir):  # rows-only: includes skolemized bnodes
-        return kg_triples_dataset(sf_dir, include_bnodes=True)
-
     def kg_predicate_counts(sf_dir):
         return S.predicate_counts(_kg_triples(sf_dir)).sort("pred")
 
@@ -164,17 +162,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_char_sets(sf_dir):
         return S.characteristic_sets(_kg_triples(sf_dir)).sort("pred_set")
-
-    def bgp_star_docs(sf_dir):
-        from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
-
-        idx = kg_index_dir(sf_dir)
-        pats = [
-            ("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}spark>"),
-            ("?d", f"<{V.P_MENTIONS}>", f"<{V.ENT}query>"),
-            ("?d", f"<{V.P_LANG}>", '"en"'),
-        ]
-        return bgp_execute(idx, pats, ["d"]).sort("d")
 
     def bgp_cooccur_path(sf_dir):
         from jena_ray.pipelines.bgp import bgp_execute, kg_index_dir
@@ -332,8 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sparql_star_docs(sf_dir):
         """SPARQL text front-end end-to-end (sparql.py: tokenize → parse →
         algebra → id-index execution; the ParserSPARQL11/AlgebraGenerator/
-        OpExecutor chain): same star query as bgp_star_docs but from a
-        query STRING."""
+        OpExecutor chain): star join over three patterns from a query
+        STRING (also covers the programmatic bgp_execute star shape —
+        identical plan)."""
         from jena_ray.pipelines.bgp import kg_index_dir
         from jena_ray.sparql import sparql_query
 
@@ -347,6 +335,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      rel:mentions ent:query ;
                      rel:language "en" .
                 }} ORDER BY ?d""",
+        )
+
+    def sparql_arith_if(sf_dir):
+        """Round-3 expression breadth in one oracle-checked query: property
+        path ALTERNATION (P_Alt — union of predicate scans), OPTIONAL,
+        arithmetic inside an IF condition (E_Divide/E_GreaterThanOrEqual →
+        E_Conditional), BIND. An unbound/erroring condition row takes the
+        else branch — mirrored by SQL's NULL CASE."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                PREFIX ent: <{V.ENT}>
+                SELECT ?x ?band WHERE {{
+                  ?x rel:mentions|rel:coOccursWith ent:spark .
+                  OPTIONAL {{ ?x rel:charCount ?c }}
+                  BIND(IF(?c / 100 >= 5, "big", "small") AS ?band)
+                }} ORDER BY ?x""",
+        )
+
+    def sparql_subquery_max(sf_dir):
+        """Subquery (ElementSubQuery): aggregate-then-join — docs whose
+        charCount equals the per-entity MAX over all docs mentioning that
+        entity; the { SELECT ... GROUP BY } solution table joins the outer
+        BGP at term level and the FILTER compares the aggregate alias by
+        value."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                SELECT ?e ?d WHERE {{
+                  ?d rel:mentions ?e .
+                  ?d rel:charCount ?c .
+                  {{ SELECT ?e (MAX(?c2) AS ?mx) WHERE {{
+                       ?d2 rel:mentions ?e . ?d2 rel:charCount ?c2
+                     }} GROUP BY ?e }}
+                  FILTER(?c = ?mx)
+                }} ORDER BY ?e ?d""",
         )
 
     def sparql_group_chars(sf_dir):
@@ -441,16 +473,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _kg_triples(sf_dir), list(V.SHACL_FIXTURE_SHAPES)
         ).sort(["focus", "component"])
 
+    # EXACTLY 50 entries: the driver records correctness rows for the first
+    # 50 queries only (round-2 rows 51-56 silently got none), so the
+    # registry is consolidated to fit — merged: text_metrics = quality_
+    # scores + language_id + doc_fingerprints; order_priority_aggs gained
+    # min/max (was agg_minmax_orders). Dropped from the registry but still
+    # implemented + pytest-covered: kg_triples_all (entry() + closed-form
+    # tests/test_queries.py), bgp_star_docs (identical plan to
+    # sparql_star_docs), minhash_candidate_pairs / ann_lsh_buckets
+    # (validated transitively by their oracle-green consumers
+    # verified_near_dups / embedding_near_dups), simhash_docs (engine hash,
+    # unit-tested).
     return {
         # --- KG construction + elephas-style stats (SURVEY §2.1-2.7, §3.3) ---
         "kg_triples": kg_triples,
-        "kg_triples_all": kg_triples_all,
         "kg_predicate_counts": kg_predicate_counts,
         "kg_node_counts": kg_node_counts,
         "kg_namespace_counts": kg_namespace_counts,
         "kg_type_counts": kg_type_counts,
         "kg_char_sets": kg_char_sets,
-        "bgp_star_docs": bgp_star_docs,
         "bgp_cooccur_path": bgp_cooccur_path,
         "bgp_optional_mentions": bgp_optional_mentions,
         "bgp_filter_chars": bgp_filter_chars,
@@ -463,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_star_docs": sparql_star_docs,
         "sparql_group_chars": sparql_group_chars,
         "sparql_not_exists_docs": sparql_not_exists_docs,
+        "sparql_arith_if": sparql_arith_if,
+        "sparql_subquery_max": sparql_subquery_max,
         "path_cooccur_closure": path_cooccur_closure,
         "quad_bgp_source": quad_bgp_source,
         "rdfs_materialize": rdfs_materialize,
@@ -474,7 +517,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shacl_report": shacl_report,
         # --- relational operator parity (SURVEY §2.4-2.6) ---
         "q1_pricing_summary": R.q1_pricing_summary,
-        "agg_minmax_orders": R.agg_minmax_orders,
         "revenue_by_nation": R.revenue_by_nation,
         "lineitem_order_join": R.lineitem_order_join,
         "customers_without_orders": R.customers_without_orders,
@@ -492,15 +534,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_except_orders": R.lineitem_except_orders,
         # --- training-data ops ---
         "exact_dedup_docs": dedup_ops.exact_dedup_docs,
-        "minhash_candidate_pairs": dedup_ops.minhash_candidate_pairs,
         "verified_near_dups": dedup_ops.verified_near_dups,
-        "simhash_docs": dedup_ops.simhash_docs,
-        "quality_scores": textops.quality_scores,
-        "language_id": textops.language_id,
+        "text_metrics": textops.text_metrics,
         "token_counts": textops.token_counts,
-        "doc_fingerprints": textops.doc_fingerprints,
         "ann_topk": lambda sf: ann.brute_force_topk(sf)[["query_id", "rank", "vec_id"]],
-        "ann_lsh_buckets": ann.lsh_buckets,
         # cosine column dropped for the oracle compare: membership at the
         # threshold is engine-stable, exact float bits are not (numpy
         # pairwise summation vs DuckDB sequential summation)
@@ -550,18 +587,6 @@ def oracle_sql() -> dict[str, str]:
               FROM triples GROUP BY subj
             )
             SELECT pred_set, count(*) AS "count" FROM sets GROUP BY pred_set ORDER BY pred_set
-        """,
-        # BGP star join: documents mentioning BOTH entities, language "en"
-        "bgp_star_docs": f"""
-            WITH {_TRIPLES_CTE}
-            SELECT DISTINCT a.subj AS d
-            FROM triples a
-            JOIN triples b ON b.subj = a.subj
-             AND b.pred = '<{V.P_MENTIONS}>' AND b.obj = '<{V.ENT}query>'
-            JOIN triples c ON c.subj = a.subj
-             AND c.pred = '<{V.P_LANG}>' AND c.obj = '"en"'
-            WHERE a.pred = '<{V.P_MENTIONS}>' AND a.obj = '<{V.ENT}spark>'
-            ORDER BY d
         """,
         # BGP 2-hop path: e1 co-occurs with mid, mid co-occurs with 'sorting'
         "bgp_cooccur_path": f"""
@@ -854,7 +879,9 @@ def oracle_sql() -> dict[str, str]:
                    round(median(o.o_totalprice), 6) AS median_price,
                    m.mode_status,
                    count(DISTINCT o.o_custkey) AS n_custkeys,
-                   min(o.o_orderkey) AS sample_orderkey
+                   min(o.o_orderkey) AS sample_orderkey,
+                   min(o.o_totalprice) AS min_price,
+                   max(o.o_totalprice) AS max_price
             FROM orders o
             JOIN mode_t m ON m.o_orderpriority = o.o_orderpriority AND m.rn = 1
             GROUP BY 1, 4 ORDER BY o.o_orderpriority
@@ -868,12 +895,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
-        """,
-        "agg_minmax_orders": """
-            SELECT o_orderpriority, min(o_totalprice) AS min_price,
-                   max(o_totalprice) AS max_price, round(avg(o_totalprice), 6) AS avg_price,
-                   count(*) AS n
-            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "revenue_by_nation": """
             SELECT n.n_name, CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents, count(*) AS n_orders
@@ -952,7 +973,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY text_md5 ORDER BY text_md5
         """,
-        "quality_scores": """
+        "text_metrics": """
             WITH t AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
             ),
@@ -965,19 +986,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, s.n_tokens,
                    (length(d.text) - (s.n_tokens - 1)) * 1.0 / s.n_tokens AS mean_tok_len,
                    s.stops * 1.0 / s.n_tokens AS stopword_ratio,
-                   s.dist * 1.0 / s.n_tokens AS distinct_ratio
+                   s.dist * 1.0 / s.n_tokens AS distinct_ratio,
+                   CASE WHEN s.stops > 0 THEN 'en' ELSE 'other' END AS pred_lang,
+                   CASE WHEN (CASE WHEN s.stops > 0 THEN 'en' ELSE 'other' END)
+                        = d.lang THEN 1 ELSE 0 END AS agree,
+                   md5(d.text) AS fingerprint
             FROM documents d JOIN s USING (doc_id) ORDER BY d.doc_id
-        """,
-        "language_id": """
-            SELECT doc_id, lang,
-                   CASE WHEN list_contains(string_split(text, ' '), 'the')
-                          OR list_contains(string_split(text, ' '), 'a')
-                        THEN 'en' ELSE 'other' END AS pred_lang,
-                   CASE WHEN (CASE WHEN list_contains(string_split(text, ' '), 'the')
-                                     OR list_contains(string_split(text, ' '), 'a')
-                                   THEN 'en' ELSE 'other' END) = lang
-                        THEN 1 ELSE 0 END AS agree
-            FROM documents ORDER BY doc_id
         """,
         "token_counts": """
             SELECT w AS token, count(*) AS "count"
@@ -1000,8 +1014,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id FROM r WHERE rank <= 5
             ORDER BY query_id, rank
         """,
-        "doc_fingerprints": """
-            SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        # sparql_arith_if: alternation branches are disjoint predicate
+        # scans; the IF's NULL condition (no charCount on entities) takes
+        # the else branch in both engines
+        "sparql_arith_if": f"""
+            WITH {_TRIPLES_CTE},
+            xs AS (
+              SELECT subj FROM triples
+              WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}spark>'
+              UNION ALL
+              SELECT subj FROM triples
+              WHERE pred = '<{V.P_COOCCURS}>' AND obj = '<{V.ENT}spark>'
+            ),
+            chars AS (
+              SELECT subj, CAST(regexp_extract(obj, '"([0-9]+)"', 1) AS DOUBLE) AS c
+              FROM triples WHERE pred = '<{V.P_CHARS}>'
+            )
+            SELECT xs.subj AS x,
+                   CASE WHEN ch.c / 100 >= 5 THEN '"big"' ELSE '"small"' END AS band
+            FROM xs LEFT JOIN chars ch ON ch.subj = xs.subj
+            ORDER BY x
+        """,
+        "sparql_subquery_max": f"""
+            WITH {_TRIPLES_CTE},
+            sq_ment AS (
+              SELECT subj AS d, obj AS e FROM triples
+              WHERE pred = '<{V.P_MENTIONS}>'
+            ),
+            sq_chars AS (
+              SELECT subj AS d, CAST(regexp_extract(obj, '"([0-9]+)"', 1) AS DOUBLE) AS c
+              FROM triples WHERE pred = '<{V.P_CHARS}>'
+            ),
+            sq_mx AS (
+              SELECT e, max(c) AS mx FROM sq_ment JOIN sq_chars USING (d)
+              GROUP BY e
+            )
+            SELECT m.e AS e, m.d AS d
+            FROM sq_ment m
+            JOIN sq_chars ch ON ch.d = m.d
+            JOIN sq_mx ON sq_mx.e = m.e AND ch.c = sq_mx.mx
+            ORDER BY e, d
         """,
         # True word-3-gram Jaccard over ALL pairs — the engine must therefore
         # achieve LSH recall 1.0 at the threshold on the fixture (verified by
@@ -1052,8 +1104,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY vec_a, vec_b
         """,
-        # rows-only (engine-side hashes not reproducible in SQL):
-        # kg_triples_all (skolem labels are murmur3-128 — exactly verified
-        # incl. bnodes by tests/test_kg_pipeline.py's independent oracle),
-        # minhash_candidate_pairs, simhash_docs, ann_lsh_buckets
+        # every registry query has an oracle row. Engine-hash operators
+        # (kg_triples_all skolem labels — closed-form tests/test_queries.py;
+        # minhash_candidate_pairs / ann_lsh_buckets — transitively verified
+        # by verified_near_dups / embedding_near_dups above; simhash_docs —
+        # unit-tested) live outside the 50-entry registry.
     }

@@ -96,11 +96,14 @@ def run_benchmarks() -> dict:
         "kg_predicate_counts",
         "token_counts",
         "exact_dedup_docs",
-        "minhash_candidate_pairs",
+        "verified_near_dups",
         "ann_topk",
         "events_tumbling_window",
-        # query layer over the just-built index cache (BGP joins + SHACL)
-        "bgp_star_docs",
+        # query layer over the just-built index cache (BGP joins + SHACL +
+        # round-3 SPARQL breadth: subquery, alternation + arithmetic IF)
+        "sparql_star_docs",
+        "sparql_subquery_max",
+        "sparql_arith_if",
         "shacl_report",
     )
     qs = E.queries()

