@@ -261,6 +261,8 @@ def term_str(a):
     for v in a.to_pylist():
         if v is None:
             out.append(None)
+        elif v.startswith("<<"):
+            out.append(None)  # STR(tripleTerm) is an eval error (NodeFunctions)
         elif v.startswith("<"):
             out.append(v[1:-1])
         elif v.startswith('"'):

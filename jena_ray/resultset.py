@@ -34,6 +34,8 @@ def _raw_value(term) -> str:
         return ""
     if not isinstance(term, str):  # aggregate alias columns (plain numbers)
         return str(term)
+    if term.startswith("<<"):
+        return term  # RDF-star quoted triple: its text form (CSV/TSV-star)
     if term.startswith("<"):
         return term[1:-1]
     if term.startswith("_:"):
@@ -78,6 +80,19 @@ def _json_binding(term):
     if not isinstance(term, str):  # aggregate alias columns (plain numbers)
         dt = _XSD + ("integer" if isinstance(term, int) else "double")
         return {"type": "literal", "value": str(term), "datatype": dt}
+    if term.startswith("<<"):
+        # SPARQL-star results-json: nested triple binding
+        from jena_ray.term import quoted_triple_parts
+
+        s, p, o = quoted_triple_parts(term)
+        return {
+            "type": "triple",
+            "value": {
+                "subject": _json_binding(s),
+                "predicate": _json_binding(p),
+                "object": _json_binding(o),
+            },
+        }
     if term.startswith("<"):
         return {"type": "uri", "value": term[1:-1]}
     if term.startswith("_:"):

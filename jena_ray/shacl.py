@@ -220,7 +220,7 @@ def _check_values(data: Graph, focus: str, shape: Shape, out: list, depth: int =
             report("Class", v)
         if "nodeKind" in c:
             kind = c["nodeKind"]
-            ok = (
+            ok = not v.startswith("<<") and (  # RDF-star: no nodeKind matches
                 (kind == _sh("IRI") and v.startswith("<"))
                 or (kind == _sh("BlankNode") and v.startswith("_:"))
                 or (kind == _sh("Literal") and v.startswith('"'))

@@ -61,6 +61,7 @@ from jena_ray.term import (
     canonical_langtag,
     fmt_iri,
     fmt_literal,
+    fmt_quoted_triple,
     resolve_iri,
     unescape_iri,
     unescape_string,
@@ -88,7 +89,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
                (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,*+\-=<>!/^?|])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|<<|>>|[{}().;,*+\-=<>!/^?|])
     """,
     re.VERBOSE,
 )
@@ -189,6 +190,7 @@ class Parser:
         self.prefixes: dict[str, str] = {}
         self._seq = 0  # fresh-variable counter for '/' path desugaring
         self._bnode_vars: dict[str, str] = {}  # query bnodes act as vars
+        self._in_template = False  # CONSTRUCT templates keep bnode terms
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok:
@@ -238,15 +240,49 @@ class Parser:
 
     def parse_term(self) -> str:
         """One graph term or variable → canonical NT string / '?var'."""
+        if self.at_op("<<"):
+            # RDF-star quoted triple (rdf_star/TestSPARQLStarParse.java):
+            # GROUND terms only in this subset — the id-space engine matches
+            # a quoted triple by its canonical term string (sameTerm);
+            # variable-bearing embedded patterns would need a decompose
+            # stage and are rejected loudly
+            self.next()
+            s = self.parse_term()
+            p = self.parse_term()
+            o = self.parse_term()
+            self.expect_op(">>")
+            for x in (s, p, o):
+                if x.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "variables inside quoted triples are outside the "
+                        "supported subset (ground quoted triples only)"
+                    )
+            if not p.startswith("<") or p.startswith("<<"):
+                raise SparqlSyntaxError(
+                    "quoted-triple predicate must be an IRI"
+                )
+            if s.startswith('"'):
+                raise SparqlSyntaxError(
+                    "quoted-triple subject cannot be a literal"
+                )
+            return fmt_quoted_triple(s, p, o)
         t = self.next()
         if t.kind == "VAR":
             return "?" + t.text[1:]
         if t.kind == "ANON":
+            if self._in_template:
+                self._seq += 1
+                return f"_:__tpl{self._seq}"
             # [] in a query pattern is a fresh non-selectable variable
             # (SPARQL treats pattern bnodes as scoped variables)
             self._seq += 1
             return f"?__bn{self._seq}"
         if t.kind == "BNODE":
+            if self._in_template:
+                # CONSTRUCT-template bnodes stay bnode TERMS: the executor
+                # allocates a fresh (skolemized) label per solution row
+                # (Template.java / TemplateLib bnode remapping)
+                return t.text
             v = self._bnode_vars.setdefault(
                 t.text, f"?__bl{len(self._bnode_vars)}"
             )
@@ -305,7 +341,14 @@ class Parser:
                 op = UpdateOp("modify", insert=tmpl, where=self._parse_group())
         elif self.take_kw("DELETE"):
             if self.take_kw("DATA"):
-                op = UpdateOp("delete_data", delete=self._parse_ground_block())
+                block = self._parse_ground_block()
+                for trip in block:
+                    if any(isinstance(t, str) and t.startswith("_:")
+                           for t in trip):
+                        raise SparqlSyntaxError(
+                            "DELETE DATA cannot contain blank nodes"
+                        )
+                op = UpdateOp("delete_data", delete=block)
             elif self.at_kw("WHERE"):
                 self.expect_kw("WHERE")
                 where = self._parse_group()
@@ -337,10 +380,14 @@ class Parser:
         self.expect_op("{")
         template: list[tuple] = []
         g = Group()
-        while not self.at_op("}"):
-            self._parse_triples_into(g, template_out=template)
-            if self.at_op("."):
-                self.next()
+        self._in_template = True
+        try:
+            while not self.at_op("}"):
+                self._parse_triples_into(g, template_out=template)
+                if self.at_op("."):
+                    self.next()
+        finally:
+            self._in_template = False
         self.expect_op("}")
         return template
 
@@ -463,10 +510,14 @@ class Parser:
         self.expect_op("{")
         template: list[tuple] = []
         g = Group()
-        while not self.at_op("}"):
-            self._parse_triples_into(g, template_out=template)
-            if self.at_op("."):
-                self.next()
+        self._in_template = True
+        try:
+            while not self.at_op("}"):
+                self._parse_triples_into(g, template_out=template)
+                if self.at_op("."):
+                    self.next()
+        finally:
+            self._in_template = False
         self.expect_op("}")
         if g.patterns or g.paths:
             raise SparqlSyntaxError("internal: template captured as patterns")
@@ -721,6 +772,35 @@ class Parser:
         elif self.at_op("?"):
             self.next()
             mod = "?"
+        elif self.at_op("{"):
+            # ARQ extension p{n} / p{n,m} (sparql/path/P_Mod.java /
+            # P_FixedLength.java — dropped from final SPARQL 1.1 but kept
+            # by ARQ). Fixed length desugars exactly (a chain of n steps,
+            # bag semantics); a true n<m range would need a union of
+            # chains and is rejected loudly.
+            self.next()
+            t = self.next()
+            if t.kind != "NUMBER" or not t.text.isdigit():
+                raise SparqlSyntaxError(f"expected path length at {t.text!r}")
+            n = int(t.text)
+            m = n
+            if self.at_op(","):
+                self.next()
+                t = self.next()
+                if t.kind != "NUMBER" or not t.text.isdigit():
+                    raise SparqlSyntaxError(
+                        f"expected path length at {t.text!r}"
+                    )
+                m = int(t.text)
+            self.expect_op("}")
+            if n != m:
+                raise SparqlSyntaxError(
+                    "path{n,m} ranges with n<m are outside the supported "
+                    "subset (only fixed {n} / {n,n})"
+                )
+            if n < 1:
+                raise SparqlSyntaxError("path{0} (zero-length) unsupported")
+            mod = ("fixed", n)
         return pred, inv, mod
 
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
@@ -732,6 +812,23 @@ class Parser:
             while self.at_op("/"):
                 self.next()
                 steps.append(self._parse_path_step())
+            # expand fixed-length {n} steps into n chained copies
+            # (P_FixedLength → P_Seq, PathCompiler's reduction) before any
+            # other handling, so p{n} composes with '/' sequences
+            if any(isinstance(s[2], tuple) for s in steps):
+                expanded = []
+                for pred, inv, mod in steps:
+                    if isinstance(mod, tuple):
+                        if isinstance(pred, tuple) or (
+                            isinstance(pred, str) and pred.startswith("?")
+                        ):
+                            raise SparqlSyntaxError(
+                                "p{n} needs a plain IRI predicate"
+                            )
+                        expanded.extend([(pred, inv, None)] * mod[1])
+                    else:
+                        expanded.append((pred, inv, mod))
+                steps = expanded
             if self.at_op("|"):
                 # P_Alt: alternation of PLAIN forward IRIs ('|' binds
                 # looser than '/', so mixing them in one path is out of
@@ -1811,13 +1908,15 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
     scan = _scan_pattern(out_dir, ("?s", "?p", "?o"), info)
 
     rows: list[pa.Table] = []
-    described: set[int] = set()
+    described: set[bytes] = set()
     frontier = roots
     for _ in range(25):  # bnode chains are shallow; bounded like PathEngine
         frontier -= described
         if not frontier:
             break
-        probe = pa.array(sorted(frontier), type=pa.int64())
+        from jena_ray.stages.materialize import ID_TYPE
+
+        probe = pa.array(sorted(frontier), type=ID_TYPE)
 
         def hop(tb: pa.Table, _p=probe) -> pa.Table:
             return tb.filter(pc.is_in(tb.column("s"), value_set=_p))
@@ -1825,9 +1924,9 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
         matched = pa.concat_tables(
             list(scan.map_batches(hop, batch_format="pyarrow")
                  .iter_batches(batch_format="pyarrow"))
-            or [pa.table({"s": pa.array([], pa.int64()),
-                          "p": pa.array([], pa.int64()),
-                          "o": pa.array([], pa.int64())})]
+            or [pa.table({"s": pa.array([], ID_TYPE),
+                          "p": pa.array([], ID_TYPE),
+                          "o": pa.array([], ID_TYPE)})]
         )
         rows.append(matched)
         described |= frontier

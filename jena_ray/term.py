@@ -556,6 +556,13 @@ def parse_ntriples(
             continue
         m = _TRIPLE_RE.match(line)
         if not m:
+            if "<<" in line:  # RDF-star quoted triple (never regex-matched)
+                try:
+                    out.append(_parse_star_statement(line, base=base))
+                except TermError as e:
+                    if strict:
+                        raise TermError(f"line {lineno}: {e}") from None
+                continue
             if strict:
                 raise TermError(f"line {lineno}: not a valid N-Triples line: {line[:100]!r}")
             continue
@@ -567,14 +574,14 @@ def parse_ntriples(
             continue
         out.append((subj, pred, obj))
     if skolem_seed is not None:
-        def sk(t: str) -> str:
-            if t.startswith("_:"):
-                lbl = t[2:]
-                if lbl not in labels:
-                    labels[lbl] = skolem_label(skolem_seed, lbl)
-                return "_:" + labels[lbl]
-            return t
-        out = [(sk(s), p, sk(o)) for s, p, o in out]
+        out = [
+            (
+                skolemize_term(s, skolem_seed, labels),
+                p,
+                skolemize_term(o, skolem_seed, labels),
+            )
+            for s, p, o in out
+        ]
     return out
 
 
@@ -595,6 +602,18 @@ def parse_nquads(
             continue
         m = _QUAD_RE.match(line)
         if not m:
+            if "<<" in line:  # RDF-star quoted triple (never regex-matched)
+                try:
+                    g, s, p, o = _parse_star_statement(
+                        line, base=base, quads=True
+                    )
+                    out.append(
+                        (g if g is not None else fmt_iri(default_graph), s, p, o)
+                    )
+                except TermError as e:
+                    if strict:
+                        raise TermError(f"line {lineno}: {e}") from None
+                continue
             if strict:
                 raise TermError(f"line {lineno}: not a valid N-Quads line: {line[:100]!r}")
             continue
@@ -613,15 +632,167 @@ def parse_nquads(
             continue
         out.append((graph, subj, pred, obj))
     if skolem_seed is not None:
-        def sk(t: str) -> str:
-            if t.startswith("_:"):
-                lbl = t[2:]
-                if lbl not in labels:
-                    labels[lbl] = skolem_label(skolem_seed, lbl)
-                return "_:" + labels[lbl]
-            return t
-        out = [(sk(g), sk(s), p, sk(o)) for g, s, p, o in out]
+        out = [
+            (
+                skolemize_term(g, skolem_seed, labels),
+                skolemize_term(s, skolem_seed, labels),
+                p,
+                skolemize_term(o, skolem_seed, labels),
+            )
+            for g, s, p, o in out
+        ]
     return out
+
+
+# --------------------------------------------------------------------------
+# RDF-star quoted triples (Node_Triple — jena-core graph/Node_Triple.java:27;
+# RIOT's LT2/GT2 '<<'/'>>' tokens). A quoted triple is a TERM: canonical
+# string form "<< <s> <p> <o> >>" (single-space separators, nesting allowed
+# in subject/object). It flows through the engine as an opaque term string —
+# term_id hashes it, the NodeTable stores it, writers print it verbatim.
+# --------------------------------------------------------------------------
+
+_QT_OPEN_RE = re.compile(r"<<[ \t]*")
+_IRI_TOK_RE = re.compile(IRIREF)
+_BN_TOK_RE = re.compile(BNODE_LABEL)
+_LIT_TOK_RE = re.compile(rf"{STRING_LIT}(?:\^\^{IRIREF}|{LANGTAG})?")
+_WS_TOK_RE = re.compile(r"[ \t]*")
+
+
+def fmt_quoted_triple(s: str, p: str, o: str) -> str:
+    return f"<< {s} {p} {o} >>"
+
+
+class _NTStarCursor:
+    """Recursive-descent scan of one N-Triples/N-Quads statement containing
+    ``<<`` (the vectorized fast path and the plain regex never match those
+    lines). Grammar per the RDF-star spec as the reference's RIOT implements
+    it (rdf_star/TestNTriplesStarParse.java): subject = IRI | bnode | quoted
+    triple; predicate = IRI; object adds literals; a quoted triple may NOT
+    be a whole statement, a predicate, or contain a literal subject."""
+
+    def __init__(self, line: str, base: str | None = None):
+        self.s = line
+        self.i = 0
+        self.base = base
+
+    def ws(self) -> None:
+        self.i = _WS_TOK_RE.match(self.s, self.i).end()
+
+    def err(self, what: str) -> TermError:
+        return TermError(
+            f"{what} at offset {self.i}: ...{self.s[self.i:self.i + 40]!r}"
+        )
+
+    def term(self, pos: str) -> str:
+        """pos: 'subj' | 'pred' | 'obj'."""
+        self.ws()
+        if self.s.startswith("<<", self.i):
+            if pos == "pred":
+                raise self.err("quoted triple cannot be a predicate")
+            return self.quoted_triple()[0]
+        m = _IRI_TOK_RE.match(self.s, self.i)
+        if m:
+            self.i = m.end()
+            return _finish_iri(m.group(1), self.base)
+        if pos != "pred":
+            m = _BN_TOK_RE.match(self.s, self.i)
+            if m:
+                self.i = m.end()
+                return fmt_bnode(m.group(1))
+        if pos == "obj":
+            m = _LIT_TOK_RE.match(self.s, self.i)
+            if m:
+                self.i = m.end()
+                lex = unescape_string(m.group(1))
+                dt, lang = m.group(2), m.group(3)
+                if dt is not None:
+                    return fmt_literal(
+                        lex, datatype=iri_value(_finish_iri(dt, self.base))
+                    )
+                if lang is not None:
+                    return fmt_literal(lex, lang=lang)
+                return fmt_literal(lex)
+        raise self.err(f"expected {pos} term")
+
+    def quoted_triple(self) -> tuple[str, str, str, str]:
+        """At '<<': parse the quoted triple; returns (canonical term,
+        subj, pred, obj)."""
+        self.i = _QT_OPEN_RE.match(self.s, self.i).end()
+        s = self.term("subj")
+        p = self.term("pred")
+        o = self.term("obj")
+        self.ws()
+        if not self.s.startswith(">>", self.i):
+            raise self.err("expected '>>'")
+        self.i += 2
+        return fmt_quoted_triple(s, p, o), s, p, o
+
+
+def _parse_star_statement(
+    line: str, *, base: str | None = None, quads: bool = False
+) -> tuple[str, ...]:
+    """One N-Triples (or N-Quads) statement containing a quoted triple →
+    (s, p, o) or (graph|None, s, p, o). Raises TermError on bad syntax,
+    including a bare quoted triple used as a whole statement."""
+    c = _NTStarCursor(line, base)
+    s = c.term("subj")
+    c.ws()
+    if c.s.startswith(".", c.i):
+        raise c.err("a quoted triple is a term, not a statement")
+    p = c.term("pred")
+    o = c.term("obj")
+    g: str | None = None
+    if quads:
+        c.ws()
+        if not c.s.startswith(".", c.i):
+            m = _IRI_TOK_RE.match(c.s, c.i)
+            if m:
+                c.i = m.end()
+                g = _finish_iri(m.group(1), base)
+            else:
+                m = _BN_TOK_RE.match(c.s, c.i)
+                if not m:
+                    raise c.err("expected graph label")
+                c.i = m.end()
+                g = fmt_bnode(m.group(1))
+    c.ws()
+    if not c.s.startswith(".", c.i):
+        raise c.err("expected '.'")
+    c.i += 1
+    rest = c.s[c.i:].strip()
+    if rest and not rest.startswith("#"):
+        raise c.err("trailing content after '.'")
+    return (g, s, p, o) if quads else (s, p, o)
+
+
+def quoted_triple_parts(term: str) -> tuple[str, str, str]:
+    """Canonical quoted-triple term → (s, p, o) canonical component terms
+    (the Node_Triple.triple(n) accessor)."""
+    c = _NTStarCursor(term)
+    if not term.startswith("<<"):
+        raise TermError(f"not a quoted-triple term: {term!r}")
+    _, s, p, o = c.quoted_triple()
+    c.ws()
+    if c.i != len(c.s):
+        raise TermError(f"not a quoted-triple term: {term!r}")
+    return s, p, o
+
+
+def skolemize_term(t: str, seed: bytes, labels: dict[str, str]) -> str:
+    """Skolemize the blank nodes of one term, recursing into quoted
+    triples; ``labels`` is the per-document label → skolem cache."""
+    if t.startswith("_:"):
+        lbl = t[2:]
+        if lbl not in labels:
+            labels[lbl] = skolem_label(seed, lbl)
+        return "_:" + labels[lbl]
+    if t.startswith("<<"):
+        s, p, o = quoted_triple_parts(t)
+        return fmt_quoted_triple(
+            skolemize_term(s, seed, labels), p, skolemize_term(o, seed, labels)
+        )
+    return t
 
 
 # --------------------------------------------------------------------------
@@ -632,7 +803,10 @@ _LIT_RE = re.compile(rf'^"({_STR_BODY})"(?:\^\^<({_IRI_BODY})>|{LANGTAG})?$')
 
 
 def term_kind(term: str) -> str:
-    """'iri' | 'bnode' | 'literal' for a canonical term string."""
+    """'iri' | 'bnode' | 'literal' | 'triple' for a canonical term string
+    ('triple' = RDF-star quoted triple, Node.isNodeTriple())."""
+    if term.startswith("<<"):
+        return "triple"
     c = term[0] if term else ""
     if c == "<":
         return "iri"
@@ -659,7 +833,7 @@ def split_literal(term: str) -> tuple[str, str | None, str | None]:
 def namespace_of(term: str) -> str | None:
     """Namespace of an IRI term (split at last '#' or '/'), for the elephas
     namespace-count job (TripleNamespaceCountMapper semantics)."""
-    if not term.startswith("<"):
+    if not term.startswith("<") or term.startswith("<<"):
         return None
     iri = term[1:-1]
     for sep in ("#", "/"):

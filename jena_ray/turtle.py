@@ -194,8 +194,66 @@ class TurtleParser:
             return f"_:L{m.group(1)}"
         return None
 
+    def quoted_triple(self) -> str | None:
+        """Turtle-star ``<< qtSubject verb qtObject >>`` (RIOT Turtle with
+        the star profile; rdf_star/TestTurtleStarParse.java). qtSubject:
+        iri | BlankNode | ANON | quoted triple; qtObject adds literals;
+        collections and '[ po-list ]' are bad syntax inside. Must be tried
+        BEFORE iriref_or_pname (which raises 'bad IRIREF' on '<<')."""
+        if self.peek(2) != "<<":
+            return None
+        self.i += 2
+
+        def qt_term(object_pos: bool) -> str:
+            self.ws()
+            t = self.quoted_triple()
+            if t is not None:
+                return t
+            t = self.iriref_or_pname()
+            if t is not None:
+                return t
+            t = self.blank_node()
+            if t is not None:
+                return t
+            if self.peek() == "[":
+                save = self.i
+                self.i += 1
+                self.ws()
+                if self.try_lit("]"):
+                    return self.fresh_bnode()  # ANON is allowed
+                self.i = save
+                raise TermError(
+                    f"property list not allowed inside a quoted triple "
+                    f"(offset {self.i})"
+                )
+            if self.peek() == "(":
+                raise TermError(
+                    f"collection not allowed inside a quoted triple "
+                    f"(offset {self.i})"
+                )
+            if object_pos:
+                t = self.literal()
+                if t is not None:
+                    return t
+            raise TermError(f"bad term inside quoted triple at offset {self.i}")
+
+        s = qt_term(False)
+        self.ws()
+        v = self.verb()
+        if v is None:
+            raise TermError(
+                f"expected predicate inside quoted triple at offset {self.i}"
+            )
+        o = qt_term(True)
+        self.ws()
+        self.expect(">>")
+        return T.fmt_quoted_triple(s, v, o)
+
     def subject(self) -> str | None:
         self.subject_was_bnpl = False
+        t = self.quoted_triple()
+        if t is not None:
+            return t
         t = self.iriref_or_pname()
         if t is not None:
             return t
@@ -217,6 +275,9 @@ class TurtleParser:
         return None
 
     def object_(self) -> str | None:
+        t = self.quoted_triple()
+        if t is not None:
+            return t
         t = self.iriref_or_pname()
         if t is not None:
             return t
@@ -395,16 +456,14 @@ def parse_turtle(
     out = p.parse()
     if skolem_seed is not None:
         labels: dict[str, str] = {}
-
-        def sk(t: str) -> str:
-            if t.startswith("_:"):
-                lbl = t[2:]
-                if lbl not in labels:
-                    labels[lbl] = T.skolem_label(skolem_seed, lbl)
-                return "_:" + labels[lbl]
-            return t
-
-        out = [(sk(s), pp, sk(o)) for s, pp, o in out]
+        out = [
+            (
+                T.skolemize_term(s, skolem_seed, labels),
+                pp,
+                T.skolemize_term(o, skolem_seed, labels),
+            )
+            for s, pp, o in out
+        ]
     return out
 
 

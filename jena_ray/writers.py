@@ -45,7 +45,20 @@ def _pname(iri_term: str, prefixes: Mapping[str, str]) -> str:
     return iri_term
 
 
+def _reject_star(s: str, o: str, fmt: str) -> None:
+    """Formats without an RDF-star syntax refuse quoted-triple terms loudly
+    (Jena raises the same way rather than emitting unparseable output)."""
+    if s.startswith("<<") or o.startswith("<<"):
+        raise T.TermError(
+            f"{fmt} cannot represent an RDF-star quoted triple: "
+            f"{(s if s.startswith('<<') else o)[:60]!r}"
+        )
+
+
 def _turtle_term(t: str, prefixes: Mapping[str, str]) -> str:
+    if t.startswith("<<"):
+        # quoted triple: the canonical form is already valid Turtle-star
+        return t
     if t.startswith("<"):
         return _pname(t, prefixes)
     if t.startswith('"'):
@@ -134,6 +147,10 @@ def _xml_escape(s: str, attr: bool = False) -> str:
 
 
 def _trix_term(t: str) -> str:
+    if t.startswith("<<"):
+        raise T.TermError(
+            f"TriX cannot represent an RDF-star quoted triple: {t[:60]!r}"
+        )
     if t.startswith("<"):
         return f"<uri>{_xml_escape(t[1:-1])}</uri>"
     if t.startswith("_:"):
@@ -176,6 +193,7 @@ def serialize_rdfjson(triples: Iterable[Triple]) -> str:
     value-object array)."""
     doc: dict[str, dict[str, list[dict]]] = {}
     for s, p, o in triples:
+        _reject_star(s, o, "RDF/JSON")
         skey = s[1:-1] if s.startswith("<") else s
         pkey = p[1:-1]
         if o.startswith("<"):
@@ -202,6 +220,7 @@ def serialize_jsonld(triples: Iterable[Triple]) -> str:
     nodes: dict[str, dict] = {}
     order: list[str] = []
     for s, p, o in triples:
+        _reject_star(s, o, "JSON-LD")
         sid = s[1:-1] if s.startswith("<") else s  # bnodes keep _:label
         if sid not in nodes:
             nodes[sid] = {"@id": sid}
@@ -250,6 +269,7 @@ def serialize_rdfxml(triples: Iterable[Triple]) -> str:
     by_subj: dict[str, list[tuple[str, str]]] = {}
     order: list[str] = []
     for s, p, o in triples:
+        _reject_star(s, o, "RDF/XML")
         if s not in by_subj:
             by_subj[s] = []
             order.append(s)

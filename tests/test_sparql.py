@@ -796,3 +796,52 @@ def test_path_alternation_rejects_mixing():
     ):
         with pytest.raises(SparqlSyntaxError):
             parse_query(bad)
+
+
+def test_construct_bnode_template(sparql_index):
+    """Template bnodes allocate a FRESH node per solution (Template.java
+    remapping): one bnode per mention row, shared across the two template
+    triples of that solution."""
+    q = PFX + """
+    CONSTRUCT { ?d ex:hasMention _:m . _:m ex:of ?e }
+    WHERE { ?d ex:mentions ?e }
+    """
+    res = sparql_query(sparql_index, q, num_partitions=4)
+    df = res.to_pandas()
+    has_m = df[df["pred"] == "<http://ex.org/hasMention>"]
+    of_e = df[df["pred"] == "<http://ex.org/of>"]
+    # 8 mention solutions → 8 fresh bnodes, each in exactly two triples
+    assert len(has_m) == 8 and len(of_e) == 8
+    assert has_m["obj"].str.startswith("_:").all()
+    assert of_e["subj"].str.startswith("_:").all()
+    assert set(has_m["obj"]) == set(of_e["subj"])
+    assert has_m["obj"].nunique() == 8
+
+
+def test_path_fixed_length_desugars():
+    """ARQ p{n} (P_FixedLength) desugars to an n-step chain; {n,m} ranges
+    and {0} are rejected loudly."""
+    q = parse_query(PFX + "SELECT ?x WHERE { ?x ex:p{2} ?y . }")
+    assert q.where.patterns == [
+        ("?x", "<http://ex.org/p>", "?__seq0"),
+        ("?__seq0", "<http://ex.org/p>", "?y"),
+    ]
+    # composes with '/' sequences and '^' inverse
+    q2 = parse_query(PFX + "SELECT ?x WHERE { ?x ex:a/ex:p{2} ?y }")
+    assert len(q2.where.patterns) == 3
+    for bad in ("{ ?x ex:p{1,3} ?y }", "{ ?x ex:p{0} ?y }"):
+        with pytest.raises(SparqlSyntaxError):
+            parse_query(PFX + "SELECT * WHERE " + bad)
+
+
+def test_path_fixed_length_executes(sparql_index):
+    """p{1} equals the plain pattern (same result set end-to-end)."""
+    a = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:mentions{1} ex:e1 } ORDER BY ?d",
+    ).to_pandas()
+    b = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:mentions ex:e1 } ORDER BY ?d",
+    ).to_pandas()
+    assert a.equals(b)
