@@ -319,7 +319,7 @@ _RE_IRI = r"^<(?P<v>.*)>$"
 _RE_LEX = r'^"(?P<v>(?:[^"\\]|\\.)*)"'
 
 
-_TYPE_FILTER_OPS = {"isiri", "isblank", "isliteral", "isnumeric"}
+_TYPE_FILTER_OPS = {"isiri", "isblank", "isliteral", "isnumeric", "istriple"}
 
 
 def _is_id_filter(f: tuple) -> bool:
@@ -350,6 +350,8 @@ def _validate_filter(f: tuple) -> None:
             _validate_filter(sub)
         return
     if op in ("bound", "!bound") or op in _TYPE_FILTER_OPS:
+        return
+    if op == "nottype" and f[1] in _TYPE_FILTER_OPS:
         return
     if op in ("=", "!=") and isinstance(f[2], str):
         return  # sameTerm leaf
@@ -639,14 +641,26 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
     if op in ("bound", "!bound"):
         col = tb.column(col_for(f[1][1:]))
         return pc.is_valid(col) if op == "bound" else pc.is_null(col)
+    if op == "nottype":
+        # !isX(?v): invert the kind test but keep unbound rows False
+        # (E_LogicalNot of an eval error is still an error → row dropped)
+        inner = (f[1], f[2])
+        col = tb.column(col_for(f[2][1:]))
+        m = _value_filter_mask(tb, inner, col_for)
+        return pc.and_(pc.is_valid(col), pc.invert(m))
     if op in _TYPE_FILTER_OPS:
         s = pc.cast(tb.column(col_for(f[1][1:])), pa.string())
         if op == "isiri":
-            mask = pc.starts_with(s, "<")
+            # quoted triples also start with '<' — exclude them
+            mask = pc.and_(
+                pc.starts_with(s, "<"), pc.invert(pc.starts_with(s, "<<"))
+            )
         elif op == "isblank":
             mask = pc.starts_with(s, "_:")
         elif op == "isliteral":
             mask = pc.starts_with(s, '"')
+        elif op == "istriple":  # E_IsTriple (RDF-star)
+            mask = pc.starts_with(s, "<<")
         else:  # isnumeric
             mask = pc.is_valid(_num_value(s))
         return pc.fill_null(mask, False)
@@ -1421,8 +1435,16 @@ def kg_index_dir(sf_dir: str, *, num_shards: int = 4) -> str:
     base = os.path.join(
         "/tmp/jena_ray_idx", os.path.basename(os.path.normpath(sf_dir))
     )
+    from jena_ray.stages.materialize import stale_id_layout
     from jena_ray.state import manifest as M
 
+    if os.path.exists(os.path.join(base, "_layout.json")) and stale_id_layout(
+        base, "spo", "s_id"
+    ):
+        # cache written before the 128-bit id migration: wipe + rebuild
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     built = os.path.exists(os.path.join(base, "_layout.json")) and all(
         M.is_complete(base, str(k)) for k in range(num_shards)
     )

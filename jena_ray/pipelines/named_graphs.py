@@ -72,13 +72,21 @@ def doc_quads(sf_dir: str):
 
 
 def quad_store_dir(sf_dir: str) -> str:
-    """Quad indexes for a tier, built once under /tmp and reused."""
+    """Quad indexes for a tier, built once under /tmp and reused. A cache
+    whose id columns predate the 128-bit fixed_size_binary migration is
+    wiped and rebuilt (stale_id_layout probe) — existence of _layout.json
+    alone proved stale once."""
+    import shutil
+
+    from jena_ray.stages.materialize import stale_id_layout
     from jena_ray.stages.quads import materialize_quad_indexes
 
     base = os.path.join(
         "/tmp/jena_ray_quads", os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(base, "_layout.json")
+    if os.path.exists(marker) and stale_id_layout(base, "gspo", "s_id"):
+        shutil.rmtree(base, ignore_errors=True)
     if not os.path.exists(marker):
         materialize_quad_indexes(base, doc_quads(sf_dir), num_buckets=8)
     return base

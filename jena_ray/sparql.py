@@ -958,7 +958,8 @@ class Parser:
         return atoms[0] if len(atoms) == 1 else ("and", *atoms)
 
     _TYPE_FNS = {"ISIRI": "isiri", "ISURI": "isiri", "ISBLANK": "isblank",
-                 "ISLITERAL": "isliteral", "ISNUMERIC": "isnumeric"}
+                 "ISLITERAL": "isliteral", "ISNUMERIC": "isnumeric",
+                 "ISTRIPLE": "istriple"}  # E_IsTriple (RDF-star)
 
     def _parse_filter_atom(self) -> tuple:
         neg = False
@@ -987,16 +988,16 @@ class Parser:
         if t.kind == "NAME":
             fn = t.text.upper()
             if fn in self._TYPE_FNS:
-                if neg:
-                    raise SparqlSyntaxError(
-                        f"'!' before {fn} is not in the supported subset"
-                    )
                 self.next()
                 self.expect_op("(")
                 v = self.next()
                 self.expect_op(")")
                 if v.kind != "VAR":
                     raise SparqlSyntaxError(f"{fn} needs a variable")
+                if neg:
+                    # !isX(?v): unbound rows stay an error (False), so this
+                    # is NOT a plain mask inversion — dedicated op
+                    return ("nottype", self._TYPE_FNS[fn], "?" + v.text[1:])
                 return (self._TYPE_FNS[fn], "?" + v.text[1:])
             if fn == "BOUND":
                 self.next()
@@ -1216,7 +1217,10 @@ class Parser:
     #    E_StrUpperCase / E_StrLowerCase / E_StrConcat / E_MD5 / E_SHA* /
     #    E_Add..E_Divide / E_Conditional / E_Coalesce)
     _BIND_FNS = {"STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE",
-                 "CONCAT", "MD5", "SHA1", "SHA256", "SHA384", "SHA512"}
+                 "CONCAT", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+                 # RDF-star accessors/constructor (E_TripleSubject /
+                 # E_TriplePredicate / E_TripleObject / E_TripleFn)
+                 "SUBJECT", "PREDICATE", "OBJECT", "TRIPLE"}
 
     def _parse_bind_expr(self) -> tuple:
         return self._parse_bind_add()
@@ -1292,9 +1296,15 @@ class Parser:
                 self.next()
                 args.append(self._parse_bind_expr())
             self.expect_op(")")
-            if fn != "CONCAT" and len(args) != 1:
+            if fn == "TRIPLE":
+                if len(args) != 3:
+                    raise SparqlSyntaxError("TRIPLE takes three arguments")
+            elif fn != "CONCAT" and len(args) != 1:
                 raise SparqlSyntaxError(f"{fn} takes one argument")
             return (fn.lower(), args)
+        if t.kind in ("IRIREF", "PNAME"):
+            # IRI constant (canonical term) — e.g. TRIPLE(?s, <p>, ?o)
+            return ("termconst", self._iri(self.next()))
         raise SparqlSyntaxError(f"unsupported BIND expression at {t.text!r}")
 
 
@@ -1608,7 +1618,7 @@ def _bind_vars(expr: tuple) -> set[str]:
     k = expr[0]
     if k == "var":
         return {expr[1]}
-    if k in ("const", "numconst"):
+    if k in ("const", "numconst", "termconst"):
         return set()
     if k == "if":
         from jena_ray.pipelines.bgp import _filter_vars
@@ -1652,7 +1662,8 @@ def _eval_raw(tb: pa.Table, expr: tuple):
         return _str_value(tb.column(expr[1]))
     if k == "const":
         return pa.array([expr[1]] * tb.num_rows, type=pa.string())
-    if k in ("numconst", "arith", "neg", "if", "coalesce"):
+    if k in ("numconst", "arith", "neg", "if", "coalesce", "termconst",
+             "subject", "predicate", "object", "triple"):
         return _str_value(_eval_bind(tb, expr))
     if k == "lang":
         from jena_ray.pipelines.bgp import _lang_value
@@ -1767,6 +1778,8 @@ def _eval_bind(tb: pa.Table, expr: tuple):
                           _eval_bind(tb, expr[3]))
     if k == "coalesce":
         return pc.coalesce(*[_eval_bind(tb, a) for a in expr[1]])
+    if k == "termconst":
+        return pa.array([expr[1]] * tb.num_rows, type=pa.string())
     if k == "var":
         return pc.cast(tb.column(expr[1]), pa.string())
     if k == "strlen":
@@ -1783,6 +1796,44 @@ def _eval_bind(tb: pa.Table, expr: tuple):
         if a[0] != "var":
             raise SparqlSyntaxError("DATATYPE takes a variable")
         return _datatype_term(tb.column(a[1]))
+    if k in ("subject", "predicate", "object"):
+        # E_TripleSubject/Predicate/Object: component of a quoted-triple
+        # term; non-triple rows are an eval error → unbound (null). The
+        # recursive canonical parse is per distinct VALUE, not vectorizable
+        # (nesting); quoted-triple columns are rare and small
+        from jena_ray.term import TermError, quoted_triple_parts
+
+        idx = ("subject", "predicate", "object").index(k)
+        col = _eval_bind(tb, expr[1][0])
+        cache: dict[str, str | None] = {}
+        out = []
+        for v in pc.cast(col, pa.string()).to_pylist():
+            if v is None or not v.startswith("<<"):
+                out.append(None)
+                continue
+            if v not in cache:
+                try:
+                    cache[v] = quoted_triple_parts(v)[idx]
+                except TermError:
+                    cache[v] = None
+            out.append(cache[v])
+        return pa.array(out, type=pa.string())
+    if k == "triple":
+        # E_TripleFn: TRIPLE(s, p, o) → quoted-triple term. Rows whose
+        # subject is a literal / predicate is not an IRI error → null
+        s_c = pc.cast(_eval_bind(tb, expr[1][0]), pa.string())
+        p_c = pc.cast(_eval_bind(tb, expr[1][1]), pa.string())
+        o_c = pc.cast(_eval_bind(tb, expr[1][2]), pa.string())
+        built = pc.binary_join_element_wise("<<", s_c, p_c, o_c, ">>", " ")
+        ok = pc.and_(
+            pc.invert(pc.starts_with(s_c, '"')),
+            pc.and_(
+                pc.starts_with(p_c, "<"),
+                pc.invert(pc.starts_with(p_c, "<<")),
+            ),
+        )
+        return pc.if_else(pc.fill_null(ok, False), built,
+                          pa.scalar(None, type=pa.string()))
     return _mk_plain(_eval_raw(tb, expr))
 
 

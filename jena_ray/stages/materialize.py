@@ -408,6 +408,26 @@ def materialize_indexes(
     return stats
 
 
+def stale_id_layout(out_dir: str, index: str, id_col: str) -> bool:
+    """True when a cached index under ``out_dir`` stores ``id_col`` with a
+    type other than the current ID_TYPE (e.g. int64 parquet written before
+    the 128-bit migration). Cheap: reads one footer schema."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(os.path.join(out_dir, index, "**", "*.parquet"),
+                       recursive=True)
+    if not files:
+        return False
+    try:
+        schema = pq.read_schema(files[0])
+    except Exception:
+        return True  # unreadable cache: rebuild
+    f = schema.field(id_col) if id_col in schema.names else None
+    return f is None or f.type != ID_TYPE
+
+
 def _term_bucket_ids(ids: list, num_buckets: int) -> int:
     """Bucket id for bound leading id(s) — same hash path as add_bucket."""
     import pyarrow as pa

@@ -223,3 +223,46 @@ def test_sparql_rejects_vars_inside_quoted_triple():
         Parser(
             "SELECT ?s WHERE { << ?s <x:p> <x:o> >> <x:q> ?z }"
         ).parse_query()
+
+
+def test_sparql_star_builtins(tmp_path):
+    """isTRIPLE filter + SUBJECT/PREDICATE/OBJECT/TRIPLE builtins
+    (E_IsTriple / E_TripleSubject / E_TripleFn lineage)."""
+    import ray.data as rd
+
+    from jena_ray.sparql import sparql_query
+    from jena_ray.stages.materialize import materialize_indexes
+
+    nt = (
+        '<<<x:s> <x:p> <x:o>>> <x:conf> "0.9" .\n'
+        '<x:s2> <x:conf> "0.5" .\n'
+    )
+    triples = T.parse_ntriples(nt)
+    out_dir = str(tmp_path / "idx")
+    rd.from_items(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in triples]
+    ).write_parquet(str(tmp_path / "idx/triples"))
+    materialize_indexes(out_dir, num_buckets=4)
+
+    res = sparql_query(
+        out_dir,
+        "SELECT ?t ?ss WHERE { ?t <x:conf> ?c . FILTER(isTRIPLE(?t)) "
+        "BIND(SUBJECT(?t) AS ?ss) }",
+    ).to_pandas()
+    assert list(res["t"]) == [QT]
+    assert list(res["ss"]) == ["<x:s>"]
+
+    res2 = sparql_query(
+        out_dir,
+        "SELECT ?t ?o WHERE { ?t <x:conf> ?c . FILTER(!isTRIPLE(?t)) "
+        "BIND(OBJECT(?t) AS ?o) }",
+    ).to_pandas()
+    assert list(res2["t"]) == ["<x:s2>"]
+    assert res2["o"].isna().all()  # OBJECT of a non-triple errors → unbound
+
+    res3 = sparql_query(
+        out_dir,
+        "SELECT ?qt WHERE { ?t <x:conf> ?c . FILTER(isTRIPLE(?t)) "
+        "BIND(TRIPLE(?t, <x:q>, ?c) AS ?qt) }",
+    ).to_pandas()
+    assert list(res3["qt"]) == [f'<< {QT} <x:q> "0.9" >>']
