@@ -286,9 +286,39 @@ def cmd_update(argv: list[str]) -> int:
     return 0
 
 
+def cmd_infer_rules(argv: list[str]) -> int:
+    """GenericRuleReasoner (forward) analog: N-Triples + a Jena-syntax rule
+    file → fixpoint-materialized N-Triples (stages/rules.forward_chain;
+    jena-core reasoner/rulesys/GenericRuleReasoner.java:47)."""
+    ap = argparse.ArgumentParser(prog="jena_ray infer-rules")
+    ap.add_argument("--data", required=True, help="input .nt file/dir")
+    ap.add_argument("--rules", required=True, help="rule file (Rule.java syntax)")
+    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument("--max-rounds", type=int, default=30)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+
+    from jena_ray.sources.ntriples import read_ntriples
+    from jena_ray.stages.rules import forward_chain
+
+    with open(args.rules) as f:
+        rules_text = f.read()
+    out, rounds = forward_chain(
+        read_ntriples(args.data), rules_text, max_rounds=args.max_rounds
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"rounds": rounds, "triples": out.count()}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
     cmds = {"riot": cmd_riot, "kgload": cmd_kgload, "tdbstats": cmd_tdbstats,
-            "sparql": cmd_sparql, "update": cmd_update}
+            "sparql": cmd_sparql, "update": cmd_update,
+            "infer-rules": cmd_infer_rules}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         return 2

@@ -22,8 +22,11 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   ``FILTER`` (incl. ``EXISTS`` / ``NOT EXISTS`` sub-groups), ``BIND``,
   one ``OPTIONAL`` block, one ``MINUS`` block,
   ``{A} UNION {B} [UNION ...]``, ``VALUES``, ``GRAPH term-or-var { ... }``
-  (compiled to quad patterns), and property paths: ``^p`` inverse and
-  ``p1/p2`` sequences desugar into the BGP (PathCompiler reduction);
+  (compiled to quad patterns), ``{ SELECT ... }`` subqueries, and
+  property paths: ``^p`` inverse and ``p1/p2`` sequences desugar into the
+  BGP (PathCompiler reduction); ``p1|p2`` alternation and ``!(p1|...)``
+  negated property sets (P_Alt / P_NegPropSet) as masked open scans;
+  ``p{n}`` / ``p{n,n}`` fixed length (ARQ P_FixedLength) as an n-chain;
   ``term p+ ?v`` / ``term p* ?v`` closures run path_closure
   (P_OneOrMore / P_ZeroOrMore), including inverted ``^p+``.
 - FILTER expressions: ``&&`` / ``||`` boolean combinations (``&&`` binds
@@ -32,8 +35,9 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   ``+ - * /`` operand expressions, XSD-numeric typed constants compared
   by value, and xsd:date/dateTime constants compared in the temporal
   value space with XSD ±14h timezone-indeterminacy semantics),
-  ``IN`` / ``NOT IN`` lists, ``BOUND`` / ``!BOUND``,
-  ``sameTerm``, ``isIRI`` / ``isBlank`` / ``isLiteral`` / ``isNumeric``,
+  ``IN`` / ``NOT IN`` lists, ``BOUND`` / ``!BOUND``, ``sameTerm``,
+  ``isIRI`` / ``isBlank`` / ``isLiteral`` / ``isNumeric`` / ``isTRIPLE``
+  (each also under ``!``),
   ``REGEX`` (with flags), ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS``
   (with or without ``STR(...)``), ``LANG(?x) = "tag"``, and
   ``LANGMATCHES`` with BCP-47 basic ranges incl. ``"*"``.
@@ -41,7 +45,11 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   ``UCASE`` / ``LCASE`` / ``CONCAT`` / ``MD5`` / ``SHA1..SHA512`` over
   variables and string constants; arithmetic (``+ - * /`` with standard
   precedence and unary minus); ``IF(cond, a, b)`` with the FILTER
-  expression grammar for the condition; ``COALESCE(a, b, ...)``.
+  expression grammar for the condition; ``COALESCE(a, b, ...)``;
+  RDF-star ``SUBJECT`` / ``PREDICATE`` / ``OBJECT`` accessors and the
+  ``TRIPLE(s, p, o)`` constructor.
+- RDF-star: ground ``<< s p o >>`` quoted triples as terms in patterns,
+  templates and VALUES (variables inside quoted triples are rejected).
 - Solution modifiers: ``GROUP BY`` with ``COUNT`` (incl. ``DISTINCT`` and
   ``*``), ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` / ``MEDIAN`` / ``MODE`` /
   ``SAMPLE`` / ``GROUP_CONCAT(...; SEPARATOR "..")``; ``HAVING`` (numeric

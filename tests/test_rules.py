@@ -1,0 +1,147 @@
+"""GenericRuleReasoner forward subset (stages/rules.py) — fixpoint
+materialization vs closed-form closures.
+
+Reference: jena-core reasoner/rulesys/GenericRuleReasoner.java:47 (forward
+mode), rule syntax Rule.java:84."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from jena_ray.stages.rules import forward_chain, parse_rules
+from jena_ray.term import TermError
+
+EX = "http://ex/"
+
+
+def _ds(triples):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": [s for s, _, _ in triples],
+                "pred": [p for _, p, _ in triples],
+                "obj": [o for _, _, o in triples],
+            }
+        )
+    )
+
+
+def _rows(ds):
+    return {(r["subj"], r["pred"], r["obj"]) for r in ds.take_all()}
+
+
+def anc(a, b):
+    return (f"<{EX}{a}>", f"<{EX}anc>", f"<{EX}{b}>")
+
+
+def test_parse_rejects_unbound_head_and_garbage():
+    with pytest.raises(TermError):
+        parse_rules("[ (?a <http://e/p> ?b) -> (?a <http://e/q> ?c) ]")
+    with pytest.raises(TermError):
+        parse_rules("[ -> (?a <http://e/q> ?b) ]")
+    with pytest.raises(TermError):
+        parse_rules("[ (?a unknown:p ?b) -> (?a unknown:q ?b) ]")
+
+
+def test_transitive_closure(ray_session):
+    """[(?a anc ?b) (?b anc ?c) -> (?a anc ?c)] over a 10-chain converges
+    to the full reachability closure in O(log n) semi-naive rounds."""
+    chain = [anc(f"n{i}", f"n{i+1}") for i in range(10)]
+    out, rounds = forward_chain(
+        _ds(chain),
+        f"[anc: (?a <{EX}anc> ?b) (?b <{EX}anc> ?c) -> (?a <{EX}anc> ?c)]",
+        num_buckets=4,
+    )
+    expect = {anc(f"n{i}", f"n{j}") for i in range(11) for j in range(i + 1, 11)}
+    assert _rows(out) == expect
+    assert rounds <= 6  # doubling, not linear: semi-naive over the delta
+
+
+def test_symmetric_property_var_predicate(ray_session):
+    """Variable in PREDICATE position — the owl:SymmetricProperty rule
+    shape the RDFS-only materializer cannot express."""
+    rules = """
+    [sym: (?p rdf:type owl:SymmetricProperty) (?s ?p ?o) -> (?o ?p ?s)]
+    """
+    data = [
+        (f"<{EX}knows>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://www.w3.org/2002/07/owl#SymmetricProperty>"),
+        (f"<{EX}a>", f"<{EX}knows>", f"<{EX}b>"),
+        (f"<{EX}a>", f"<{EX}likes>", f"<{EX}c>"),  # not symmetric
+    ]
+    out, _ = forward_chain(_ds(data), rules, num_buckets=4)
+    rows = _rows(out)
+    assert (f"<{EX}b>", f"<{EX}knows>", f"<{EX}a>") in rows
+    assert (f"<{EX}c>", f"<{EX}likes>", f"<{EX}a>") not in rows
+
+
+def test_builtin_filters(ray_session):
+    rules = f"""
+    [small: (?s <{EX}v> ?x) lessThan(?x, 5) -> (?s rdf:type <{EX}Small>)]
+    [ne: (?s <{EX}peer> ?o) notEqual(?s, ?o) -> (?o <{EX}peer> ?s)]
+    """
+    dt = "<http://www.w3.org/2001/XMLSchema#integer>"
+    data = [
+        (f"<{EX}x>", f"<{EX}v>", f'"3"^^{dt}'),
+        (f"<{EX}y>", f"<{EX}v>", f'"7"^^{dt}'),
+        (f"<{EX}x>", f"<{EX}peer>", f"<{EX}y>"),
+        (f"<{EX}z>", f"<{EX}peer>", f"<{EX}z>"),  # self-loop: filtered
+    ]
+    out, _ = forward_chain(_ds(data), rules, num_buckets=4)
+    rows = _rows(out)
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    assert (f"<{EX}x>", rdf_type, f"<{EX}Small>") in rows
+    assert (f"<{EX}y>", rdf_type, f"<{EX}Small>") not in rows
+    assert (f"<{EX}y>", f"<{EX}peer>", f"<{EX}x>") in rows
+    assert len([r for r in rows if r[1] == f"<{EX}peer>"]) == 3
+
+
+def test_rdfs_rules_match_rdfs_materializer(ray_session):
+    """The RDFS entailment rules expressed as GENERIC rules agree with the
+    dedicated broadcast-closure materializer (stages/inference.py) on the
+    rdf:type triples they derive for data entities."""
+    from jena_ray.stages.inference import rdfs_materialize
+
+    vocab = [
+        (f"<{EX}Dog>", "<http://www.w3.org/2000/01/rdf-schema#subClassOf>", f"<{EX}Animal>"),
+        (f"<{EX}hasDog>", "<http://www.w3.org/2000/01/rdf-schema#domain>", f"<{EX}Owner>"),
+        (f"<{EX}hasDog>", "<http://www.w3.org/2000/01/rdf-schema#range>", f"<{EX}Dog>"),
+    ]
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    data = [
+        (f"<{EX}rex>", rdf_type, f"<{EX}Dog>"),
+        (f"<{EX}ann>", f"<{EX}hasDog>", f"<{EX}rex>"),
+    ]
+    rules = """
+    [rdfs2: (?p rdfs:domain ?c) (?s ?p ?o) -> (?s rdf:type ?c)]
+    [rdfs3: (?p rdfs:range ?c) (?s ?p ?o) -> (?o rdf:type ?c)]
+    [rdfs9: (?a rdfs:subClassOf ?b) (?s rdf:type ?a) -> (?s rdf:type ?b)]
+    """
+    out, _ = forward_chain(_ds(vocab + data), rules, num_buckets=4)
+    generic = {r for r in _rows(out) if r[1] == rdf_type and r[0].startswith(f"<{EX}")}
+
+    ref = rdfs_materialize(_ds(data), vocab)
+    dedicated = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in ref.take_all()
+        if r["pred"] == rdf_type
+    }
+    assert dedicated <= generic
+    assert generic - dedicated == {
+        # rdfs3 on the vocab triple itself (the broadcast materializer only
+        # expands DATA triples — a documented semantic scope difference)
+        (f"<{EX}Animal>", rdf_type, f"<{EX}Dog>"),
+    } or generic == dedicated
+
+
+def test_cartesian_body_rejected(ray_session):
+    with pytest.raises(Exception, match="cartesian"):
+        forward_chain(
+            _ds([anc("a", "b")]),
+            f"[ (?a <{EX}p> ?b) (?c <{EX}q> ?d) -> (?a <{EX}r> ?d) ]",
+            num_buckets=4,
+        )
