@@ -175,93 +175,6 @@ def _build_bucketed_ids(
     )
 
 
-def _build_all_permutations(
-    ds,
-    orders: tuple[str, ...],
-    out_dir: str,
-    num_buckets: int,
-    min_rows_per_file: int,
-    *,
-    dedup: bool = False,
-):
-    """Build ALL index permutations with ONE combined all-to-all.
-
-    Round-2 measured that concurrent full-resource shuffles interfere 2×,
-    so the three permutation builds ran back-to-back — three barriers, and
-    the index phase scaled only 2.45× (8→32 CPUs) vs the wave's 3.01×.
-    The fix is not overlap but FUSION: emit each id-triple once per
-    permutation tagged ``(tag, bucket)`` and run a single groupby shuffle.
-    Total bytes moved are identical (3 × N id rows either way); what
-    changes is that the exchange's fixed synchronization cost is paid once
-    and every reduce slot stays busy across 3 × num_buckets groups instead
-    of draining per-permutation. Each group sorts and lands via one
-    write_parquet partitioned on (tag, bucket); the per-tag hive dirs are
-    then renamed to the reader layout (``spo/ pos/ osp/`` — a metadata-only
-    rename locally; on an object store readers would take the hive paths
-    straight from ``_layout.json`` instead).
-
-    ``dedup=True`` keeps the fused global ``sort -u``: identical triples
-    carry identical (tag, bucket) keys, so the block-local combiner plus a
-    per-group dedup is globally exact for every permutation at once.
-    """
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from jena_ray.stages.dedup import add_bucket, dedup_batch
-
-    staging = os.path.join(out_dir, "_ids_staging")
-    shutil.rmtree(staging, ignore_errors=True)
-
-    def explode(t: pa.Table) -> pa.Table:
-        t = t.select(["s_id", "p_id", "o_id"])
-        if dedup:
-            t = dedup_batch(t, list(t.schema.names))  # pre-shuffle combiner
-        parts = []
-        for order in orders:
-            b = add_bucket(t, ID_BUCKET_KEYS[order], num_buckets)
-            b = b.rename_columns(["s_id", "p_id", "o_id", "bucket"])
-            parts.append(
-                b.append_column(
-                    "tag", pa.array([order] * t.num_rows, type=pa.string())
-                )
-            )
-        return pa.concat_tables(parts)
-
-    def sort_within(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:  # Ray can hand map_groups an empty table
-            return g
-        keys = ID_ORDERS[g.column("tag")[0].as_py()]
-        if dedup:
-            g = dedup_batch(g, keys)
-        idx = pc.sort_indices(g, sort_keys=[(k, "ascending") for k in keys])
-        return g.take(idx)
-
-    (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["tag", "bucket"])
-        .map_groups(sort_within, batch_format="pyarrow")
-        .write_parquet(
-            staging,
-            partition_cols=["tag", "bucket"],
-            min_rows_per_file=min_rows_per_file,
-        )
-    )
-    stats: dict[str, str] = {}
-    for order in orders:
-        path = os.path.join(out_dir, order)
-        shutil.rmtree(path, ignore_errors=True)
-        src = os.path.join(staging, f"tag={order}")
-        if not os.path.isdir(src):  # no rows at all — keep an empty dir
-            os.makedirs(path, exist_ok=True)
-        else:
-            os.rename(src, path)
-        stats[order] = path
-    shutil.rmtree(staging, ignore_errors=True)
-    return stats
-
-
 def _build_terms_table(ds, path: str, num_buckets: int, min_rows_per_file: int):
     """NodeTable analog: distinct (id, term), bucketed by id — the single
     string shuffle of the materialize phase."""
@@ -387,8 +300,16 @@ def materialize_indexes(
     _build_terms_table(with_ids, terms_path, num_buckets, min_rows_per_file)
     stats["terms"] = terms_path
 
-    # ---- phase B: ALL permutations in one combined shuffle, with the
-    # global id-dedup (`sort -u`) fused in (_build_all_permutations) ----
+    # ---- phase B: one bucketed shuffle per permutation, SEQUENTIALLY.
+    # The global id-dedup (`sort -u`) fuses into the PRIMARY build's
+    # shuffle; secondaries re-read the deduped primary (smaller input, hot
+    # in the page cache). A/B-measured against a fused single-shuffle
+    # variant that tagged every row ×3 with (tag, bucket) and ran one
+    # combined groupby: the fused exchange was ~1.8× SLOWER at 23.5M rows
+    # (3× rows through one shuffle beats 3 smaller shuffles' fixed costs
+    # only on paper — the combined sort/partition write dominated), so the
+    # sequential layout stays. Concurrent full-resource shuffles interfere
+    # ~2× (round-2 measurement), hence sequential, not parallel.
     if pre_stamped:
         ids = rd.read_parquet(triples_path, columns=["s_id", "p_id", "o_id"])
     else:
@@ -398,12 +319,22 @@ def materialize_indexes(
             lambda t: _add_ids(t).select(["s_id", "p_id", "o_id"]),
             batch_format="pyarrow",
         )
-    stats.update(
-        _build_all_permutations(
-            ids, tuple(orders), out_dir, num_buckets, min_rows_per_file,
-            dedup=not assume_deduped,
-        )
+    primary, *secondary = orders
+    primary_path = os.path.join(out_dir, primary)
+    shutil.rmtree(primary_path, ignore_errors=True)
+    _build_bucketed_ids(
+        ids, primary, primary_path, num_buckets, min_rows_per_file,
+        dedup=not assume_deduped,
     )
+    stats[primary] = primary_path
+    for order in secondary:
+        sds = rd.read_parquet(primary_path, columns=["s_id", "p_id", "o_id"])
+        path = os.path.join(out_dir, order)
+        shutil.rmtree(path, ignore_errors=True)
+        _build_bucketed_ids(
+            sds, order, path, num_buckets, min_rows_per_file, dedup=False
+        )
+        stats[order] = path
     _write_layout(out_dir, layout, num_buckets)
     return stats
 
