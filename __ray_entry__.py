@@ -148,6 +148,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir):
         return _kg_triples(sf_dir)
 
+    def rules_order_chain(sf_dir):
+        """GenericRuleReasoner forward subset end-to-end (stages/rules.py,
+        jena-core reasoner/rulesys/GenericRuleReasoner.java:47): transitive
+        closure of per-customer order-succession edges via semi-naive rule
+        fixpoint; the oracle is the identical closure as a DuckDB recursive
+        CTE."""
+        from jena_ray.stages.rules import order_chain_closure
+
+        return order_chain_closure(sf_dir)
+
     def kg_predicate_counts(sf_dir):
         return S.predicate_counts(_kg_triples(sf_dir)).sort("pred")
 
@@ -525,7 +535,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_aggs": R.order_priority_aggs,
         "top10_orders": R.top10_orders,
         "distinct_segments": R.distinct_segments,
-        "union_parties": R.union_parties,
+        # (union_parties rotated out to stay within the 50-row driver cap:
+        # OpUnion keeps oracle coverage via bgp_union_mentions, and the
+        # rule-engine closure below is the stronger new surface)
+        "rules_order_chain": rules_order_chain,
         "filter_project_lineitem": R.filter_project_lineitem,
         "events_tumbling_window": R.events_tumbling_window,
         "events_sessionize": R.events_sessionize,
@@ -928,11 +941,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
             ORDER BY c_mktsegment, c_nationkey
         """,
-        "union_parties": """
-            SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
-            UNION ALL
-            SELECT s_name, s_acctbal, 'supplier' FROM supplier
-            ORDER BY kind, name
+        "rules_order_chain": """
+            WITH RECURSIVE edges AS (
+                SELECT a, b FROM (
+                    SELECT o_orderkey AS a,
+                           LEAD(o_orderkey) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS b
+                    FROM orders)
+                WHERE b IS NOT NULL
+            ), tc AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e.b FROM tc JOIN edges e ON tc.b = e.a
+            )
+            SELECT a, b FROM tc ORDER BY a, b
         """,
         "filter_project_lineitem": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -338,7 +338,9 @@ def _minus(new, old, *, num_buckets: int):
         )
         return keep.loc[keep["_merge"] == "left_only", cols]
 
-    return bucketed_group_apply(u, cols, per_bucket, coalesce=True)
+    return bucketed_group_apply(
+        u, cols, per_bucket, num_buckets=num_buckets, coalesce=True
+    )
 
 
 def forward_chain(
@@ -371,7 +373,8 @@ def forward_chain(
         for r in rules:
             d = _eval_rule(r, full, delta, num_buckets=num_buckets)
             derived = d if derived is None else derived.union(d)
-        derived = dedup_exact(derived, cols=TRIPLE_COLS, coalesce=True)
+        # no separate dedup shuffle: _minus's per-bucket anti-merge already
+        # drop_duplicates the new side (one shuffle per round, not two)
         delta = _minus(derived, full, num_buckets=num_buckets).materialize()
         rounds += 1
         if delta.count() == 0:
@@ -380,3 +383,72 @@ def forward_chain(
     else:
         raise RuntimeError(f"rule fixpoint did not converge in {max_rounds} rounds")
     return full, rounds
+
+
+def order_chain_closure(sf_dir: str):
+    """Driver query: transitive closure of per-customer order-succession
+    edges via the generic rule engine. Each customer's orders (by
+    o_orderdate, o_orderkey) form a chain; the rule
+    ``[tc: (?a next ?b) (?b next ?c) -> (?a next ?c)]`` materializes full
+    reachability — the DuckDB oracle is the same closure as a recursive
+    CTE. Returns (a, b) int64 orderkey pairs, sorted."""
+    import pandas as pd
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import bucketed_group_apply
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        nxt = df.groupby("o_custkey", sort=False)["o_orderkey"].shift(-1)
+        m = nxt.notna()
+        return pd.DataFrame(
+            {
+                "a": df.loc[m, "o_orderkey"].astype("int64"),
+                "b": nxt[m].astype("int64"),
+            }
+        )
+
+    edge_pairs = bucketed_group_apply(ds, ["o_custkey"], edges, coalesce=True)
+
+    def to_triples(tb: pa.Table) -> pa.Table:
+        def term(col):
+            return pc.binary_join_element_wise(
+                "<urn:o:", pc.cast(tb.column(col), pa.string()), ">", ""
+            )
+
+        n = tb.num_rows
+        return pa.table(
+            {
+                "subj": term("a"),
+                "pred": pa.array(["<urn:p:next>"] * n, type=pa.string()),
+                "obj": term("b"),
+            }
+        )
+
+    triples = edge_pairs.map_batches(to_triples, batch_format="pyarrow")
+    closed, _rounds = forward_chain(
+        triples,
+        "[tc: (?a <urn:p:next> ?b) (?b <urn:p:next> ?c) -> (?a <urn:p:next> ?c)]",
+    )
+
+    def to_ints(tb: pa.Table) -> pa.Table:
+        a = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(tb.column("subj"), r"<urn:o:(?P<v>\d+)>"), "v"
+            ),
+            pa.int64(),
+        )
+        b = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(tb.column("obj"), r"<urn:o:(?P<v>\d+)>"), "v"
+            ),
+            pa.int64(),
+        )
+        return pa.table({"a": a, "b": b})
+
+    return closed.map_batches(to_ints, batch_format="pyarrow").sort(["a", "b"])

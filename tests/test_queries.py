@@ -19,7 +19,7 @@ REPRESENTATIVE = [
     "revenue_by_nation",
     "customers_without_orders",
     "top10_orders",
-    "union_parties",
+    "bgp_union_mentions",  # union_parties rotated out of the 50-row registry
     "events_tumbling_window",
     "events_sessionize",
     "exact_dedup_docs",
