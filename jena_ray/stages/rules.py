@@ -307,10 +307,11 @@ def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
             return pa.concat_tables(parts)
 
         outs.append(res.map_batches(emit, batch_format="pyarrow"))
-    u = outs[0]
-    for o in outs[1:]:
-        u = u.union(o)
-    return u
+    # ONE multi-input union, not a chained tree: a 10-rule set × variants
+    # × joins builds hundreds of plan operators per round, and a linear
+    # union chain makes the plan deep enough to blow Python's recursion
+    # limit inside Ray's plan/stats walkers
+    return outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
 
 
 def _minus(new, old, *, num_buckets: int):
@@ -369,10 +370,13 @@ def forward_chain(
     delta = full
     rounds = 0
     for _ in range(max_rounds):
-        derived = None
-        for r in rules:
-            d = _eval_rule(r, full, delta, num_buckets=num_buckets)
-            derived = d if derived is None else derived.union(d)
+        per_rule = [
+            _eval_rule(r, full, delta, num_buckets=num_buckets) for r in rules
+        ]
+        derived = (
+            per_rule[0] if len(per_rule) == 1
+            else per_rule[0].union(*per_rule[1:])
+        )
         # no separate dedup shuffle: _minus's per-bucket anti-merge already
         # drop_duplicates the new side (one shuffle per round, not two)
         delta = _minus(derived, full, num_buckets=num_buckets).materialize()
@@ -452,3 +456,18 @@ def order_chain_closure(sf_dir: str):
         return pa.table({"a": a, "b": b})
 
     return closed.map_batches(to_ints, batch_format="pyarrow").sort(["a", "b"])
+
+
+def load_ruleset(name: str) -> list[Rule]:
+    """Built-in rule presets (the reference ships etc/rdfs.rules etc. for
+    GenericRuleReasoner): 'rdfs' (rdfs2/3/5/7/9/11) and 'owl-lite'
+    (symmetric/transitive/inverse/equivalent/sameAs property semantics)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "rulesets",
+        f"{name}.rules",
+    )
+    with open(path) as f:
+        return parse_rules(f.read())

@@ -145,3 +145,22 @@ def test_cartesian_body_rejected(ray_session):
             f"[ (?a <{EX}p> ?b) (?c <{EX}q> ?d) -> (?a <{EX}r> ?d) ]",
             num_buckets=4,
         )
+
+
+def test_rulesets_load_and_owl_transitive(ray_session):
+    """Built-in presets parse; owl-lite's TransitiveProperty rule closes a
+    chain whose predicate is only known FROM THE DATA."""
+    from jena_ray.stages.rules import load_ruleset
+
+    assert len(load_ruleset("rdfs")) == 6
+    owl = load_ruleset("owl-lite")
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    data = [
+        (f"<{EX}part>", rdf_type, "<http://www.w3.org/2002/07/owl#TransitiveProperty>"),
+        (f"<{EX}a>", f"<{EX}part>", f"<{EX}b>"),
+        (f"<{EX}b>", f"<{EX}part>", f"<{EX}c>"),
+        (f"<{EX}c>", f"<{EX}part>", f"<{EX}d>"),
+    ]
+    out, _ = forward_chain(_ds(data), owl, num_buckets=4)
+    rows = _rows(out)
+    assert (f"<{EX}a>", f"<{EX}part>", f"<{EX}d>") in rows
