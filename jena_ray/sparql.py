@@ -27,6 +27,7 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   BGP (PathCompiler reduction); ``p1|p2`` alternation and ``!(p1|...)``
   negated property sets (P_Alt / P_NegPropSet) as masked open scans;
   ``p{n}`` / ``p{n,n}`` fixed length (ARQ P_FixedLength) as an n-chain;
+  ``p{n,m}`` ranges (ARQ P_Mod) as the distinct union of k-step chains;
   ``term p+ ?v`` / ``term p* ?v`` closures run path_closure
   (P_OneOrMore / P_ZeroOrMore), including inverted ``^p+``.
 - FILTER expressions: ``&&`` / ``||`` boolean combinations (``&&`` binds
@@ -784,8 +785,9 @@ class Parser:
             # ARQ extension p{n} / p{n,m} (sparql/path/P_Mod.java /
             # P_FixedLength.java — dropped from final SPARQL 1.1 but kept
             # by ARQ). Fixed length desugars exactly (a chain of n steps,
-            # bag semantics); a true n<m range would need a union of
-            # chains and is rejected loudly.
+            # bag semantics); an n<m range evaluates as the DISTINCT union
+            # of the k-step chains for k=n..m (the draft's alternation
+            # desugaring P{n,m} = P{n}|…|P{m}, set semantics).
             self.next()
             t = self.next()
             if t.kind != "NUMBER" or not t.text.isdigit():
@@ -801,14 +803,16 @@ class Parser:
                     )
                 m = int(t.text)
             self.expect_op("}")
-            if n != m:
-                raise SparqlSyntaxError(
-                    "path{n,m} ranges with n<m are outside the supported "
-                    "subset (only fixed {n} / {n,n})"
-                )
             if n < 1:
                 raise SparqlSyntaxError("path{0} (zero-length) unsupported")
-            mod = ("fixed", n)
+            if m < n:
+                raise SparqlSyntaxError(f"path{{{n},{m}}}: upper bound < lower")
+            if m > 32:
+                raise SparqlSyntaxError(
+                    f"path{{{n},{m}}}: bound above 32 (each length is a "
+                    "join chain; deeper ranges belong to the '+' closure)"
+                )
+            mod = ("fixed", n) if n == m else ("range", n, m)
         return pred, inv, mod
 
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
@@ -823,10 +827,10 @@ class Parser:
             # expand fixed-length {n} steps into n chained copies
             # (P_FixedLength → P_Seq, PathCompiler's reduction) before any
             # other handling, so p{n} composes with '/' sequences
-            if any(isinstance(s[2], tuple) for s in steps):
+            if any(isinstance(s[2], tuple) and s[2][0] == "fixed" for s in steps):
                 expanded = []
                 for pred, inv, mod in steps:
-                    if isinstance(mod, tuple):
+                    if isinstance(mod, tuple) and mod[0] == "fixed":
                         if isinstance(pred, tuple) or (
                             isinstance(pred, str) and pred.startswith("?")
                         ):
@@ -837,6 +841,12 @@ class Parser:
                     else:
                         expanded.append((pred, inv, mod))
                 steps = expanded
+            if (len(steps) > 1
+                    and any(isinstance(s[2], tuple) and s[2][0] == "range"
+                            for s in steps)):
+                raise SparqlSyntaxError(
+                    "p{n,m} ranges cannot combine with '/' sequences"
+                )
             if self.at_op("|"):
                 # P_Alt: alternation of PLAIN forward IRIs ('|' binds
                 # looser than '/', so mixing them in one path is out of
@@ -1420,6 +1430,27 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
             raise SparqlSyntaxError("FILTER with a property path is unsupported")
         if select != [obj[1:]]:
             raise SparqlSyntaxError("path queries must select the object variable")
+        if isinstance(mod, tuple) and mod[0] == "range":
+            # p{n,m}: DISTINCT union of the k-step chains for k=n..m (the
+            # draft alternation P{n}|…|P{m}, set semantics). One multi-arg
+            # union — chained .union calls build pathological plan depth.
+            from jena_ray.stages.dedup import dedup_exact
+
+            _, n, m = mod
+            branches = []
+            for k in range(n, m + 1):
+                pats, node = [], src
+                for i in range(k):
+                    nxt = obj if i == k - 1 else f"?__rng{k}_{i}"
+                    pats.append((nxt, pred, node) if inv else (node, pred, nxt))
+                    node = nxt
+                branches.append(
+                    bgp.bgp_execute(out_dir, pats, [obj[1:]],
+                                    num_partitions=num_partitions, stats=False)
+                )
+            first, *rest = branches
+            res = first.union(*rest) if rest else first
+            return dedup_exact(res, cols=(obj[1:],), coalesce=True)
         if mod == "?":
             # P_ZeroOrOne: direct objects plus the source itself
             pat = (obj, pred, src) if inv else (src, pred, obj)
@@ -2103,7 +2134,10 @@ def explain(query: str | Query, *, stats: dict | None = None) -> str:
         pad = " " * indent
         if g.paths:
             s, p, o, mod, inv = g.paths[0]
-            op = {"+": "path+", "*": "path*", "?": "path?"}[mod]
+            if isinstance(mod, tuple):
+                op = f"path{{{mod[1]},{mod[2]}}}"
+            else:
+                op = {"+": "path+", "*": "path*", "?": "path?"}[mod]
             inner = [f"{pad}({op}{' ^' if inv else ''} {s} {p} {o})"]
         elif g.union is not None:
             inner = [f"{pad}(union"]

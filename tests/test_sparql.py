@@ -829,9 +829,44 @@ def test_path_fixed_length_desugars():
     # composes with '/' sequences and '^' inverse
     q2 = parse_query(PFX + "SELECT ?x WHERE { ?x ex:a/ex:p{2} ?y }")
     assert len(q2.where.patterns) == 3
-    for bad in ("{ ?x ex:p{1,3} ?y }", "{ ?x ex:p{0} ?y }"):
+    # {n,m} ranges survive to the path layer as a range mod
+    q3 = parse_query(PFX + "SELECT ?y WHERE { ex:s ex:p{1,3} ?y }")
+    assert q3.where.paths == [
+        ("<http://ex.org/s>", "<http://ex.org/p>", "?y", ("range", 1, 3), False)
+    ]
+    for bad in ("{ ?x ex:p{0} ?y }", "{ ?x ex:p{3,1} ?y }",
+                "{ ?x ex:p{1,40} ?y }", "{ ?x ex:a/ex:p{1,3} ?y }"):
         with pytest.raises(SparqlSyntaxError):
             parse_query(PFX + "SELECT * WHERE " + bad)
+
+
+def test_path_range_executes(sparql_index):
+    """p{n,m} = distinct union of the k-step chains over the linksTo chain
+    d0→d1→d2→d3→d4."""
+    got = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?x WHERE { "
+        "<http://ex.org/d0> ex:linksTo{1,3} ?x } ORDER BY ?x",
+    ).to_pandas()
+    assert list(got["x"]) == [
+        "<http://ex.org/d1>", "<http://ex.org/d2>",
+        "<http://ex.org/d3>",
+    ]
+    got2 = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?x WHERE { "
+        "<http://ex.org/d0> ex:linksTo{2,2} ?x }",
+    ).to_pandas()
+    assert list(got2["x"]) == ["<http://ex.org/d2>"]
+    # inverse range walks the chain backwards from d3
+    got3 = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?x WHERE { "
+        "<http://ex.org/d3> ^ex:linksTo{1,2} ?x } ORDER BY ?x",
+    ).to_pandas()
+    assert list(got3["x"]) == [
+        "<http://ex.org/d1>", "<http://ex.org/d2>",
+    ]
 
 
 def test_path_fixed_length_executes(sparql_index):
