@@ -46,6 +46,10 @@ DEFAULT_PREFIXES = {
 }
 
 _BUILTINS = {"notEqual", "equal", "lessThan", "greaterThan", "le", "ge"}
+# graph-state guards: negation-as-failure against the round-start graph
+# (nonmonotonic, same caveat as the reference's builtin — rulesys/builtins/
+# NoValue.java checks the graph at rule-firing time)
+_GUARD_BUILTINS = {"noValue"}
 
 TRIPLE_COLS = ("subj", "pred", "obj")
 
@@ -160,6 +164,18 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
                 b = term(peek()); pos += 1
                 take("rpar")
                 filters.append((v, a, b))
+            elif k == "name" and v in _GUARD_BUILTINS:
+                pos += 1
+                take("lpar")
+                args = [term(peek())]
+                pos += 1
+                while peek()[0] != "rpar":
+                    args.append(term(peek()))
+                    pos += 1
+                take("rpar")
+                if len(args) not in (2, 3):
+                    raise TermError(f"rules: {v} takes 2 or 3 args")
+                filters.append((v, *args))
             else:
                 raise TermError(f"rules: unexpected {v!r} in body")
         take("arrow")
@@ -173,6 +189,13 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
         bv = {t for trip in body for t in trip if t.startswith("?")}
         if not hv <= bv:
             raise TermError(f"rules: unbound head variables {sorted(hv - bv)}")
+        gv = {a for f in filters if f[0] in _GUARD_BUILTINS
+              for a in f[1:] if a.startswith("?")}
+        if not gv <= bv:
+            raise TermError(
+                f"rules: unbound noValue variables {sorted(gv - bv)} "
+                "(omit the object argument for a wildcard)"
+            )
         rules.append(Rule(name, body, head, filters))
     return rules
 
@@ -246,6 +269,84 @@ def _apply_filters(ds, filters: list[tuple]):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _apply_novalue(res, res_vars: set[str], guard: tuple, full,
+                   *, num_buckets: int):
+    """``noValue(s, p[, o])`` guard: drop binding rows for which the
+    round-start graph ``full`` holds a matching triple (negation as
+    failure — nonmonotonic, evaluated per round like the reference's
+    rulesys/builtins/NoValue.java fires against the current graph). A
+    two-argument form matches any object (wildcard)."""
+    import pandas as pd  # noqa: F401  (bucketed_group_apply group fns)
+
+    from jena_ray.stages.dedup import bucketed_group_apply, dedup_batch
+
+    args = list(guard[1:])
+    if len(args) == 2:
+        args.append("?__nv_obj")
+    pat: list[str] = []
+    keys: list[str] = []
+    for slot, a in zip(TRIPLE_COLS, args):
+        if a.startswith("?") and a[1:] in res_vars:
+            pat.append(a)
+            keys.append(a[1:])
+        elif a.startswith("?"):
+            pat.append(f"?__nv_{slot}")  # wildcard slot
+        else:
+            pat.append(a)
+    if not keys:
+        # ground/wildcard-only guard: one existence probe decides the rule
+        # (_scan would project to a zero-column — hence zero-row — table)
+        def probe(tb: pa.Table, _pat=tuple(pat)) -> pa.Table:
+            mask = None
+            for c, t in zip(TRIPLE_COLS, _pat):
+                if not t.startswith("?"):
+                    m = pc.equal(tb.column(c), t)
+                    mask = m if mask is None else pc.and_(mask, m)
+            n = tb.num_rows if mask is None else pc.sum(
+                pc.cast(pc.fill_null(mask, False), pa.int64())
+            ).as_py()
+            return pa.table({"hit": pa.array([1] * min(int(n or 0), 1),
+                                             type=pa.int8())})
+
+        blocked = (
+            full.map_batches(probe, batch_format="pyarrow").limit(1).count() > 0
+        )
+        if not blocked:
+            return res
+        return res.map_batches(lambda tb: tb.slice(0, 0), batch_format="pyarrow")
+    bad = _scan(full, tuple(pat))
+
+    cols = sorted(res_vars)
+
+    def mark_left(tb: pa.Table) -> pa.Table:
+        tb = tb.select(cols)
+        return tb.append_column("_nv", pa.array([0] * tb.num_rows, type=pa.int8()))
+
+    def mark_bad(tb: pa.Table) -> pa.Table:
+        tb = dedup_batch(tb.select(sorted(keys)), sorted(keys))
+        out = {}
+        for c in cols:
+            if c in keys:
+                out[c] = pc.cast(tb.column(c), pa.string())
+            else:
+                out[c] = pa.nulls(tb.num_rows, type=pa.string())
+        t2 = pa.table(out)
+        return t2.append_column("_nv", pa.array([1] * t2.num_rows, type=pa.int8()))
+
+    u = res.map_batches(mark_left, batch_format="pyarrow").union(
+        bad.map_batches(mark_bad, batch_format="pyarrow")
+    )
+
+    def per_bucket(df):
+        hit = df.loc[df["_nv"] == 1, keys].drop_duplicates()
+        keep = df.loc[df["_nv"] == 0, cols].merge(
+            hit, on=keys, how="left", indicator=True
+        )
+        return keep.loc[keep["_merge"] == "left_only", cols]
+
+    return bucketed_group_apply(u, keys, per_bucket, num_buckets=num_buckets)
+
+
 def _pattern_vars(p: tuple[str, str, str]) -> set[str]:
     return {t[1:] for t in p if t.startswith("?")}
 
@@ -272,6 +373,8 @@ def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
     FULL). Returns the derived (subj,pred,obj) Dataset (pre-dedup)."""
     from jena_ray.pipelines.bgp import binding_join
 
+    batch_filters = [f for f in rule.filters if f[0] not in _GUARD_BUILTINS]
+    guards = [f for f in rule.filters if f[0] in _GUARD_BUILTINS]
     outs = []
     for di in range(len(rule.body)):
         ordered = _order_patterns(rule.body, di)
@@ -291,8 +394,11 @@ def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
                 col_types={v: pa.string() for v in all_vars},
             )
             res_vars = all_vars
-        if rule.filters:
-            res = _apply_filters(res, rule.filters)
+        if batch_filters:
+            res = _apply_filters(res, batch_filters)
+        for guard in guards:
+            res = _apply_novalue(res, res_vars, guard, full,
+                                 num_buckets=num_buckets)
 
         def emit(tb: pa.Table, _head=tuple(rule.head)) -> pa.Table:
             parts = []

@@ -164,3 +164,62 @@ def test_rulesets_load_and_owl_transitive(ray_session):
     out, _ = forward_chain(_ds(data), owl, num_buckets=4)
     rows = _rows(out)
     assert (f"<{EX}a>", f"<{EX}part>", f"<{EX}d>") in rows
+
+
+def test_novalue_parse_and_validation():
+    """noValue takes 2 or 3 args; its variables must be body-bound."""
+    r = parse_rules(
+        "[ (?a <http://e/p> ?b) noValue(?a <http://e/q>) "
+        "-> (?a <http://e/r> ?b) ]"
+    )[0]
+    assert r.filters == [("noValue", "?a", "<http://e/q>")]
+    r3 = parse_rules(
+        "[ (?a <http://e/p> ?b) noValue(?a <http://e/q> ?b) "
+        "-> (?a <http://e/r> ?b) ]"
+    )[0]
+    assert r3.filters == [("noValue", "?a", "<http://e/q>", "?b")]
+    with pytest.raises(TermError):  # unbound guard variable
+        parse_rules(
+            "[ (?a <http://e/p> ?b) noValue(?a <http://e/q> ?c) "
+            "-> (?a <http://e/r> ?b) ]"
+        )
+    with pytest.raises(TermError):  # wrong arity
+        parse_rules("[ (?a <http://e/p> ?b) noValue(?a) -> (?a <http://e/q> ?b) ]")
+
+
+def test_novalue_guard(ray_session):
+    """noValue blocks derivation for subjects that already carry the
+    predicate (wildcard form) or the exact triple (3-arg form)."""
+    P, Q, R = f"<{EX}p>", f"<{EX}q>", f"<{EX}r>"
+    A, B, C, V = f"<{EX}a>", f"<{EX}b>", f"<{EX}c>", f"<{EX}v>"
+    base = [(A, P, V), (B, P, V), (C, P, V), (B, Q, V)]
+    # wildcard: b already has SOME q value -> only a and c derive r
+    out, _ = forward_chain(
+        _ds(base),
+        f"[ (?x {P} ?y) noValue(?x {Q}) -> (?x {R} ?y) ]",
+        num_buckets=2,
+    )
+    got = _rows(out) - set(base)
+    assert got == {(A, R, V), (C, R, V)}
+    # 3-arg exact form: blocks only the exact (s, q, o) match
+    out2, _ = forward_chain(
+        _ds(base + [(C, Q, f"<{EX}other>")]),
+        f"[ (?x {P} ?y) noValue(?x {Q} ?y) -> (?x {R} ?y) ]",
+        num_buckets=2,
+    )
+    got2 = _rows(out2) - set(base) - {(C, Q, f"<{EX}other>")}
+    assert got2 == {(A, R, V), (C, R, V)}
+
+
+def test_novalue_ground_guard(ray_session):
+    """A guard with no binding variables is a single existence probe that
+    enables or disables the whole rule."""
+    P, Q, FLAG = f"<{EX}p>", f"<{EX}q>", f"<{EX}flag>"
+    A, V, ON = f"<{EX}a>", f"<{EX}v>", f"<{EX}on>"
+    rule = f"[ (?x {P} ?y) noValue({FLAG} {Q} {ON}) -> (?x {Q} ?y) ]"
+    out, _ = forward_chain(_ds([(A, P, V)]), rule, num_buckets=2)
+    assert (A, Q, V) in _rows(out)
+    out2, _ = forward_chain(
+        _ds([(A, P, V), (FLAG, Q, ON)]), rule, num_buckets=2
+    )
+    assert (A, Q, V) not in _rows(out2)
