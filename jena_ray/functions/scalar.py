@@ -155,8 +155,46 @@ def _hash_fn(algo: str):
     return fn
 
 
-for _algo in ("md5", "sha1", "sha256", "sha384", "sha512"):
+for _algo in ("md5", "sha1", "sha224", "sha256", "sha384", "sha512"):
     FUNCTIONS[_algo] = _hash_fn(_algo)
+
+
+@register("normalize_space")
+def normalize_space(a):
+    # FN_StrNormalizeSpace (XPath fn:normalize-space): trim + collapse
+    # internal whitespace runs to a single space
+    return pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(a), r"[ \t\r\n]+", " "
+    )
+
+
+@register("normalize_unicode")
+def normalize_unicode(a, *, form: str = "NFC"):
+    # FN_StrNormalizeUnicode (fn:normalize-unicode; NFC default)
+    import unicodedata
+
+    return pa.array(
+        [None if v is None else unicodedata.normalize(form, v)
+         for v in a.to_pylist()],
+        type=pa.string(),
+    )
+
+
+@register("localname")
+def localname(a):
+    # apf/library localname: the IRI fragment after the last '#' or '/'
+    # (SplitIRI.localname) over canonical `<...>` terms; null for non-IRIs
+    return pc.struct_field(
+        pc.extract_regex(a, r"^<.*[/#](?P<v>[^/#]*)>$"), "v"
+    )
+
+
+@register("namespace")
+def namespace(a):
+    # library namespace: everything up to and including the last '#'/'/'
+    return pc.struct_field(
+        pc.extract_regex(a, r"^<(?P<v>.*[/#])[^/#]*>$"), "v"
+    )
 
 
 # ---- numerics (E_NumAbs, E_NumCeiling, E_NumFloor, E_NumRound, Math_*) ----
@@ -202,6 +240,64 @@ def log(a):
     return pc.ln(a)
 
 
+@register("log10")
+def log10(a):
+    return pc.log10(pc.cast(a, pa.float64()))
+
+
+@register("log2")
+def log2(a):
+    return pc.log2(pc.cast(a, pa.float64()))
+
+
+@register("exp10")
+def exp10(a):
+    # Math_exp10: 10^x
+    return pc.power(pa.scalar(10.0), pc.cast(a, pa.float64()))
+
+
+@register("sin")
+def sin(a):
+    return pc.sin(pc.cast(a, pa.float64()))
+
+
+@register("cos")
+def cos(a):
+    return pc.cos(pc.cast(a, pa.float64()))
+
+
+@register("tan")
+def tan(a):
+    return pc.tan(pc.cast(a, pa.float64()))
+
+
+@register("asin")
+def asin(a):
+    return pc.asin(pc.cast(a, pa.float64()))
+
+
+@register("acos")
+def acos(a):
+    return pc.acos(pc.cast(a, pa.float64()))
+
+
+@register("atan")
+def atan(a):
+    return pc.atan(pc.cast(a, pa.float64()))
+
+
+@register("atan2")
+def atan2(a, b):
+    # Math_atan2(y, x)
+    return pc.atan2(pc.cast(a, pa.float64()), pc.cast(b, pa.float64()))
+
+
+@register("round_half_even")
+def round_half_even(a, *, ndigits: int = 0):
+    # FN_Round_Half_Even (fn:round-half-to-even, banker's rounding)
+    return pc.round(a, ndigits=ndigits, round_mode="half_to_even")
+
+
 # ---- datetimes (E_DateTimeYear ... E_DateTimeSeconds, E_Now is banned —
 # deterministic pipelines take the timestamp as config) ----
 
@@ -234,6 +330,106 @@ def minutes(a):
 @register("seconds")
 def seconds(a):
     return pc.second(a)
+
+
+@register("tz")
+def tz(a):
+    # E_DateTimeTZ: the LEXICAL timezone of an xsd:dateTime lexical form —
+    # "Z", "+05:00", … or "" when absent (NodeValue.dtGetTZ). Input is the
+    # lexical string (term_str of the literal), not an Arrow timestamp,
+    # because Arrow timestamps normalize the offset away.
+    ext = pc.struct_field(
+        pc.extract_regex(a, r"(?P<v>Z|[+-][0-9]{2}:[0-9]{2})$"), "v"
+    )
+    return pc.if_else(pc.is_valid(a), pc.fill_null(ext, ""), ext)
+
+
+@register("timezone")
+def timezone(a):
+    # E_DateTimeTimezone: timezone as an xsd:dayTimeDuration lexical
+    # ("PT0S" for Z, "-PT5H"/"PT5H30M" for offsets); null (eval error)
+    # when the dateTime carries no timezone
+    out = []
+    for v in a.to_pylist():
+        if v is None:
+            out.append(None)
+        elif v.endswith("Z"):
+            out.append("PT0S")
+        elif len(v) >= 6 and v[-6] in "+-" and v[-3] == ":":
+            sign = "-" if v[-6] == "-" else ""
+            h, m = int(v[-5:-3]), int(v[-2:])
+            if h == 0 and m == 0:
+                out.append("PT0S")
+            else:
+                parts = (f"{h}H" if h else "") + (f"{m}M" if m else "")
+                out.append(f"{sign}PT{parts}")
+        else:
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+# ---- term constructors (E_StrDatatype / E_StrLang / E_IRI; E_BNode's
+# fresh-per-row label becomes a deterministic skolem hash — E_UUID /
+# E_StrUUID / E_Random / E_Now stay banned: nondeterminism breaks
+# shard-resumable pipelines) ----
+
+
+@register("strdt")
+def strdt(a, *, datatype: str):
+    from jena_ray.term import fmt_literal
+
+    return pa.array(
+        [None if v is None else fmt_literal(v, datatype=datatype)
+         for v in a.to_pylist()],
+        type=pa.string(),
+    )
+
+
+@register("strlang")
+def strlang(a, *, lang: str):
+    from jena_ray.term import canonical_langtag, fmt_literal
+
+    tag = canonical_langtag(lang)
+    return pa.array(
+        [None if v is None else fmt_literal(v, lang=tag)
+         for v in a.to_pylist()],
+        type=pa.string(),
+    )
+
+
+@register("iri")
+def iri(a, *, base: str | None = None):
+    from jena_ray.term import TermError, fmt_iri, resolve_iri
+
+    out = []
+    for v in a.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        if v.startswith("<"):  # IRI(?iri) is the identity on IRI terms
+            out.append(v)
+            continue
+        try:
+            out.append(fmt_iri(resolve_iri(base, v)))
+        except TermError:
+            out.append(None)  # eval error → unbound, SPARQL error semantics
+    return pa.array(out, type=pa.string())
+
+
+@register("bnode_for")
+def bnode_for(a):
+    # E_BNode(expr) analog: one blank node PER DISTINCT INPUT, labeled by a
+    # content hash (the skolemization strategy used across this engine);
+    # diverges from the reference's fresh-label-per-row semantics, which
+    # cannot be reproduced deterministically under shard retry
+    import hashlib
+
+    return pa.array(
+        [None if v is None
+         else "_:B" + hashlib.sha1(v.encode("utf-8")).hexdigest()[:16]
+         for v in a.to_pylist()],
+        type=pa.string(),
+    )
 
 
 # ---- RDF term accessors (E_Str, E_Lang, E_Datatype, E_IsIRI/IsBlank/IsLiteral,

@@ -79,3 +79,54 @@ def test_register_custom():
         return pc.binary_join_element_wise(a, "!", "")
 
     assert S.FUNCTIONS["exclaim"](arr("hi")).to_pylist() == ["hi!"]
+
+
+def test_string_normalization_and_iri_parts():
+    a = arr("  a \t b\nc ", None)
+    assert S.FUNCTIONS["normalize_space"](a).to_pylist() == ["a b c", None]
+    acc = arr("é")  # e + combining acute
+    assert S.FUNCTIONS["normalize_unicode"](acc).to_pylist() == ["é"]
+    iris = arr("<http://ex.org/ns#Name>", "<http://ex.org/a/b>", '"lit"')
+    assert S.FUNCTIONS["localname"](iris).to_pylist() == ["Name", "b", None]
+    assert S.FUNCTIONS["namespace"](iris).to_pylist() == [
+        "http://ex.org/ns#", "http://ex.org/a/", None]
+
+
+def test_math_library():
+    import math
+
+    a = pa.array([0.0, 1.0])
+    assert S.FUNCTIONS["log10"](pa.array([100.0])).to_pylist() == [2.0]
+    assert S.FUNCTIONS["log2"](pa.array([8.0])).to_pylist() == [3.0]
+    assert S.FUNCTIONS["exp10"](pa.array([3.0])).to_pylist() == [1000.0]
+    assert S.FUNCTIONS["sin"](a).to_pylist() == [0.0, math.sin(1.0)]
+    assert S.FUNCTIONS["cos"](a).to_pylist()[0] == 1.0
+    assert S.FUNCTIONS["atan2"](pa.array([1.0]), pa.array([1.0])).to_pylist() == [
+        math.atan2(1.0, 1.0)]
+    # banker's rounding: 0.5 and 1.5 both land on the even neighbour
+    assert S.FUNCTIONS["round_half_even"](pa.array([0.5, 1.5, 2.5])).to_pylist() == [
+        0.0, 2.0, 2.0]
+
+
+def test_timezone_accessors():
+    a = arr("2024-01-01T12:00:00Z", "2024-01-01T12:00:00+05:30",
+            "2024-01-01T12:00:00-05:00", "2024-01-01T12:00:00", None)
+    assert S.FUNCTIONS["tz"](a).to_pylist() == ["Z", "+05:30", "-05:00", "", None]
+    assert S.FUNCTIONS["timezone"](a).to_pylist() == [
+        "PT0S", "PT5H30M", "-PT5H", None, None]
+
+
+def test_term_constructors():
+    lex = arr("42", None)
+    assert S.FUNCTIONS["strdt"](
+        lex, datatype="http://www.w3.org/2001/XMLSchema#integer"
+    ).to_pylist() == ['"42"^^<http://www.w3.org/2001/XMLSchema#integer>', None]
+    assert S.FUNCTIONS["strlang"](arr("chat"), lang="FR").to_pylist() == ['"chat"@fr']
+    got = S.FUNCTIONS["iri"](
+        arr("b", "<http://ex.org/x>"), base="http://ex.org/a/"
+    ).to_pylist()
+    assert got == ["<http://ex.org/a/b>", "<http://ex.org/x>"]
+    b = S.FUNCTIONS["bnode_for"](arr("k1", "k1", "k2")).to_pylist()
+    assert b[0] == b[1] != b[2] and b[0].startswith("_:B")
+    assert S.FUNCTIONS["sha224"](arr("x")).to_pylist()[0] == __import__(
+        "hashlib").sha224(b"x").hexdigest()
