@@ -343,3 +343,49 @@ def ground_quads(quads):
         return batch.filter(mask)
 
     return quads.map_batches(f, batch_format="pyarrow")
+
+
+def iri_violation_scan(triples, *, warnings: bool = True, num_buckets: int = 32):
+    """riot IRI-check analog over a triple Dataset: per-IRI violation rows
+    ``(iri, code, is_error)`` with per-code counts left to the caller
+    (``pre_aggregated_count``). Mirrors CheckerIRI.iriViolations (jena-arq
+    riot/checker/CheckerIRI.java:120-190) classifying with the jena-iri
+    taxonomy subset in :func:`jena_ray.term.iri_violations`.
+
+    Each batch dedups its IRIs before the Python classification loop (hub
+    IRIs repeat massively at crawl scale), and the cross-block dedup is the
+    standard bucketed exact dedup — so the loop runs once per distinct IRI
+    per block, never once per triple."""
+    import pyarrow.compute as pc
+
+    from jena_ray.stages.dedup import dedup_exact
+    from jena_ray.term import iri_violations
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c) for c in TRIPLE_COLS if c in batch.schema.names]
+        merged = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols]
+        )
+        iris = pc.unique(merged.filter(pc.starts_with(merged, "<")))
+        out_iri, out_code, out_err = [], [], []
+        for t in iris.to_pylist():
+            for code, is_err in iri_violations(t[1:-1]):
+                if not is_err and not warnings:
+                    continue
+                out_iri.append(t)
+                out_code.append(code)
+                out_err.append(is_err)
+        return pa.table(
+            {
+                "iri": pa.array(out_iri, type=pa.string()),
+                "code": pa.array(out_code, type=pa.string()),
+                "is_error": pa.array(out_err, type=pa.bool_()),
+            }
+        )
+
+    rows = triples.map_batches(scan, batch_format="pyarrow")
+    return dedup_exact(
+        rows, cols=("iri", "code"), keep_cols=("iri", "code", "is_error"),
+        num_buckets=num_buckets,
+    )

@@ -265,6 +265,113 @@ def check_iri(iri: str, strict: bool = True) -> str:
     return iri
 
 
+# --------------------------------------------------------------------------
+# jena-iri violation taxonomy (practical subset)
+#
+# The reference classifies IRI problems into ~60 named codes
+# (jena-iri iri/ViolationCodes.java) and riot surfaces them per IRI as
+# "Bad IRI" (error-class) / "Not advised IRI" (warning-class) messages,
+# skipping LOWERCASE_PREFERRED / PERCENT_ENCODING_SHOULD_BE_UPPERCASE at
+# parse time (jena-arq riot/checker/CheckerIRI.java:120-190). This subset
+# covers the codes decidable without the IANA scheme registry / IDN
+# machinery; is_error follows jena-iri's classification.
+# --------------------------------------------------------------------------
+
+_IRI_SPLIT_RE = re.compile(
+    r"^(?:(?P<scheme>[^:/?#]*):)?(?://(?P<auth>[^/?#]*))?"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$"
+)
+_UNWISE = set('{}|\\^`"<>')
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def iri_violations(
+    iri: str, *, allow_relative: bool = False
+) -> list[tuple[str, bool]]:
+    """Classified violations of one IRI string (no angle brackets):
+    ``[(code, is_error), ...]`` using jena-iri's code names and
+    error/warning split. Empty list = clean."""
+    import unicodedata
+
+    out: list[tuple[str, bool]] = []
+    m = _IRI_SPLIT_RE.match(iri)
+    scheme = m.group("scheme")
+    auth = m.group("auth")
+    path = m.group("path") or ""
+
+    if scheme is None or (scheme == "" and iri.startswith(":")):
+        if iri.startswith(":"):
+            out.append(("EMPTY_SCHEME", True))
+        elif not allow_relative:
+            out.append(("REQUIRED_COMPONENT_MISSING", True))
+    elif scheme == "":
+        out.append(("EMPTY_SCHEME", True))
+    else:
+        if not scheme[0].isalpha():
+            out.append(("SCHEME_MUST_START_WITH_LETTER", True))
+        if scheme != scheme.lower():
+            out.append(("LOWERCASE_PREFERRED", False))
+
+    seen: set[str] = set()
+    for ch in iri:
+        o = ord(ch)
+        if ch in _UNWISE:
+            code = ("UNWISE_CHARACTER", True)
+        elif o < 0x20 or o == 0x7F:
+            code = ("CONTROL_CHARACTER", True)
+        elif ch in " \t":
+            code = ("WHITESPACE", True)
+        elif 0xE000 <= o <= 0xF8FF or 0xF0000 <= o <= 0x10FFFD:
+            code = ("PRIVATE_USE_CHARACTER", False)
+        else:
+            continue
+        if code[0] not in seen:
+            seen.add(code[0])
+            out.append(code)
+
+    for pm in re.finditer(r"%(..)?", iri):
+        h = pm.group(1)
+        if h is None or not re.fullmatch(r"[0-9A-Fa-f]{2}", h):
+            if "ILLEGAL_PERCENT_ENCODING" not in seen:
+                seen.add("ILLEGAL_PERCENT_ENCODING")
+                out.append(("ILLEGAL_PERCENT_ENCODING", True))
+        elif h != h.upper():
+            if "PERCENT_ENCODING_SHOULD_BE_UPPERCASE" not in seen:
+                seen.add("PERCENT_ENCODING_SHOULD_BE_UPPERCASE")
+                out.append(("PERCENT_ENCODING_SHOULD_BE_UPPERCASE", False))
+
+    if auth:
+        userinfo, _, hostport = auth.rpartition("@")
+        if ":" in userinfo:
+            out.append(("HAS_PASSWORD", False))
+        host, colon, port = hostport.rpartition(":")
+        if "]" in port:  # bracketed IPv6 literal, no port present
+            host, colon, port = hostport, "", ""
+        if colon and not port.lstrip("0123456789"):
+            if port == "":
+                out.append(("PORT_SHOULD_NOT_BE_EMPTY", False))
+            elif scheme and _DEFAULT_PORTS.get(scheme.lower()) == port:
+                out.append(("DEFAULT_PORT_SHOULD_BE_OMITTED", False))
+            elif port.startswith("0"):
+                out.append(("PORT_SHOULD_NOT_START_IN_ZERO", False))
+        else:
+            host = hostport
+        if host != host.lower() and ("LOWERCASE_PREFERRED", False) not in out:
+            out.append(("LOWERCASE_PREFERRED", False))
+
+    if path and ("/./" in path or "/../" in path or path in (".", "..")
+                 or path.endswith(("/.", "/.."))
+                 or path.startswith(("./", "../"))):
+        out.append(("NON_INITIAL_DOT_SEGMENT", False))
+
+    if not unicodedata.is_normalized("NFC", iri):
+        out.append(("NOT_NFC", False))
+    elif not unicodedata.is_normalized("NFKC", iri):
+        out.append(("NOT_NFKC", False))
+
+    return out
+
+
 def fmt_iri(iri: str) -> str:
     return f"<{iri}>"
 

@@ -245,3 +245,32 @@ def test_nt_fast_path_rejects_bad_lines(ray_session):
             parse_nt_batch_fast(
                 pa.array([bad]), lambda ln: T.parse_ntriples(ln, strict=True)
             )
+
+
+def test_iri_violation_scan(ray_session):
+    """riot IRI-check analog: distinct per-(iri, code) rows over a triple
+    Dataset, warnings filterable."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.sources.ntriples import iri_violation_scan
+
+    rows = [
+        ("<http://ex.org/ok>", "<http://ex.org/p>", "<HTTP://ex.org/up>"),
+        ("<http://ex.org/a b>", "<http://ex.org/p>", '"literal ignored"'),
+        # repeated IRI must produce ONE row per (iri, code)
+        ("<http://ex.org/a b>", "<http://ex.org/p>", "<http://ex.org/ok>"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj": [r[2] for r in rows],
+    }))
+    got = {(r["iri"], r["code"], r["is_error"])
+           for r in iri_violation_scan(ds, num_buckets=2).take_all()}
+    assert got == {
+        ("<http://ex.org/a b>", "WHITESPACE", True),
+        ("<HTTP://ex.org/up>", "LOWERCASE_PREFERRED", False),
+    }
+    errs_only = iri_violation_scan(ds, warnings=False, num_buckets=2).take_all()
+    assert {r["code"] for r in errs_only} == {"WHITESPACE"}
