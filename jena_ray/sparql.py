@@ -141,6 +141,10 @@ class Group:
     values: list[dict] | None = None
     graph: str | None = None
     subqueries: list["Query"] = field(default_factory=list)  # { SELECT ... }
+    # RDF-star embedded patterns: (placeholder '?__qtN', s, p, o) — the
+    # placeholder stands in the triple pattern; components are '?var' or
+    # ground terms, decomposed post-BGP (_execute_star_where)
+    star: list[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -198,6 +202,7 @@ class Parser:
         self.base: str | None = None
         self.prefixes: dict[str, str] = {}
         self._seq = 0  # fresh-variable counter for '/' path desugaring
+        self._qt = 0  # placeholder counter for embedded RDF-star patterns
         self._bnode_vars: dict[str, str] = {}  # query bnodes act as vars
         self._in_template = False  # CONSTRUCT templates keep bnode terms
 
@@ -247,33 +252,45 @@ class Parser:
             return fmt_iri(self.prefixes[pfx] + local)
         raise SparqlSyntaxError(f"expected IRI at {tok.text!r}")
 
-    def parse_term(self) -> str:
-        """One graph term or variable → canonical NT string / '?var'."""
+    @staticmethod
+    def _no_qtpat(t, ctx: str) -> str:
+        if isinstance(t, tuple):
+            raise SparqlSyntaxError(
+                f"variable quoted triples are not allowed in {ctx}"
+            )
+        return t
+
+    def parse_term(self):
+        """One graph term or variable → canonical NT string / '?var'; a
+        variable-bearing quoted triple returns a ('qtpat', s, p, o) marker
+        (only pattern slots accept it — every other context raises)."""
         if self.at_op("<<"):
             # RDF-star quoted triple (rdf_star/TestSPARQLStarParse.java):
-            # GROUND terms only in this subset — the id-space engine matches
-            # a quoted triple by its canonical term string (sameTerm);
-            # variable-bearing embedded patterns would need a decompose
-            # stage and are rejected loudly
+            # ground components form the canonical TERM (sameTerm match in
+            # id space); variable components make this an embedded PATTERN,
+            # executed by the placeholder + decompose stage (g.star)
             self.next()
             s = self.parse_term()
             p = self.parse_term()
             o = self.parse_term()
             self.expect_op(">>")
-            for x in (s, p, o):
-                if x.startswith("?"):
+            for x in (s, o):
+                if isinstance(x, tuple):
                     raise SparqlSyntaxError(
-                        "variables inside quoted triples are outside the "
-                        "supported subset (ground quoted triples only)"
+                        "variables in NESTED quoted triples are outside the "
+                        "supported subset"
                     )
-            if not p.startswith("<") or p.startswith("<<"):
+            if isinstance(p, tuple) or (not p.startswith("?") and (
+                    not p.startswith("<") or p.startswith("<<"))):
                 raise SparqlSyntaxError(
                     "quoted-triple predicate must be an IRI"
                 )
-            if s.startswith('"'):
+            if isinstance(s, str) and s.startswith('"'):
                 raise SparqlSyntaxError(
                     "quoted-triple subject cannot be a literal"
                 )
+            if any(x.startswith("?") for x in (s, p, o)):
+                return ("qtpat", s, p, o)
             return fmt_quoted_triple(s, p, o)
         t = self.next()
         if t.kind == "VAR":
@@ -657,7 +674,7 @@ class Parser:
             elif self.take_kw("MINUS"):
                 g.minuses.append(self._parse_group())
             elif self.take_kw("GRAPH"):
-                gt = self.parse_term()
+                gt = self._no_qtpat(self.parse_term(), "GRAPH")
                 inner = self._parse_group()
                 if inner.graph is not None or inner.union or inner.optionals:
                     raise SparqlSyntaxError("nested GRAPH/UNION inside GRAPH")
@@ -815,8 +832,24 @@ class Parser:
             mod = ("fixed", n) if n == m else ("range", n, m)
         return pred, inv, mod
 
+    def _qt_placeholder(self, g: Group, qt: tuple,
+                        template_out: list | None) -> str:
+        """Register a variable-bearing quoted-triple pattern: a fresh
+        placeholder variable takes its slot in the enclosing pattern and
+        (placeholder, s, p, o) is queued for the post-BGP decompose stage."""
+        if template_out is not None:
+            raise SparqlSyntaxError(
+                "variable quoted triples are not allowed in templates"
+            )
+        ph = f"?__qt{self._qt}"
+        self._qt += 1
+        g.star.append((ph, qt[1], qt[2], qt[3]))
+        return ph
+
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
         subj = self.parse_term()
+        if isinstance(subj, tuple):
+            subj = self._qt_placeholder(g, subj, template_out)
         while True:
             # predicate position: a property PATH — 'a' / IRI / ?var steps
             # with '^' inverse, '/' sequences, '+' / '*' closures
@@ -881,6 +914,8 @@ class Parser:
                         )
             while True:
                 obj = self.parse_term()
+                if isinstance(obj, tuple):
+                    obj = self._qt_placeholder(g, obj, template_out)
                 if len(steps) == 1 and steps[0][2] is not None:
                     pred, inv, mod = steps[0]
                     if template_out is not None:
@@ -927,7 +962,7 @@ class Parser:
             self.expect_op("{")
             rows = []
             while not self.at_op("}"):
-                rows.append({var: self.parse_term()})
+                rows.append({var: self._no_qtpat(self.parse_term(), "VALUES")})
             self.expect_op("}")
             return rows
         self.expect_op("(")
@@ -941,7 +976,7 @@ class Parser:
             self.next()
             row = {}
             for v in vars_:
-                row[v] = self.parse_term()
+                row[v] = self._no_qtpat(self.parse_term(), "VALUES")
             self.expect_op(")")
             rows.append(row)
         self.expect_op("}")
@@ -1030,9 +1065,9 @@ class Parser:
             if fn == "SAMETERM":
                 self.next()
                 self.expect_op("(")
-                a = self.parse_term()
+                a = self._no_qtpat(self.parse_term(), "sameTerm")
                 self.expect_op(",")
-                b = self.parse_term()
+                b = self._no_qtpat(self.parse_term(), "sameTerm")
                 self.expect_op(")")
                 return ("=", a, b)
             if fn in _STR_FNS:
@@ -1229,7 +1264,7 @@ class Parser:
         if t.kind == "NUMBER":
             self.next()
             return float(t.text)
-        return self.parse_term()
+        return self._no_qtpat(self.parse_term(), "FILTER expressions")
 
     # -- BIND expressions (E_Str / E_Lang / E_Datatype / E_StrLength /
     #    E_StrUpperCase / E_StrLowerCase / E_StrConcat / E_MD5 / E_SHA* /
@@ -1383,6 +1418,9 @@ def _group_vars(g: Group) -> set[str]:
     for p in g.patterns:
         out |= {t[1:] for t in p
                 if isinstance(t, str) and t.startswith("?")}
+    for ph, s, p_, o in g.star:
+        out |= {t[1:] for t in (s, p_, o) if t.startswith("?")}
+        out.discard(ph[1:])  # placeholders are internal
     for s, _p, o, *_ in g.paths:
         out |= {t[1:] for t in (s, o) if t.startswith("?")}
     if g.graph and g.graph.startswith("?"):
@@ -1400,6 +1438,137 @@ def _sub_vars(sub: "Query") -> list[str]:
     return list(sub.select) + [a.alias for a in sub.aggs]
 
 
+def _execute_star_where(out_dir: str, q: Query, select: list[str], *,
+                        distinct: bool, num_partitions: int, pf_context,
+                        stats):
+    """Variable-bearing quoted-triple patterns (``<< ?s ?p ?o >> :p ?c``).
+
+    The reference matches these natively in its SPARQL-star engine
+    (jena-arq rdf_star/; quoted triples are first-class Node_Triple values).
+    Here a quoted triple is an opaque TERM, so the embedded pattern runs as
+    placeholder-variable BGP → per-distinct-term canonical decompose
+    (term.quoted_triple_parts) → ground-component/equality mask → component
+    columns. Component variables are OUTPUT-ONLY: they may not occur
+    elsewhere in the group (that join would need component ids in the index
+    space — out of subset, rejected loudly)."""
+    import dataclasses
+
+    g = q.where
+    if (g.optionals or g.minuses or g.union or g.values or g.graph
+            or g.exists or g.paths or g.subqueries or g.binds):
+        raise SparqlSyntaxError(
+            "quoted-triple patterns combine only with plain patterns + FILTER"
+        )
+    comp: dict[str, tuple[str, int]] = {}  # var -> (placeholder, slot)
+    eqs: list[tuple[str, int, int]] = []   # repeated var within one pattern
+    grounds: list[tuple[str, int, str]] = []
+    for ph, s, p, o in g.star:
+        local: dict[str, int] = {}
+        for idx, t in enumerate((s, p, o)):
+            if t.startswith("?"):
+                v = t[1:]
+                if v in local:
+                    eqs.append((ph, local[v], idx))
+                elif v in comp:
+                    raise SparqlSyntaxError(
+                        "a quoted-triple component variable cannot span "
+                        "two quoted-triple patterns"
+                    )
+                else:
+                    local[v] = idx
+                    comp[v] = (ph, idx)
+            else:
+                grounds.append((ph, idx, t))
+    pattern_vars = {t[1:] for pat in g.patterns
+                    for t in pat if isinstance(t, str) and t.startswith("?")}
+    filter_vars = set()
+    for f in g.filters:
+        filter_vars |= {v for v in _filter_var_names(f)}
+    clash = set(comp) & (pattern_vars | filter_vars)
+    if clash:
+        raise SparqlSyntaxError(
+            f"quoted-triple component variables {sorted(clash)} cannot be "
+            "used in other patterns or FILTERs (output-only subset)"
+        )
+    inner_select = [v for v in select if v not in comp]
+    for ph, *_ in g.star:
+        if ph[1:] not in inner_select:
+            inner_select.append(ph[1:])
+    q2 = dataclasses.replace(q, where=dataclasses.replace(g, star=[]))
+    sub = _execute_where(out_dir, q2, inner_select, distinct=False,
+                         num_partitions=num_partitions,
+                         pf_context=pf_context, stats=stats)
+
+    star = list(g.star)
+    comp_items = sorted(comp.items())
+    sel = list(select)
+
+    def decompose(tb: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from jena_ray.term import TermError, quoted_triple_parts
+
+        cache: dict[str, tuple | None] = {}
+
+        def parts_of(v):
+            if v is None or not v.startswith("<<"):
+                return None
+            if v not in cache:
+                try:
+                    cache[v] = quoted_triple_parts(v)
+                except TermError:
+                    cache[v] = None
+            return cache[v]
+
+        parts_by_ph = {}
+        keep = np.ones(tb.num_rows, dtype=bool)
+        for ph, _s, _p, _o in star:
+            vals = pc.cast(tb.column(ph[1:]), pa.string()).to_pylist()
+            ps = [parts_of(v) for v in vals]
+            parts_by_ph[ph] = ps
+            keep &= np.array([p is not None for p in ps], dtype=bool)
+        for ph, idx, term in grounds:
+            ps = parts_by_ph[ph]
+            keep &= np.array(
+                [p is not None and p[idx] == term for p in ps], dtype=bool
+            )
+        for ph, i, j in eqs:
+            ps = parts_by_ph[ph]
+            keep &= np.array(
+                [p is not None and p[i] == p[j] for p in ps], dtype=bool
+            )
+        cols = {}
+        for name in sel:
+            if name in comp:
+                ph, idx = comp[name]
+                ps = parts_by_ph[ph]
+                cols[name] = pa.array(
+                    [None if p is None else p[idx] for p in ps],
+                    type=pa.string(),
+                )
+            else:
+                cols[name] = pc.cast(tb.column(name), pa.string())
+        return pa.table(cols).filter(pa.array(keep))
+
+    res = sub.map_batches(decompose, batch_format="pyarrow")
+    if distinct:
+        from jena_ray.stages.dedup import dedup_exact
+
+        res = dedup_exact(res, cols=tuple(sel), coalesce=True)
+    return res
+
+
+def _filter_var_names(f) -> set[str]:
+    out: set[str] = set()
+    for a in (f[1:] if isinstance(f, tuple) else ()):
+        if isinstance(a, tuple):
+            out |= _filter_var_names(("_", *a))
+        elif isinstance(a, str) and a.startswith("?"):
+            out.add(a[1:])
+    return out
+
+
 def _execute_where(out_dir: str, q: Query, select: list[str], *,
                    distinct: bool, num_partitions: int, pf_context, stats):
     """Lower the WHERE group onto the pipelines/bgp.py algebra entry points
@@ -1408,6 +1577,13 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
 
     g = q.where
     kw = dict(num_partitions=num_partitions, distinct=distinct)
+
+    if g.star:
+        return _execute_star_where(
+            out_dir, q, select, distinct=distinct,
+            num_partitions=num_partitions, pf_context=pf_context,
+            stats=stats,
+        )
 
     if g.subqueries:
         return _execute_subquery_group(

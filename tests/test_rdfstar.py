@@ -216,13 +216,85 @@ def test_sparql_parses_ground_quoted_triple(tmp_path):
     assert list(rows["c"]) == ['"0.9"']
 
 
-def test_sparql_rejects_vars_inside_quoted_triple():
+def test_sparql_star_variable_pattern_limits():
+    """Variable quoted triples parse as embedded patterns with a
+    placeholder; out-of-subset shapes still raise loudly."""
     from jena_ray.sparql import Parser, SparqlSyntaxError
 
-    with pytest.raises(SparqlSyntaxError):
-        Parser(
-            "SELECT ?s WHERE { << ?s <x:p> <x:o> >> <x:q> ?z }"
-        ).parse_query()
+    q = Parser(
+        "SELECT ?s WHERE { << ?s <x:p> <x:o> >> <x:q> ?z }"
+    ).parse_query()
+    assert q.where.star == [("?__qt0", "?s", "<x:p>", "<x:o>")]
+    assert q.where.patterns == [("?__qt0", "<x:q>", "?z")]
+    for bad in (
+        # nested variable quoted triple
+        "SELECT * WHERE { << << ?a <x:p> <x:o> >> <x:p> <x:o> >> <x:q> ?z }",
+        # component var reused in another pattern (needs an id-space join)
+        "SELECT * WHERE { << ?s <x:p> ?o >> <x:q> ?z . ?s <x:r> ?w }",
+        # component var in a FILTER
+        "SELECT * WHERE { << ?s <x:p> ?o >> <x:q> ?z . "
+        'FILTER(STR(?o) = "x") }',
+        # variable quoted triple in VALUES
+        "SELECT * WHERE { ?t <x:q> ?z . VALUES ?t { << ?a <x:p> <x:o> >> } }",
+        # variable quoted triple in a CONSTRUCT template
+        "CONSTRUCT { << ?s <x:p> ?o >> <x:q> ?z } "
+        "WHERE { ?s <x:p> ?o . ?s <x:q2> ?z }",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            qq = Parser(bad).parse_query()
+            # some shapes only fail at execution planning
+            from jena_ray.sparql import _execute_star_where
+
+            _execute_star_where(
+                "/nonexistent", qq, ["s", "o", "z"], distinct=True,
+                num_partitions=2, pf_context=None, stats=False,
+            )
+
+
+def test_sparql_star_variable_patterns_execute(tmp_path, ray_session):
+    """<< ?s ?p ?o >> provenance decompose: component vars bind from the
+    quoted-triple term; ground components filter; repeated vars must
+    agree."""
+    import ray.data as rd
+
+    from jena_ray.sparql import sparql_query
+    from jena_ray.stages.materialize import materialize_indexes
+
+    nt = (
+        '<<<x:s> <x:p> <x:o>>> <x:conf> "0.9" .\n'
+        '<<<x:s2> <x:p> <x:s2>>> <x:conf> "0.5" .\n'
+        '<<<x:s3> <x:q> <x:o3>>> <x:conf> "0.7" .\n'
+        '<x:plain> <x:conf> "0.1" .\n'
+    )
+    triples = T.parse_ntriples(nt)
+    out_dir = str(tmp_path / "idx")
+    rd.from_items(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in triples]
+    ).write_parquet(str(tmp_path / "idx/triples"))
+    materialize_indexes(out_dir, num_buckets=4)
+
+    # full decompose: every asserted-via-conf quoted triple, all components
+    res = sparql_query(
+        out_dir,
+        "SELECT ?s ?p ?o ?c WHERE { << ?s ?p ?o >> <x:conf> ?c } ORDER BY ?c",
+    ).to_pandas()
+    assert list(res["s"]) == ["<x:s2>", "<x:s3>", "<x:s>"]
+    assert list(res["p"]) == ["<x:p>", "<x:q>", "<x:p>"]
+    assert list(res["o"]) == ["<x:s2>", "<x:o3>", "<x:o>"]
+
+    # ground predicate component filters to the <x:p> statements
+    res2 = sparql_query(
+        out_dir,
+        "SELECT ?s ?c WHERE { << ?s <x:p> ?o >> <x:conf> ?c } ORDER BY ?c",
+    ).to_pandas()
+    assert list(res2["s"]) == ["<x:s2>", "<x:s>"]
+
+    # repeated component variable → equality within the quoted triple
+    res3 = sparql_query(
+        out_dir,
+        "SELECT ?s WHERE { << ?s <x:p> ?s >> <x:conf> ?c }",
+    ).to_pandas()
+    assert list(res3["s"]) == ["<x:s2>"]
 
 
 def test_sparql_star_builtins(tmp_path):
