@@ -2063,6 +2063,21 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
 
     keys = list(q.group_by)
     aggs = list(q.aggs)
+    ungrouped = not keys
+    if ungrouped:
+        # no GROUP BY → ONE implicit group (OpGroup with an empty key list):
+        # aggregate under a constant key, drop it afterwards. The single
+        # group lands on one worker — fine for the tiny post-projection
+        # solution sets aggregates see; a crawl-scale global COUNT belongs
+        # to Dataset.count()/pre_aggregated_count, not the query layer.
+        keys = ["__g0"]
+
+        def add_g(tb: pa.Table) -> pa.Table:
+            return tb.append_column(
+                "__g0", pa.array([0] * tb.num_rows, type=pa.int8())
+            )
+
+        sols = sols.map_batches(add_g, batch_format="pyarrow")
     num_vars = sorted({a.var for a in aggs
                        if a.var and a.func in ("sum", "avg", "min", "max",
                                                "median")})
@@ -2134,6 +2149,30 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
             return tb
 
         out = out.map_batches(cast_sums, batch_format="pyarrow")
+    if ungrouped:
+        def drop_g(tb: pa.Table) -> pa.Table:
+            return tb.drop_columns(["__g0"])
+
+        out = out.map_batches(drop_g, batch_format="pyarrow").materialize()
+        if out.count() == 0:
+            # aggregate over ZERO solutions still yields ONE row
+            # (SetAlgebra/AggregatorBase: Count/Sum → 0, GroupConcat → "",
+            # Min/Max/Avg/Median/Mode/Sample error → unbound)
+            import ray.data as rd
+
+            cols: dict[str, pa.Array] = {}
+            for a in aggs:
+                if a.func == "count":
+                    cols[a.alias] = pa.array([0], type=pa.int64())
+                elif a.func == "sum":
+                    cols[a.alias] = pa.array([0], type=pa.int64())
+                elif a.func == "group_concat":
+                    cols[a.alias] = pa.array([""], type=pa.string())
+                elif a.func in ("avg", "min", "max", "median"):
+                    cols[a.alias] = pa.array([None], type=pa.float64())
+                else:
+                    cols[a.alias] = pa.array([None], type=pa.string())
+            out = rd.from_arrow(pa.table(cols))
     return out
 
 
@@ -2498,6 +2537,15 @@ def sparql_query(
         bad = [v for v in needed if v not in wvars]
         if bad:
             raise SparqlSyntaxError(f"GROUP BY/aggregate vars not bound: {bad}")
+        if not needed:
+            # pure COUNT(*) with no GROUP BY: carry one bound variable so
+            # solution MULTIPLICITY survives into the aggregate (an empty
+            # projection would collapse the solution bag)
+            if not wvars:
+                raise SparqlSyntaxError(
+                    "aggregates over a fully ground WHERE are unsupported"
+                )
+            needed = [sorted(wvars)[0]]
         extra = [v for v in q.select if v not in q.group_by]
         if extra:
             raise SparqlSyntaxError(

@@ -880,3 +880,25 @@ def test_path_fixed_length_executes(sparql_index):
         PFX + "SELECT ?d WHERE { ?d ex:mentions ex:e1 } ORDER BY ?d",
     ).to_pandas()
     assert a.equals(b)
+
+
+def test_ungrouped_aggregates(sparql_index):
+    """Aggregates without GROUP BY form ONE implicit group; zero solutions
+    still yield one row (COUNT/SUM -> 0, MIN -> unbound)."""
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT (COUNT(*) AS ?n) (SUM(?c) AS ?t) (MIN(?c) AS ?lo) "
+        "WHERE { ?d ex:charCount ?c }",
+    ).to_pandas()
+    assert res["n"].tolist() == [10]
+    assert int(res["t"].iloc[0]) == 4500  # 0+100+...+900
+    assert float(res["lo"].iloc[0]) == 0.0
+    # empty solution set
+    res2 = sparql_query(
+        sparql_index,
+        PFX + "SELECT (COUNT(*) AS ?n) (SUM(?c) AS ?t) (MIN(?c) AS ?lo) "
+        "WHERE { ?d ex:nosuch ?c }",
+    ).to_pandas()
+    assert res2["n"].tolist() == [0]
+    assert int(res2["t"].iloc[0]) == 0
+    assert res2["lo"].isna().all()
