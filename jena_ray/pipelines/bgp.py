@@ -190,6 +190,18 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         id_cols = ["s_id", "p_id", "o_id"]
     path = os.path.join(out_dir, order)
 
+    def empty_bindings():
+        return rd.from_arrow(
+            pa.table({terms[t][1:]: pa.array([], type=ID_TYPE)
+                      for idc, t in term_for_id.items() if is_var(terms[t])})
+        )
+
+    if not os.path.isdir(path):
+        # store without this index family at all — an RDF-dataset store
+        # may legitimately have an empty default graph (quads only) or no
+        # named graphs (triples only); the scan is simply empty
+        return empty_bindings()
+
     bound_ids = {
         idc: (None if is_var(terms[t]) else term_id(terms[t]))
         for idc, t in term_for_id.items()
@@ -201,10 +213,7 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         if os.path.isdir(bpath):
             path = bpath
         else:
-            return rd.from_arrow(
-                pa.table({terms[t][1:]: pa.array([], type=ID_TYPE)
-                          for idc, t in term_for_id.items() if is_var(terms[t])})
-            )
+            return empty_bindings()
     expr = None
     for idc, val in bound_ids.items():
         if val is None:
@@ -353,6 +362,26 @@ def _validate_filter(f: tuple) -> None:
         return
     if op == "nottype" and f[1] in _TYPE_FILTER_OPS:
         return
+    if op in ("ebv", "notebv"):
+        if not (isinstance(f[1], str) and f[1].startswith("?")):
+            raise ValueError(f"malformed EBV filter: {f}")
+        return
+    if op == "constb":
+        return
+    if op == "dtof":
+        # ("dtof", "="|"!=", target_iri, ('var'|'cast'|'arith', ...))
+        if (f[1] not in ("=", "!=") or not isinstance(f[2], str)
+                or not isinstance(f[3], tuple)
+                or f[3][0] not in ("var", "cast", "arith")):
+            raise ValueError(f"malformed dtof filter: {f}")
+        return
+    if op == "termeq":
+        # ("termeq", "="|"!=", var-or-term, var-or-term) — value equality
+        if (f[1] not in ("=", "!=")
+                or not all(isinstance(x, str) for x in f[2:4])
+                or not any(x.startswith("?") for x in f[2:4])):
+            raise ValueError(f"malformed termeq filter: {f}")
+        return
     if op in ("=", "!=") and isinstance(f[2], str):
         return  # sameTerm leaf
     if op == "dtcmp":
@@ -462,6 +491,333 @@ def _lang_value(col):
         pc.cast(col, pa.string()), r'^".*"@(?P<v>[A-Za-z0-9\-]+)$'
     )
     return pc.fill_null(pc.struct_field(tag, "v"), "")
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# plain literal (optionally lang-tagged) or xsd:string — the "stringish"
+# category for EBV and cast sources
+_RE_STRINGISH = (
+    r'^"(?P<v>(?:[^"\\]|\\.)*)"'
+    r"(?:@[A-Za-z0-9\-]+|\^\^<http://www\.w3\.org/2001/XMLSchema#string>)?$"
+)
+_RE_BOOL_LIT = (
+    r'^"(?P<v>[^"]*)"\^\^<http://www\.w3\.org/2001/XMLSchema#boolean>$'
+)
+# any xsd:* typed literal → local datatype name
+_RE_XSD_DT = (
+    r'^".*"\^\^<http://www\.w3\.org/2001/XMLSchema#(?P<v>[A-Za-z]+)>$'
+)
+# full datatype IRI of any typed literal
+_RE_ANY_DT = r'^".*"\^\^<(?P<v>[^>]*)>$'
+
+# target-datatype lexical spaces for casts from string sources
+_CAST_LEX_RE = {
+    "integer": r"^[+-]?\d+$",
+    "decimal": r"^[+-]?(?:\d+\.?\d*|\.\d+)$",
+    "float": r"^(?:[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?|[+-]?INF|NaN)$",
+    "double": r"^(?:[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?|[+-]?INF|NaN)$",
+    "dateTime": (
+        r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+        r"(?:Z|[+-]\d{2}:\d{2})?$"
+    ),
+}
+
+
+def _ebv_masks(col):
+    """Effective boolean value (SPARQL 17.2.2 / the reference's
+    XSDFuncOp.booleanEffectiveValue): stringish → non-empty; xsd:boolean →
+    lexical "true"/"1" (ill-formed → false); numeric datatype → value != 0
+    and not NaN (ill-formed lexical → false); anything else (IRI, bnode,
+    other datatypes, unbound) is a type error.  Returns ``(truth,
+    defined)`` bool arrays — callers combine them so errors drop rows on
+    both the plain and the negated form."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    nul = pa.scalar(None, pa.bool_())
+    stringish = pc.struct_field(pc.extract_regex(s, _RE_STRINGISH), "v")
+    boolean = pc.struct_field(pc.extract_regex(s, _RE_BOOL_LIT), "v")
+    numlex = pc.struct_field(pc.extract_regex(s, _RE_NUM_LIT), "v")
+    numval = _num_value(s)
+    num_truth = pc.and_(
+        pc.fill_null(pc.not_equal(numval, 0.0), False),
+        pc.invert(pc.fill_null(pc.is_nan(numval), False)),
+    )
+    truth = pc.coalesce(
+        pc.if_else(pc.is_valid(stringish), pc.not_equal(stringish, ""), nul),
+        pc.if_else(
+            pc.is_valid(boolean),
+            pc.is_in(boolean, value_set=pa.array(["true", "1"])),
+            nul,
+        ),
+        pc.if_else(pc.is_valid(numlex), num_truth, nul),
+    )
+    defined = pc.is_valid(truth)
+    return pc.fill_null(truth, False), defined
+
+
+def _castable_mask(target: str, col):
+    """Rows whose term casts to the XSD ``target`` (local name) per the
+    XPath 17.5 casting table the reference applies in
+    sparql/expr/nodevalue/XSDFuncOp.java cast dispatch: numeric↔numeric
+    and boolean↔numeric always cast; string sources cast iff the lexical
+    form is in the target's lexical space; xsd:string accepts any IRI or
+    literal; xsd:dateTime accepts dateTime/date typed sources."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    is_iri = pc.and_(
+        pc.fill_null(pc.starts_with(s, "<"), False),
+        pc.invert(pc.fill_null(pc.starts_with(s, "<<"), False)),
+    )
+    is_lit = pc.fill_null(pc.starts_with(s, '"'), False)
+    if target == "string":
+        return pc.or_(is_iri, is_lit)
+    stringish = pc.struct_field(pc.extract_regex(s, _RE_STRINGISH), "v")
+    dtname = pc.struct_field(pc.extract_regex(s, _RE_XSD_DT), "v")
+    bool_dt = pc.fill_null(pc.equal(dtname, "boolean"), False)
+    numeric_ok = pc.is_valid(_num_value(s))
+    if target == "boolean":
+        from_str = pc.fill_null(
+            pc.is_in(stringish, value_set=pa.array(["true", "false", "1", "0"])),
+            False,
+        )
+        return pc.or_(pc.or_(bool_dt, numeric_ok), from_str)
+    if target == "dateTime":
+        dt_src = pc.fill_null(
+            pc.is_in(
+                dtname, value_set=pa.array(["dateTime", "dateTimeStamp", "date"])
+            ),
+            False,
+        )
+        from_str = pc.fill_null(
+            pc.match_substring_regex(stringish, _CAST_LEX_RE["dateTime"]), False
+        )
+        return pc.or_(dt_src, from_str)
+    # numeric targets: integer / decimal / float / double
+    from_str = pc.fill_null(
+        pc.match_substring_regex(stringish, _CAST_LEX_RE[target]), False
+    )
+    return pc.or_(pc.or_(numeric_ok, bool_dt), from_str)
+
+
+def _num_rank(col):
+    """XSD numeric promotion rank of each term (int8; null = not a valid
+    numeric operand): every integer-derived type substitutes up to
+    xsd:integer (rank 0), then decimal 1 < float 2 < double 3 — the
+    operand classification of the reference's XSDFuncOp.classifyNumeric."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    dtname = pc.struct_field(pc.extract_regex(s, _RE_XSD_DT), "v")
+    valid = pc.is_valid(_num_value(s))
+    rank = pc.case_when(
+        pc.make_struct(
+            pc.fill_null(pc.equal(dtname, "double"), False),
+            pc.fill_null(pc.equal(dtname, "float"), False),
+            pc.fill_null(pc.equal(dtname, "decimal"), False),
+        ),
+        pa.scalar(3, pa.int8()),
+        pa.scalar(2, pa.int8()),
+        pa.scalar(1, pa.int8()),
+        pa.scalar(0, pa.int8()),  # remaining valid numerics: integer family
+    )
+    return pc.if_else(valid, rank, pa.scalar(None, pa.int8()))
+
+
+def _expr_datatype(tb: pa.Table, inner: tuple, col_for):
+    """Datatype IRI (string array; null = type error) of a dtof operand:
+    ('var', ?v) → the term's datatype (simple literal → xsd:string, the
+    SPARQL DATATYPE() rule); ('cast', local, ?v) → the target where the
+    cast succeeds; ('arith', expr) → the promoted result type of the
+    arithmetic expression (max operand rank; integer division bumps to
+    decimal — op:numeric-divide)."""
+    import pyarrow.compute as pc
+
+    kind = inner[0]
+    nul = pa.scalar(None, pa.string())
+    if kind == "var":
+        s = pc.cast(tb.column(col_for(inner[1][1:])), pa.string())
+        typed = pc.struct_field(pc.extract_regex(s, _RE_ANY_DT), "v")
+        simple = pc.fill_null(
+            pc.match_substring_regex(s, r'^"(?:[^"\\]|\\.)*"$'), False
+        )
+        return pc.coalesce(
+            typed, pc.if_else(simple, pa.scalar(_XSD + "string"), nul)
+        )
+    if kind == "cast":
+        target = inner[1]
+        ok = _castable_mask(target.rsplit("#", 1)[-1], tb.column(col_for(inner[2][1:])))
+        return pc.if_else(ok, pa.scalar(target), nul)
+    # ('arith', expr): promotion lattice over the expression's operands
+    expr = inner[1]
+    rank = None
+    has_div = False
+
+    def walk(e):
+        nonlocal rank, has_div
+        if isinstance(e, (int, float)):
+            r = pa.array(
+                [0 if float(e).is_integer() else 1] * tb.num_rows, pa.int8()
+            )
+        elif isinstance(e, str) and e.startswith("?"):
+            r = _num_rank(tb.column(col_for(e[1:])))
+        else:
+            if e[0] == "/":
+                has_div = True
+            for sub in e[1:]:
+                walk(sub)
+            return
+        rank = r if rank is None else pc.max_element_wise(
+            rank, r, skip_nulls=False
+        )
+
+    walk(expr)
+    if rank is None:
+        return pa.nulls(tb.num_rows, pa.string())
+    if has_div:
+        # integer ÷ integer yields xsd:decimal (op:numeric-divide)
+        rank = pc.max_element_wise(
+            rank, pa.array([1] * tb.num_rows, pa.int8()), skip_nulls=False
+        )
+    names = pa.array(
+        [_XSD + "integer", _XSD + "decimal", _XSD + "float", _XSD + "double"]
+    )
+    taken = pc.take(names, pc.cast(rank, pa.int64()))
+    return taken
+
+
+_RE_LANG_LIT = r'^"(?P<v>(?:[^"\\]|\\.)*)"@(?P<tag>[A-Za-z0-9\-]+)$'
+_RE_PLAIN_LIT = (
+    r'^"(?P<v>(?:[^"\\]|\\.)*)"'
+    r"(?:\^\^<http://www\.w3\.org/2001/XMLSchema#string>)?$"
+)
+
+
+def _term_eq_mask(tb: pa.Table, op: str, a: str, b: str, col_for):
+    """Var-var '='/'!=' by VALUE (RDFterm-equal — the reference's E_Equals
+    → NodeValue.sameAs), three-valued; the approved open-world and
+    expr-equals DAWG results pin the table:
+
+    TRUE  — same term; numeric×numeric equal values; simple/xsd:string ×
+            same with equal lexicals; lang×lang equal tag (case-insens.)
+            and lexical; temporal same-kind equal instants.
+    FALSE — an IRI/bnode/quoted-triple on either side (not same term);
+            a lang-tagged literal against any other literal; determinate
+            value inequality inside one of the spaces above; date vs
+            dateTime (disjoint value spaces, like the dtcmp rule).
+    ERROR — any remaining literal pair: an unknown datatype, an
+            ill-formed lexical for a known datatype, or two different
+            known value spaces (string vs number). Error rows drop on
+            BOTH '=' and '!='."""
+    import pyarrow.compute as pc
+
+    def operand(x):
+        if x.startswith("?"):
+            return pc.cast(tb.column(col_for(x[1:])), pa.string())
+        return pa.array([x] * tb.num_rows, type=pa.string())
+
+    A, B = operand(a), operand(b)
+
+    def cats(s):
+        lit = pc.fill_null(pc.starts_with(s, '"'), False)
+        termlike = pc.and_(pc.is_valid(s), pc.invert(lit))
+        lang = pc.extract_regex(s, _RE_LANG_LIT)
+        plain = pc.struct_field(pc.extract_regex(s, _RE_PLAIN_LIT), "v")
+        return {
+            "termlike": termlike,
+            "lang_lex": pc.struct_field(lang, "v"),
+            "lang_tag": pc.utf8_lower(
+                pc.fill_null(pc.struct_field(lang, "tag"), "")
+            ),
+            "plain": plain,
+            "num": _num_value(s),
+            # boolean VALUE: valid lexicals only ("true"/"1" vs "false"/"0")
+            "bool": pc.if_else(
+                pc.fill_null(
+                    pc.is_in(
+                        pc.struct_field(pc.extract_regex(s, _RE_BOOL_LIT), "v"),
+                        value_set=pa.array(["true", "false", "1", "0"]),
+                    ),
+                    False,
+                ),
+                pc.is_in(
+                    pc.struct_field(pc.extract_regex(s, _RE_BOOL_LIT), "v"),
+                    value_set=pa.array(["true", "1"]),
+                ),
+                pa.scalar(None, pa.bool_()),
+            ),
+            "dt": _dt_value(s, "dateTime"),
+            "date": _dt_value(s, "date"),
+        }
+
+    ca, cb = cats(A), cats(B)
+
+    def both(key):
+        return pc.and_(
+            pc.is_valid(ca[key]), pc.is_valid(cb[key])
+        )
+
+    def veq(key):
+        return pc.fill_null(pc.equal(ca[key], cb[key]), False)
+
+    nul = pa.scalar(None, pa.bool_())
+    F = pa.scalar(False, pa.bool_())
+    T = pa.scalar(True, pa.bool_())
+    is_lang_a = pc.is_valid(ca["lang_lex"])
+    is_lang_b = pc.is_valid(cb["lang_lex"])
+
+    # innermost → outermost: later wrapping = higher precedence
+    res = nul
+    res = pc.if_else(
+        pc.or_(both("dt"), both("date")),
+        pc.if_else(
+            both("dt"), veq("dt"),
+            pc.if_else(both("date"), veq("date"), F),
+        ),
+        res,
+    )
+    # one temporal side, other temporal of the OTHER kind → disjoint: F
+    res = pc.if_else(
+        pc.and_(
+            pc.or_(pc.is_valid(ca["dt"]), pc.is_valid(ca["date"])),
+            pc.or_(pc.is_valid(cb["dt"]), pc.is_valid(cb["date"])),
+        ),
+        pc.if_else(pc.or_(both("dt"), both("date")), res, F),
+        res,
+    )
+    res = pc.if_else(both("bool"), veq("bool"), res)
+    res = pc.if_else(both("num"), veq("num"), res)
+    res = pc.if_else(both("plain"), veq("plain"), res)
+    res = pc.if_else(
+        pc.or_(is_lang_a, is_lang_b),
+        pc.if_else(
+            pc.and_(is_lang_a, is_lang_b),
+            pc.and_(veq("lang_lex"), veq("lang_tag")),
+            F,  # lang vs any other literal: determinately not equal
+        ),
+        res,
+    )
+    res = pc.if_else(pc.or_(ca["termlike"], cb["termlike"]), F, res)
+    res = pc.if_else(pc.equal(A, B), T, res)  # null A/B stays null
+    if op == "!=":
+        res = pc.and_(pc.is_valid(res), pc.invert(pc.fill_null(res, True)))
+    return pc.fill_null(res, False)
+
+
+def _dtof_mask(tb: pa.Table, f: tuple, col_for):
+    """("dtof", "="|"!=", target_iri, inner) — FILTER(datatype(expr) = iri).
+    A type error in the operand (non-literal, unpromotable arithmetic,
+    failing cast) drops the row on both '=' and '!='."""
+    import pyarrow.compute as pc
+
+    _, op, target, inner = f
+    dt = _expr_datatype(tb, inner, col_for)
+    mask = pc.fill_null(pc.equal(dt, target), False)
+    if op == "!=":
+        mask = pc.and_(pc.is_valid(dt), pc.invert(mask))
+    return mask
 
 
 _RE_DT_KIND = {
@@ -641,6 +997,19 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
     if op in ("bound", "!bound"):
         col = tb.column(col_for(f[1][1:]))
         return pc.is_valid(col) if op == "bound" else pc.is_null(col)
+    if op == "constb":
+        # constant boolean leaf (FILTER(true), "false"^^xsd:boolean || ?v)
+        return pa.array([bool(f[1])] * tb.num_rows, type=pa.bool_())
+    if op in ("ebv", "notebv"):
+        truth, defined = _ebv_masks(tb.column(col_for(f[1][1:])))
+        if op == "ebv":
+            return pc.and_(truth, defined)
+        # !expr of a type error is still an error → row dropped
+        return pc.and_(pc.invert(truth), defined)
+    if op == "dtof":
+        return _dtof_mask(tb, f, col_for)
+    if op == "termeq":
+        return _term_eq_mask(tb, f[1], f[2], f[3], col_for)
     if op == "nottype":
         # !isX(?v): invert the kind test but keep unbound rows False
         # (E_LogicalNot of an eval error is still an error → row dropped)
@@ -764,10 +1133,11 @@ def _apply_filters(res, res_vars: set[str], filters, out_dir: str):
                 tb = tb.append_column(f"__fid_{v}", tb.column(v))
             return tb
 
-        res = res.map_batches(dup, batch_format="pyarrow")
-        res = resolve_id_columns(
-            res, out_dir, {f"__fid_{v}": f"__ft_{v}" for v in vvars}
-        )
+        if vvars:  # constant-only filters (FILTER(true)) resolve nothing
+            res = res.map_batches(dup, batch_format="pyarrow")
+            res = resolve_id_columns(
+                res, out_dir, {f"__fid_{v}": f"__ft_{v}" for v in vvars}
+            )
 
         def apply_val(tb: pa.Table, _fs=tuple(val_f), _vs=tuple(vvars)) -> pa.Table:
             for f in _fs:
@@ -915,12 +1285,42 @@ def _execute_bgp_ids(
             continue
         shared = sorted(res_vars & pvars)
         if not shared:
-            raise ValueError(f"cartesian product pattern not supported: {pat}")
-        res = binding_join(
-            res, res_vars, ds, pvars, shared, num_buckets=num_partitions
-        )
+            # disconnected component → cartesian product (OpJoin with no
+            # common vars — the reference's QueryIterNestedLoopJoin).
+            # Implemented as a binding_join on a constant key: all rows
+            # co-locate in ONE task, which is exactly the nested-loop
+            # cost profile — fine for the typical shape (tiny ground-ish
+            # probes, e.g. the DAWG type-promotion ASKs), unscalable for
+            # two large sides by construction, same as the reference.
+            res = _cross_join(res, res_vars, ds, pvars)
+        else:
+            res = binding_join(
+                res, res_vars, ds, pvars, shared, num_buckets=num_partitions
+            )
         res_vars |= pvars
     return res, res_vars
+
+
+def _cross_join(left, lvars: set[str], right, rvars: set[str]):
+    """Cartesian product of two binding Datasets via a constant join key."""
+
+    def tag(tb: pa.Table) -> pa.Table:
+        return tb.append_column(
+            "__cross", pa.array([0] * tb.num_rows, type=pa.int64())
+        )
+
+    out = binding_join(
+        left.map_batches(tag, batch_format="pyarrow"),
+        lvars | {"__cross"},
+        right.map_batches(tag, batch_format="pyarrow"),
+        rvars | {"__cross"},
+        ["__cross"],
+        num_buckets=1,
+        col_types={"__cross": pa.int64()},
+    )
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__cross"]), batch_format="pyarrow"
+    )
 
 
 def _project_resolve(res, res_vars, select, out_dir, *, distinct):

@@ -17,12 +17,20 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   ``ASK``, ``CONSTRUCT { template } WHERE { ... }``, and
   ``DESCRIBE term-or-var ... [WHERE { ... }]`` (forward triples + bnode
   closure, DescribeBNodeClosure semantics).
+- Dataset clause: ``FROM <doc>`` / ``FROM NAMED <doc>`` construct the
+  query dataset by loading the documents (DynamicDatasets) into an
+  ephemeral default-graph + named-graph store.
 - Group graph pattern: triple blocks (``;`` ``,`` ``a`` abbreviations,
-  prefixed names, typed/lang literals, numeric/boolean shorthand),
+  prefixed names, typed/lang literals, numeric/boolean shorthand; the
+  ``.`` separator between blocks and per-BGP blank-node label scoping
+  are enforced per the grammar),
   ``FILTER`` (incl. ``EXISTS`` / ``NOT EXISTS`` sub-groups), ``BIND``,
   one ``OPTIONAL`` block, one ``MINUS`` block,
-  ``{A} UNION {B} [UNION ...]``, ``VALUES``, ``GRAPH term-or-var { ... }``
-  (compiled to quad patterns), ``{ SELECT ... }`` subqueries, and
+  ``{A} UNION {B} [UNION ...]``, ``VALUES``,
+  ``GRAPH term-or-var { ... }`` blocks (lowered to 4-slot quad patterns
+  that JOIN the group's default-graph patterns — mixed groups, GRAPH in
+  UNION branches, multiple GRAPH blocks), disconnected pattern
+  components (cartesian OpJoin), ``{ SELECT ... }`` subqueries, and
   property paths: ``^p`` inverse and ``p1/p2`` sequences desugar into the
   BGP (PathCompiler reduction); ``p1|p2`` alternation and ``!(p1|...)``
   negated property sets (P_Alt / P_NegPropSet) as masked open scans;
@@ -35,7 +43,15 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   (``= != < <= > >=`` over numbers or terms, with arithmetic
   ``+ - * /`` operand expressions, XSD-numeric typed constants compared
   by value, and xsd:date/dateTime constants compared in the temporal
-  value space with XSD ±14h timezone-indeterminacy semantics),
+  value space with XSD ±14h timezone-indeterminacy semantics);
+  ``?a = ?b`` / ``= "literal"`` compare by VALUE (RDFterm-equal /
+  E_Equals three-valued semantics: numeric promotion, string/lang/bool/
+  temporal spaces, type errors on unknown value spaces);
+  bare ``?v`` / ``!?v`` / boolean constants evaluate the EFFECTIVE
+  BOOLEAN VALUE (SPARQL 17.2.2);
+  ``datatype(?v | xsd:T(?v) | ?a + ?b) = xsd:T`` — DATATYPE over a
+  variable, an XPath-table cast (success/failure per row), or an
+  arithmetic expression with XSD numeric type promotion;
   ``IN`` / ``NOT IN`` lists, ``BOUND`` / ``!BOUND``, ``sameTerm``,
   ``isIRI`` / ``isBlank`` / ``isLiteral`` / ``isNumeric`` / ``isTRIPLE``
   (each also under ``!``),
@@ -185,6 +201,10 @@ class Query:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int = 0
+    # dataset description (FROM / FROM NAMED — DatasetDescription +
+    # DynamicDatasets in the reference): document IRIs to load
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------- parser
@@ -204,6 +224,18 @@ class Parser:
         self._seq = 0  # fresh-variable counter for '/' path desugaring
         self._qt = 0  # placeholder counter for embedded RDF-star patterns
         self._bnode_vars: dict[str, str] = {}  # query bnodes act as vars
+        # basic-graph-pattern scope tracking for blank-node labels: a label
+        # may not recur in a DIFFERENT BGP (SPARQL 19.6; the reference's
+        # LabelToNodeMap scope checks — DAWG syn-bad-34..38, blabel-cross-*).
+        # _bgp_epoch = current scope id; _bgp_counter allocates fresh ids
+        # (never reused, so a restored outer scope can't alias a nested one)
+        self._bgp_epoch = 0
+        self._bgp_counter = 0
+        self._bnode_epoch: dict[str, int] = {}
+
+    def _fresh_bgp_scope(self) -> None:
+        self._bgp_counter += 1
+        self._bgp_epoch = self._bgp_counter
         self._in_template = False  # CONSTRUCT templates keep bnode terms
 
     # -- token helpers
@@ -309,6 +341,13 @@ class Parser:
                 # allocates a fresh (skolemized) label per solution row
                 # (Template.java / TemplateLib bnode remapping)
                 return t.text
+            seen = self._bnode_epoch.get(t.text)
+            if seen is not None and seen != self._bgp_epoch:
+                raise SparqlSyntaxError(
+                    f"blank-node label {t.text} reused across basic graph "
+                    "patterns (SPARQL 19.6)"
+                )
+            self._bnode_epoch[t.text] = self._bgp_epoch
             v = self._bnode_vars.setdefault(
                 t.text, f"?__bl{len(self._bnode_vars)}"
             )
@@ -468,10 +507,20 @@ class Parser:
                     break
             if not q.select and not q.aggs:
                 raise SparqlSyntaxError("empty SELECT list")
+        self._parse_dataset_clause(q)
         self.take_kw("WHERE")
         q.where = self._parse_group()
         self._parse_modifiers(q)
         return q
+
+    def _parse_dataset_clause(self, q: Query) -> None:
+        """FROM <iri> / FROM NAMED <iri> (DatasetClause): collect document
+        IRIs; sparql_query constructs the query dataset by loading them."""
+        while self.at_kw("FROM"):
+            self.next()
+            named = self.take_kw("NAMED")
+            iri = self._iri(self.next())
+            (q.from_named if named else q.from_graphs).append(iri[1:-1])
 
     def _parse_agg(self) -> Agg:
         t = self.next()
@@ -512,8 +561,11 @@ class Parser:
 
     def _parse_ask(self) -> Query:
         self.expect_kw("ASK")
+        q = Query(form="ask")
+        self._parse_dataset_clause(q)
         self.take_kw("WHERE")
-        return Query(form="ask", where=self._parse_group())
+        q.where = self._parse_group()
+        return q
 
     def _parse_construct(self) -> Query:
         self.expect_kw("CONSTRUCT")
@@ -639,15 +691,17 @@ class Parser:
     def _parse_group(self) -> Group:
         self.expect_op("{")
         g = Group()
+        # entering a group starts a new basic graph pattern (blank-node
+        # label scope); so does returning from any nested group
+        self._fresh_bgp_scope()
+        last_was_triples = False
         while not self.at_op("}"):
-            if g.graph is not None:
-                # anything following a GRAPH block in the same group would
-                # silently be absorbed into the named graph — reject (the
-                # subset compiles one GRAPH block per group, nothing else)
-                raise SparqlSyntaxError(
-                    "GRAPH must be the only pattern block in its group"
-                )
             if self.take_kw("FILTER"):
+                # a FILTER does NOT end the basic graph pattern (the
+                # grammar merges TriplesBlocks around it — DAWG
+                # syn-blabel-cross-filter is legal), so restore the label
+                # epoch around it (EXISTS groups bump it internally)
+                epoch = self._bgp_epoch
                 nxt = self.peek()
                 if nxt.kind == "NAME" and (
                     nxt.text.upper() == "EXISTS"
@@ -660,6 +714,11 @@ class Parser:
                     g.exists.append((self._parse_group(), neg))
                 else:
                     g.filters.extend(self._parse_filter())
+                self._bgp_epoch = epoch
+                if self.at_op("."):
+                    self.next()
+                last_was_triples = False
+                continue
             elif self.take_kw("BIND"):
                 self.expect_op("(")
                 expr = self._parse_bind_expr()
@@ -674,27 +733,39 @@ class Parser:
             elif self.take_kw("MINUS"):
                 g.minuses.append(self._parse_group())
             elif self.take_kw("GRAPH"):
+                # GRAPH term-or-var { BGP [FILTER...] } lowers to 4-slot
+                # quad patterns IN PLACE — they join the enclosing group's
+                # triple patterns on shared variables through the same
+                # id-space chain (OpGraph inside OpJoin; the TDB quad
+                # solver path). Mixed default/named groups, UNION branches
+                # with GRAPH, and multiple GRAPH blocks all compose.
+                if self.peek().kind in ("BNODE", "ANON"):
+                    # GraphGraphPattern takes VarOrIri only (syn-bad-31)
+                    raise SparqlSyntaxError(
+                        "GRAPH names a variable or IRI, not a blank node"
+                    )
                 gt = self._no_qtpat(self.parse_term(), "GRAPH")
                 inner = self._parse_group()
-                if inner.graph is not None or inner.union or inner.optionals:
-                    raise SparqlSyntaxError("nested GRAPH/UNION inside GRAPH")
+                if inner.union or inner.optionals:
+                    raise SparqlSyntaxError("UNION/OPTIONAL inside GRAPH is "
+                                            "not in the supported subset")
                 if (inner.minuses or inner.binds or inner.values
-                        or inner.exists or inner.subqueries):
-                    # only inner patterns/paths/filters compile to quads —
+                        or inner.exists or inner.subqueries or inner.paths
+                        or inner.star):
+                    # only inner patterns/filters compile to quads —
                     # anything else would be silently dropped, so raise
                     raise SparqlSyntaxError(
-                        "MINUS/BIND/VALUES/EXISTS inside GRAPH are not in "
-                        "the supported subset"
+                        "MINUS/BIND/VALUES/EXISTS/paths inside GRAPH are "
+                        "not in the supported subset"
                     )
-                inner.graph = gt
-                if g.patterns or g.paths or g.union:
-                    raise SparqlSyntaxError(
-                        "GRAPH must be the only pattern block in its group"
-                    )
-                g.patterns = inner.patterns
-                g.paths = inner.paths
+                # wrap the inner TRIPLE patterns in this graph term; a
+                # nested GRAPH block already produced 4-slot patterns and
+                # keeps its own (inner) graph scope — SPARQL GRAPH
+                # re-scopes rather than nests
+                g.patterns.extend(
+                    p if len(p) == 4 else (gt, *p) for p in inner.patterns
+                )
                 g.filters.extend(inner.filters)
-                g.graph = gt
             elif self.take_kw("VALUES"):
                 g.values = (g.values or []) + self._parse_values()
             elif self.at_op("{"):
@@ -710,6 +781,8 @@ class Parser:
                         )
                     self.expect_op("}")
                     g.subqueries.append(sub)
+                    self._fresh_bgp_scope()
+                    last_was_triples = False
                     if self.at_op("."):
                         self.next()
                     continue
@@ -726,7 +799,25 @@ class Parser:
                         raise SparqlSyntaxError("only one UNION block per group")
                     g.union = branches
             else:
+                # TriplesBlock: a second block directly after another needs
+                # the '.' separator (the grammar's TriplesBlock boundary —
+                # DAWG syn-bad-02/03)
+                if last_was_triples:
+                    raise SparqlSyntaxError(
+                        f"expected '.' between triple patterns at "
+                        f"{self.peek().text!r}"
+                    )
                 self._parse_triples_into(g)
+                last_was_triples = True
+                if self.at_op("."):
+                    self.next()
+                    last_was_triples = False
+                continue
+            # a non-triples element (OPTIONAL/MINUS/GRAPH/BIND/VALUES/
+            # group/UNION) ends the enclosing basic graph pattern: labels
+            # may not span it (syn-bad-OPT-breaks-BGP and friends)
+            self._fresh_bgp_scope()
+            last_was_triples = False
             if self.at_op("."):
                 self.next()
         self.expect_op("}")
@@ -1014,8 +1105,34 @@ class Parser:
                  "ISLITERAL": "isliteral", "ISNUMERIC": "isnumeric",
                  "ISTRIPLE": "istriple"}  # E_IsTriple (RDF-star)
 
+    def _closes_atom(self, k: int = 0) -> bool:
+        t = self.peek(k)
+        return t.kind == "EOF" or (
+            t.kind == "OP" and t.text in (")", "&&", "||", ",")
+        )
+
+    _TRUE_TERM = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    _FALSE_TERM = '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+
     def _parse_filter_atom(self) -> tuple:
         neg = False
+        # bare variable → effective boolean value (FILTER(?v), ?v && ...)
+        if self.peek().kind == "VAR" and self._closes_atom(1):
+            return ("ebv", "?" + self.next().text[1:])
+        # constant boolean leaf: 'true'/'false' keyword or typed literal
+        t0 = self.peek()
+        if t0.kind == "STRING" or (
+            t0.kind == "NAME" and t0.text.lower() in ("true", "false")
+        ):
+            save = self.i
+            try:
+                term = self.parse_term()
+            except SparqlSyntaxError:
+                term = None
+            if (term in (self._TRUE_TERM, self._FALSE_TERM)
+                    and self._closes_atom()):
+                return ("constb", term == self._TRUE_TERM)
+            self.i = save
         if self.at_op("("):
             # a '(' here is either a nested boolean expression or a
             # parenthesised arithmetic operand of a comparison — try the
@@ -1037,6 +1154,9 @@ class Parser:
         if self.at_op("!"):
             self.next()
             neg = True
+            # negated EBV of a bare variable: FILTER(!?v)
+            if self.peek().kind == "VAR" and self._closes_atom(1):
+                return ("notebv", "?" + self.next().text[1:])
         t = self.peek()
         if t.kind == "NAME":
             fn = t.text.upper()
@@ -1070,6 +1190,11 @@ class Parser:
                 b = self._no_qtpat(self.parse_term(), "sameTerm")
                 self.expect_op(")")
                 return ("=", a, b)
+            if fn == "DATATYPE":
+                # E_Datatype under '='/'!=' against an IRI constant:
+                # datatype(?v), datatype(xsd:T(?v)) cast success, or
+                # datatype(?a + ?b) promotion — the dtof value filter
+                return self._parse_datatype_filter()
             if fn in _STR_FNS:
                 self.next()
                 self.expect_op("(")
@@ -1115,6 +1240,46 @@ class Parser:
             raise SparqlSyntaxError("'!' only supported before BOUND")
         # comparison: additive-expr (OP additive-expr | IN (...) | NOT IN (...))
         return self._parse_comparison_tail(self._parse_add_expr())
+
+    _CAST_TARGETS = {
+        XSD + local
+        for local in ("string", "boolean", "integer", "decimal", "float",
+                      "double", "dateTime")
+    }
+
+    def _parse_datatype_filter(self) -> tuple:
+        """FILTER(datatype(inner) =|!= xsd:T) → ('dtof', op, target, inner)
+        where inner is ('var', ?v) | ('cast', target_iri, ?v) |
+        ('arith', expr).  Covers E_Datatype over E_Cast (XPath casting
+        table) and over arithmetic (XSD numeric promotion)."""
+        self.expect_kw("DATATYPE")
+        self.expect_op("(")
+        t = self.peek()
+        if t.kind == "VAR" and self.peek(1).kind == "OP" and self.peek(1).text == ")":
+            inner = ("var", "?" + self.next().text[1:])
+        elif (t.kind in ("PNAME", "IRIREF") and self.peek(1).kind == "OP"
+              and self.peek(1).text == "("):
+            cast_iri = self._iri(self.next())[1:-1]
+            if cast_iri not in self._CAST_TARGETS:
+                raise SparqlSyntaxError(f"unsupported cast target <{cast_iri}>")
+            self.expect_op("(")
+            v = self.next()
+            if v.kind != "VAR":
+                raise SparqlSyntaxError("cast argument must be a variable")
+            self.expect_op(")")
+            inner = ("cast", cast_iri, "?" + v.text[1:])
+        else:
+            inner = ("arith", self._parse_add_expr())
+        self.expect_op(")")
+        op_t = self.next()
+        if op_t.kind != "OP" or op_t.text not in ("=", "!="):
+            raise SparqlSyntaxError(
+                "datatype(...) supports only = / != against an IRI constant"
+            )
+        rhs_t = self.next()
+        if rhs_t.kind not in ("PNAME", "IRIREF"):
+            raise SparqlSyntaxError("datatype(...) compares to an IRI constant")
+        return ("dtof", op_t.text, self._iri(rhs_t)[1:-1], inner)
 
     def _parse_comparison_tail(self, lhs) -> tuple:
         if self.at_kw("IN") or (self.at_kw("NOT") and self.peek(1).kind == "NAME"
@@ -1181,6 +1346,15 @@ class Parser:
             lhs, rhs, op = rhs, lhs, flip[op]
         if not (isinstance(lhs, str) and lhs.startswith("?")):
             raise SparqlSyntaxError("comparison left side must be a variable")
+        if (op in ("=", "!=") and isinstance(rhs, str)
+                and (rhs.startswith("?") or rhs.startswith('"'))):
+            # '='/'!=' against a variable or a literal constant is VALUE
+            # equality (E_Equals / RDFterm-equal), not sameTerm —
+            # "1"^^xsd:integer equals "01"^^xsd:integer, and unknown-value
+            # literal pairs are type errors (open-world). IRI/bnode
+            # constants keep the id-space sameTerm form (for them value
+            # equality IS term identity), as does the sameTerm() builtin.
+            return ("termeq", op, lhs, rhs)
         return (op, lhs, rhs)
 
     def _parse_add_expr(self):
@@ -1264,6 +1438,12 @@ class Parser:
         if t.kind == "NUMBER":
             self.next()
             return float(t.text)
+        if t.kind in ("BNODE", "ANON"):
+            # the expression grammar has no blank-node production
+            # (PrimaryExpression — DAWG syn-bad-30)
+            raise SparqlSyntaxError(
+                "blank nodes are not allowed in expressions"
+            )
         return self._no_qtpat(self.parse_term(), "FILTER expressions")
 
     # -- BIND expressions (E_Str / E_Lang / E_Datatype / E_StrLength /
@@ -1407,8 +1587,15 @@ def _datetime_const(operand) -> tuple[str, str] | None:
     return (m.group(2), m.group(1)) if m else None
 
 
-def parse_query(src: str) -> Query:
-    return Parser(src).parse_query()
+def parse_query(src: str, base: str | None = None) -> Query:
+    """Parse one SPARQL query string. ``base`` seeds the IRI resolver
+    (needed for relative FROM / FROM NAMED document IRIs — the reference
+    resolves them against the query's syntax base); an in-query BASE
+    declaration overrides it."""
+    p = Parser(src)
+    if base is not None:
+        p.base = base
+    return p.parse_query()
 
 
 # ---------------------------------------------------------------- executor
@@ -1661,13 +1848,6 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
         return bgp.bgp_exists(out_dir, g.patterns, ex, select,
                               filters=g.filters or None, stats=stats, **kw)
 
-    if g.graph is not None:
-        quads = [(g.graph, s, p, o) for (s, p, o) in g.patterns]
-        if g.optionals or g.minuses or g.union or g.values:
-            raise SparqlSyntaxError("GRAPH groups support patterns+FILTER only")
-        return bgp.quad_bgp_execute(out_dir, quads, select,
-                                    filters=g.filters or None, **kw)
-
     if g.union is not None:
         if g.patterns or g.optionals or g.minuses or g.values:
             raise SparqlSyntaxError(
@@ -1785,6 +1965,11 @@ def _execute_subquery_group(out_dir: str, q: Query, select: list[str], *,
                     and isinstance(f[2], str) and f[2].startswith("?")
                     and (numeric(f[1]) or numeric(f[2]))):
                 return ("cmp", f[0], f[1], f[2])
+            if (f[0] == "termeq"
+                    and f[2].startswith("?") and f[3].startswith("?")
+                    and (numeric(f[2]) or numeric(f[3]))):
+                # the parser's value-equality form, one side an alias
+                return ("cmp", f[1], f[2], f[3])
             return f
 
         fs = tuple(g.filters)
@@ -2437,6 +2622,93 @@ def _replace_order(q: Query) -> Query:
     return q2
 
 
+_DYN_DATASET_CACHE: dict[tuple, str] = {}
+
+
+def _load_document(iri: str) -> list[tuple[str, str, str]]:
+    """Load one RDF document by IRI for FROM / FROM NAMED (file:// only in
+    this sandbox — the reference's DatasetDescription fetch), dispatching
+    on extension through the same in-process parsers the riot CLI uses."""
+    import os
+
+    path = iri[len("file://"):] if iri.startswith("file://") else iri
+    if not os.path.exists(path):
+        raise SparqlSyntaxError(f"FROM document not found: {iri}")
+    text = open(path).read()
+    base = f"file://{path}"
+    if path.endswith((".ttl", ".turtle")):
+        from jena_ray.turtle import parse_turtle
+
+        return parse_turtle(text, base=base)
+    if path.endswith(".nt"):
+        from jena_ray.term import parse_ntriples
+
+        return parse_ntriples(text, base=base)
+    if path.endswith((".rdf", ".xml", ".owl")):
+        from jena_ray.rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text, base=base)
+    raise SparqlSyntaxError(f"unsupported FROM document syntax: {iri}")
+
+
+def _scope_bnodes(rows, scope: str):
+    """Per-document blank-node label isolation (LabelToNode-per-run): _:x
+    loaded from two FROM documents must be two nodes."""
+    return [
+        tuple(f"_:{scope}{t[2:]}" if t.startswith("_:") else t for t in r)
+        for r in rows
+    ]
+
+
+def _dynamic_dataset(q: Query) -> str:
+    """Materialize the FROM / FROM NAMED dataset description into an
+    ephemeral RDF-dataset store (default graph = merge of FROM documents,
+    one named graph per FROM NAMED document) — ARQ's DynamicDatasets +
+    DatasetUtils.createDataset. Dynamic datasets are query-scoped document
+    loads by definition; corpus-scale data belongs in a pre-materialized
+    store, not a FROM clause."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from jena_ray.stages.quads import materialize_rdf_dataset
+
+    key = (tuple(q.from_graphs), tuple(q.from_named))
+    hit = _DYN_DATASET_CACHE.get(key)
+    if hit and os.path.isdir(os.path.join(hit, "terms")):
+        return hit
+
+    triples: list[tuple] = []
+    for i, iri in enumerate(q.from_graphs):
+        triples.extend(_scope_bnodes(_load_document(iri), f"d{i}b"))
+    quads: list[tuple] = []
+    for i, iri in enumerate(q.from_named):
+        g = fmt_iri(iri)
+        quads.extend(
+            (g, s, p, o)
+            for s, p, o in _scope_bnodes(_load_document(iri), f"n{i}b")
+        )
+    out = tempfile.mkdtemp(prefix="jena_ray_dynds_")
+    tt = pa.table({
+        "subj": pa.array([r[0] for r in triples], type=pa.string()),
+        "pred": pa.array([r[1] for r in triples], type=pa.string()),
+        "obj": pa.array([r[2] for r in triples], type=pa.string()),
+    })
+    qt = pa.table({
+        "graph": pa.array([r[0] for r in quads], type=pa.string()),
+        "subj": pa.array([r[1] for r in quads], type=pa.string()),
+        "pred": pa.array([r[2] for r in quads], type=pa.string()),
+        "obj": pa.array([r[3] for r in quads], type=pa.string()),
+    })
+    materialize_rdf_dataset(
+        out, rd.from_arrow(tt), rd.from_arrow(qt),
+        num_buckets=2, min_rows_per_file=100_000,
+    )
+    _DYN_DATASET_CACHE[key] = out
+    return out
+
+
 def ground_pattern_holds(out_dir: str, pattern: tuple,
                          *, num_partitions: int = 16) -> bool:
     """Existence probe for one fully-ground triple pattern (the ground-BGP
@@ -2472,6 +2744,11 @@ def sparql_query(
     from jena_ray.pipelines.relational import slice_rows
 
     q = parse_query(query) if isinstance(query, str) else query
+
+    if q.from_graphs or q.from_named:
+        # FROM / FROM NAMED override the store: build (and cache) the
+        # described dataset from its documents, query that instead
+        out_dir = _dynamic_dataset(q)
 
     if q.form == "describe":
         return _describe(out_dir, q, num_partitions=num_partitions,

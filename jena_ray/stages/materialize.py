@@ -175,21 +175,27 @@ def _build_bucketed_ids(
     )
 
 
-def _build_terms_table(ds, path: str, num_buckets: int, min_rows_per_file: int):
+def _build_terms_table(ds, path: str, num_buckets: int, min_rows_per_file: int,
+                       *, exploded: bool = False):
     """NodeTable analog: distinct (id, term), bucketed by id — the single
-    string shuffle of the materialize phase."""
+    string shuffle of the materialize phase. ``exploded=True`` takes a
+    pre-exploded (id, term) stream (mixed triple+quad dataset stores union
+    their position columns upstream)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from jena_ray.stages.dedup import add_bucket, dedup_batch
 
     def explode_terms(t: pa.Table) -> pa.Table:
-        cols = []
-        for col, idc in (("subj", "s_id"), ("pred", "p_id"), ("obj", "o_id")):
-            cols.append(
-                pa.table({"id": t.column(idc), "term": pc.cast(t.column(col), pa.string())})
-            )
-        merged = pa.concat_tables(cols)
+        if exploded:
+            merged = t.select(["id", "term"])
+        else:
+            cols = []
+            for col, idc in (("subj", "s_id"), ("pred", "p_id"), ("obj", "o_id")):
+                cols.append(
+                    pa.table({"id": t.column(idc), "term": pc.cast(t.column(col), pa.string())})
+                )
+            merged = pa.concat_tables(cols)
         # block-local combiner keyed on (id, term), NOT id alone, so a
         # 64-bit hash collision survives to per_bucket and fails loudly
         local = dedup_batch(merged, ["id", "term"])
@@ -328,6 +334,8 @@ def materialize_indexes(
     )
     stats[primary] = primary_path
     for order in secondary:
+        if not os.path.isdir(primary_path):
+            break  # empty input wrote no primary — scans treat it as empty
         sds = rd.read_parquet(primary_path, columns=["s_id", "p_id", "o_id"])
         path = os.path.join(out_dir, order)
         shutil.rmtree(path, ignore_errors=True)

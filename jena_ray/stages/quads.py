@@ -61,6 +61,94 @@ def _add_quad_ids(batch):
     return batch
 
 
+def materialize_rdf_dataset(
+    out_dir: str,
+    triples,
+    quads,
+    *,
+    min_rows_per_file: int = 500_000,
+    num_buckets: int = 32,
+):
+    """Materialize a full RDF DATASET — default graph + named graphs — in
+    ONE store: SPO/POS/OSP triple permutations for the default graph,
+    GSPO/GPOS/GOSP for the named quads, and a single merged ``terms/``
+    NodeTable over every position of both (ids are stateless content
+    hashes, so the two stores share one id space — mirroring TDB's
+    DatasetGraphTDB where default-graph triples and named-graph quads sit
+    in sibling tuple tables over one NodeTable, jena-tdb
+    store/DatasetGraphTDB.java). ``triples`` has subj/pred/obj columns;
+    ``quads`` graph/subj/pred/obj."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jena_ray.stages.materialize import (
+        _add_ids,
+        _build_bucketed_ids,
+        _build_terms_table,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    tri_ids = triples.map_batches(_add_ids, batch_format="pyarrow")
+    quad_ids = quads.map_batches(_add_quad_ids, batch_format="pyarrow")
+
+    # merged NodeTable: explode every position of both stores to (id, term)
+    def explode3(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            pa.table({"id": t.column(idc),
+                      "term": pc.cast(t.column(c), pa.string())})
+            for c, idc in (("subj", "s_id"), ("pred", "p_id"), ("obj", "o_id"))
+        )
+
+    def explode4(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            pa.table({"id": t.column(idc),
+                      "term": pc.cast(t.column(c), pa.string())})
+            for idc, c in _TERM_FOR_QID.items()
+        )
+
+    merged = tri_ids.map_batches(explode3, batch_format="pyarrow").union(
+        quad_ids.map_batches(explode4, batch_format="pyarrow")
+    )
+    terms_path = os.path.join(out_dir, "terms")
+    shutil.rmtree(terms_path, ignore_errors=True)
+    _build_terms_table(merged, terms_path, num_buckets, min_rows_per_file,
+                       exploded=True)
+
+    # triple permutations (default graph); an empty default graph writes
+    # no index dirs — the pattern scan treats a missing index as empty
+    for i, order in enumerate(("spo", "pos", "osp")):
+        path = os.path.join(out_dir, order)
+        shutil.rmtree(path, ignore_errors=True)
+        if i == 0:
+            src = tri_ids.map_batches(
+                lambda t: t.select(["s_id", "p_id", "o_id"]),
+                batch_format="pyarrow",
+            )
+        else:
+            import ray.data as rd
+
+            if not os.path.isdir(os.path.join(out_dir, "spo")):
+                break
+            src = rd.read_parquet(
+                os.path.join(out_dir, "spo"), columns=["s_id", "p_id", "o_id"]
+            )
+        _build_bucketed_ids(src, order, path, num_buckets,
+                            min_rows_per_file, dedup=(i == 0))
+
+    # quad permutations (named graphs) — skip_terms: merged table above
+    materialize_quad_indexes(
+        out_dir, quads, min_rows_per_file=min_rows_per_file,
+        num_buckets=num_buckets, skip_terms=True,
+    )
+    with open(os.path.join(out_dir, "_layout.json"), "w") as f:
+        json.dump(
+            {"layout": "bucketed-ids", "num_buckets": num_buckets,
+             "quads": True, "triples": True}, f
+        )
+
+
 def materialize_quad_indexes(
     out_dir: str,
     quads,
@@ -68,6 +156,7 @@ def materialize_quad_indexes(
     orders: tuple[str, ...] = ("gspo", "gpos", "gosp"),
     min_rows_per_file: int = 500_000,
     num_buckets: int = 32,
+    skip_terms: bool = False,
 ):
     """Build terms/ + quad index layouts from a (graph, subj, pred, obj)
     Dataset. Two executions total: the string shuffle for the NodeTable and
@@ -97,16 +186,17 @@ def materialize_quad_indexes(
         g = dedup_batch(g, ["id"])
         return g.take(pc.sort_indices(g, sort_keys=[("id", "ascending")]))
 
-    terms_path = os.path.join(out_dir, "terms")
-    shutil.rmtree(terms_path, ignore_errors=True)
-    (
-        with_ids.map_batches(explode_terms, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(terms_bucket, batch_format="pyarrow")
-        .write_parquet(
-            terms_path, partition_cols=["bucket"], min_rows_per_file=min_rows_per_file
+    if not skip_terms:
+        terms_path = os.path.join(out_dir, "terms")
+        shutil.rmtree(terms_path, ignore_errors=True)
+        (
+            with_ids.map_batches(explode_terms, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(terms_bucket, batch_format="pyarrow")
+            .write_parquet(
+                terms_path, partition_cols=["bucket"], min_rows_per_file=min_rows_per_file
+            )
         )
-    )
 
     # ---- all permutations in one tagged shuffle ----
     def fan_out(t: pa.Table) -> pa.Table:
@@ -140,7 +230,9 @@ def materialize_quad_indexes(
     for order in orders:
         dst = os.path.join(out_dir, order)
         shutil.rmtree(dst, ignore_errors=True)
-        os.rename(os.path.join(idx_tmp, f"okey={order}"), dst)
+        src = os.path.join(idx_tmp, f"okey={order}")
+        if os.path.isdir(src):  # empty quad input writes no cells
+            os.rename(src, dst)
     shutil.rmtree(idx_tmp, ignore_errors=True)
 
     with open(os.path.join(out_dir, "_layout.json"), "w") as f:

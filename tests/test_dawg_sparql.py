@@ -33,10 +33,11 @@ QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
 SKIP: dict[tuple[str, str], str] = {
     ("algebra", "filter-nested-2"): "nested-group FILTER scoping: the subset "
     "flattens nested groups, so the filter sees the outer binding",
+    ("algebra", "join-scope-1"): "nested-group variable scoping: the subset "
+    "flattens nested groups, so the inner OPTIONAL's ?X joins the outer "
+    "pattern before the LeftJoin instead of after (Join∘LeftJoin vs "
+    "LeftJoin∘Join)",
     ("i18n", "normalization-2"): "IRI unicode NFC normalization not applied",
-    ("open-world", "open-eq-06"): "'!=' on unknown-datatype literals must be "
-    "a type error for every row (open-world value spaces); the engine's "
-    "'!=' is sameTerm-based",
 }
 
 # minimum number of accepted (executed) tests per suite — the vacuity guard
@@ -50,7 +51,7 @@ SUITES: dict[str, int] = {
     "optional": 2,
     "construct": 2,
     "ask": 3,
-    "expr-equals": 10,
+    "expr-equals": 12,
     "bnode-coreference": 1,
     "algebra": 4,
     "reduced": 2,
@@ -58,7 +59,13 @@ SUITES: dict[str, int] = {
     "expr-builtin": 9,
     "solution-seq": 10,
     "optional-filter": 2,
-    "open-world": 8,
+    "open-world": 15,
+    "expr-ops": 7,
+    "boolean-effective-value": 7,
+    "cast": 7,
+    "type-promotion": 28,
+    "graph": 9,
+    "dataset": 10,
 }
 
 pytestmark = pytest.mark.skipif(
@@ -86,8 +93,9 @@ def _load_manifest(suite: str):
         a = spo.get(action, {})
         query = a.get(f"<{QT}query>", [None])[0]
         data = a.get(f"<{QT}data>", [None])[0]
-        if query is None or a.get(f"<{QT}graphData>"):
-            continue  # named-graph datasets are out of subset
+        graph_data = sorted(a.get(f"<{QT}graphData>", []))
+        if query is None:
+            continue
         name = s.split("#")[-1].rstrip(">")
         lax = f"<{MF}LaxCardinality>" in props.get(
             f"<{MF}resultCardinality>", []
@@ -97,6 +105,7 @@ def _load_manifest(suite: str):
                 "name": name,
                 "query": _path(query),
                 "data": _path(data) if data else None,
+                "graph_data": [_path(gd) for gd in graph_data],
                 "result": _path(result),
                 "lax": lax,
             }
@@ -112,23 +121,41 @@ def _path(iri: str) -> str:
 _INDEX_CACHE: dict[str, str] = {}
 
 
-def _index_for(data_path: str | None, tmp_factory) -> str:
-    """Materialize (once per data file) a tiny index for the test data."""
-    key = data_path or "<empty>"
+def _read_ttl(path: str, scope: str = "") -> list[tuple[str, str, str]]:
+    """Parse one data document. ``scope`` isolates blank-node labels per
+    document load (each graph of a dataset is its own document, so _:x in
+    the default graph and _:x in a named graph are DIFFERENT nodes — the
+    LabelToNode-per-parser-run discipline; dawg-graph-10/10b test it)."""
+    if not path.endswith(".ttl"):
+        pytest.skip(f"unsupported data format: {path}")
+    rows = parse_turtle(open(path).read(), base=f"file://{path}")
+    if not scope:
+        return rows
+    return [
+        tuple(f"_:{scope}{t[2:]}" if t.startswith("_:") else t for t in r)
+        for r in rows
+    ]
+
+
+def _index_for(data_path: str | None, tmp_factory,
+               graph_data: list[str] | None = None) -> str:
+    """Materialize (once per data file set) a tiny index for the test data:
+    a plain triple store without named graphs, a full RDF-dataset store
+    (default graph + GSPO quads sharing one NodeTable) when the manifest
+    carries qt:graphData — each file becomes the named graph <file://...>,
+    the RunnerSPARQL dataset construction."""
+    key = (data_path or "<empty>") + "|" + ",".join(graph_data or [])
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray.data as rd
 
     from jena_ray.stages.materialize import materialize_indexes
+    from jena_ray.stages.quads import materialize_rdf_dataset
 
     out = str(tmp_factory.mktemp("dawgidx"))
-    if data_path is None:
-        rows = []
-    elif data_path.endswith(".ttl"):
-        rows = parse_turtle(open(data_path).read(), base=f"file://{data_path}")
-    else:
-        pytest.skip(f"unsupported data format: {data_path}")
+    rows = _read_ttl(data_path) if data_path else []
     t = pa.table(
         {
             "subj": pa.array([r[0] for r in rows], type=pa.string()),
@@ -136,9 +163,29 @@ def _index_for(data_path: str | None, tmp_factory) -> str:
             "obj": pa.array([r[2] for r in rows], type=pa.string()),
         }
     )
-    os.makedirs(f"{out}/triples")
-    pq.write_table(t, f"{out}/triples/part0.parquet")
-    materialize_indexes(out, num_buckets=2, min_rows_per_file=1000)
+    if graph_data:
+        quads = []
+        for i, gd in enumerate(graph_data):
+            g = f"<file://{gd}>"
+            quads.extend(
+                (g, s, p, o) for s, p, o in _read_ttl(gd, scope=f"g{i}x")
+            )
+        qt = pa.table(
+            {
+                "graph": pa.array([q[0] for q in quads], type=pa.string()),
+                "subj": pa.array([q[1] for q in quads], type=pa.string()),
+                "pred": pa.array([q[2] for q in quads], type=pa.string()),
+                "obj": pa.array([q[3] for q in quads], type=pa.string()),
+            }
+        )
+        materialize_rdf_dataset(
+            out, rd.from_arrow(t), rd.from_arrow(qt),
+            num_buckets=2, min_rows_per_file=1000,
+        )
+    else:
+        os.makedirs(f"{out}/triples")
+        pq.write_table(t, f"{out}/triples/part0.parquet")
+        materialize_indexes(out, num_buckets=2, min_rows_per_file=1000)
     _INDEX_CACHE[key] = out
     return out
 
@@ -198,11 +245,11 @@ def test_dawg_suite(suite, ray_session, tmp_path_factory):
             skipped += 1
             continue
         try:
-            q = parse_query(qtext)
+            q = parse_query(qtext, base=f"file://{t['query']}")
         except SparqlSyntaxError:
             skipped += 1
             continue
-        idx = _index_for(t["data"], tmp_path_factory)
+        idx = _index_for(t["data"], tmp_path_factory, t.get("graph_data"))
         try:
             res = sparql_query(idx, q, num_partitions=2)
         except (SparqlSyntaxError, ValueError):
@@ -326,3 +373,69 @@ def _check(t, q, res) -> bool | None:
                 return False
         return True
     return _bag_equal(exp["rows"], got_rows, {})
+
+
+# ------------------------------------------------------- syntax suites
+
+SYNTAX_SUITES = ("syntax-sparql1", "syntax-sparql2", "syntax-sparql3",
+                 "syntax-sparql4", "syntax-sparql5")
+
+# minimum PositiveSyntaxTest queries the subset parser must accept, per
+# suite — regression floor for parser breadth (negative tests are exact:
+# every one must raise). Measured acceptance at round 3: 51/81, 40/53,
+# 8/9, 4/4, 2/2 — the gap is bnode property lists '[...]', collections
+# '(...)', and parenthesised path groups, all documented subset limits.
+SYNTAX_FLOORS = {"syntax-sparql1": 51, "syntax-sparql2": 40,
+                 "syntax-sparql3": 8, "syntax-sparql4": 4,
+                 "syntax-sparql5": 2}
+
+
+def _load_syntax_manifest(suite: str):
+    mdir = f"{DAWG}/{suite}"
+    text = open(f"{mdir}/manifest.ttl").read()
+    triples = parse_turtle(text, base=f"file://{mdir}/")
+    spo: dict[str, dict[str, list[str]]] = defaultdict(lambda: defaultdict(list))
+    for s, p, o in triples:
+        spo[s][p].append(o)
+    tests = []
+    for s, props in spo.items():
+        types = props.get(RDF_TYPE, [])
+        pos = f"<{MF}PositiveSyntaxTest>" in types
+        neg = f"<{MF}NegativeSyntaxTest>" in types
+        if not (pos or neg):
+            continue
+        action = props.get(f"<{MF}action>", [None])[0]
+        if action is None or not action.startswith("<file://"):
+            continue
+        tests.append({"name": s.split("#")[-1].rstrip(">"),
+                      "query": _path(action), "positive": pos})
+    return tests
+
+
+@pytest.mark.parametrize("suite", SYNTAX_SUITES)
+def test_dawg_syntax_suite(suite):
+    """The reference's DAWG syntax suites (RunnerSPARQLSyntax): every
+    NegativeSyntaxTest must be REJECTED (the subset parser may reject more
+    than full SPARQL, never less than the grammar forbids); accepted
+    PositiveSyntaxTest counts are floored per suite so parser breadth
+    can't silently regress. A positive test may only fail with
+    SparqlSyntaxError (out of subset) — any other exception is a bug."""
+    tests = _load_syntax_manifest(suite)
+    assert tests, f"no syntax tests found in {suite}"
+    accepted, false_accepts = 0, []
+    for t in tests:
+        qtext = open(t["query"]).read()
+        try:
+            parse_query(qtext, base=f"file://{t['query']}")
+            ok = True
+        except SparqlSyntaxError:
+            ok = False
+        if t["positive"] and ok:
+            accepted += 1
+        elif not t["positive"] and ok:
+            false_accepts.append(t["name"])
+    assert not false_accepts, f"{suite}: accepted invalid SPARQL: {false_accepts}"
+    assert accepted >= SYNTAX_FLOORS[suite], (
+        f"{suite}: only {accepted} positive syntax tests accepted "
+        f"(floor {SYNTAX_FLOORS[suite]})"
+    )

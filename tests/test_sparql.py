@@ -97,8 +97,6 @@ def test_parse_base_resolution():
         PFX + "SELECT ?s WHERE { ?s ex:p [ ex:q 1 ] }",
         PFX + 'SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o + "a" = 2) }',
         "SELECT ?s WHERE { ?s undefined:p ?o }",
-        # trailing patterns after GRAPH would silently join the named graph
-        PFX + "SELECT ?s WHERE { GRAPH <urn:g> { ?s ex:p ?o } ?s ex:q ?x }",
         # constructs inside GRAPH braces would silently be dropped
         PFX + "SELECT ?s WHERE { GRAPH <urn:g> { ?s ex:p ?o "
               "MINUS { ?s ex:q ?o } } }",
