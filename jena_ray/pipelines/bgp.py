@@ -1105,11 +1105,32 @@ def _apply_filters(res, res_vars: set[str], filters, out_dir: str):
 
     from jena_ray.stages.materialize import resolve_id_columns
 
-    filters = list(filters or [])
-    for f in filters:
+    if any(f == ("never",) for f in (filters or [])):
+        # constant-false filter (an out-of-scope FILTER replaced at group
+        # merge — sparql.Parser._merge): no solution survives
+        return res.map_batches(
+            lambda tb: tb.slice(0, 0), batch_format="pyarrow"
+        )
+    live = []
+    for f in list(filters or []):
         missing = _filter_vars(f) - res_vars
-        if missing:
-            raise ValueError(f"filter {f} references unbound vars {sorted(missing)}")
+        if not missing:
+            live.append(f)
+            continue
+        if f[0] in ("or", "and", "not"):
+            # inside a boolean tree an unbound-var type error can still be
+            # absorbed (err || true = true) — not statically resolvable
+            raise ValueError(
+                f"filter {f} references unbound vars {sorted(missing)}"
+            )
+        if f[0] == "!bound":
+            continue  # a never-bound var is unbound in every row: TRUE
+        # bound() is false; any other op is a type error → FALSE for every
+        # row (SPARQL 1.1 §17.2 expression evaluation): statically empty
+        return res.map_batches(
+            lambda tb: tb.slice(0, 0), batch_format="pyarrow"
+        )
+    filters = live
 
     id_f = [f for f in filters if _is_id_filter(f)]
     val_f = [f for f in filters if not _is_id_filter(f)]
@@ -1435,6 +1456,13 @@ def bgp_union(
     results = []
     all_vars: set[str] = set()
     for i, pats in enumerate(branches):
+        if not pats:
+            # empty group pattern { } — the unit table: ONE solution
+            # binding nothing (algebra Join identity; Jena's
+            # QueryIterUnion yields it from the empty BGP). Padded to
+            # all-null over the union's variable set below.
+            results.append((None, set()))
+            continue
         res, rv = _execute_bgp_ids(
             out_dir, pats, info, num_partitions=num_partitions, stats=stats,
             pf_context=pf_context,
@@ -1446,8 +1474,16 @@ def bgp_union(
         all_vars |= rv
 
     cols = sorted(all_vars)
+    if not cols:
+        raise ValueError("UNION of only empty branches is unsupported")
     padded = []
     for res, rv in results:
+        if res is None:
+            import ray.data as rd
+
+            unit = pa.table({c: pa.nulls(1, type=ID_TYPE) for c in cols})
+            padded.append(rd.from_arrow(unit))
+            continue
 
         def pad(tb: pa.Table, _missing=tuple(sorted(all_vars - rv)), _cols=tuple(cols)) -> pa.Table:
             for m in _missing:
@@ -1547,31 +1583,316 @@ def bgp_exists(
 ):
     """FILTER EXISTS / NOT EXISTS — OpFilter wrapping E_Exists /
     E_NotExists (sparql/expr/E_Exists.java, E_NotExists.java evaluated by
-    the inner-execution path in ExprFunctionOp): each ``(patterns, negate)``
-    entry keeps left solutions that do (EXISTS) or do not (NOT EXISTS) join
-    the inner BGP on the shared variables. Correlated form only — the inner
-    BGP must share at least one variable with the outer group (an
-    uncorrelated EXISTS is a constant test, not a distributed join)."""
+    the inner-execution path in ExprFunctionOp): each ``(patterns,
+    inner_filters, negate)`` entry keeps left solutions that do (EXISTS)
+    or do not (NOT EXISTS) join the inner BGP on the shared variables.
+    Inner filters must reference only inner variables (a filter crossing
+    into the outer scope would be per-row correlated — unsupported). An
+    entry sharing NO variable with the group is a constant gate: one
+    probe row decides whether the left stream passes or empties. With no
+    outer patterns the left side is the unit table; EXISTS binds nothing,
+    so never-bound selected variables surface as null columns."""
     info = read_layout(out_dir)
     left, lvars = _execute_bgp_ids(
         out_dir, patterns, info, num_partitions=num_partitions, stats=stats
     )
+    if left is None:
+        import ray.data as rd
+
+        left = rd.from_arrow(pa.table({"__unit": pa.array([0])}))
+        lvars = set()
     if filters:
         left = _apply_filters(left, lvars, filters, out_dir)
-    for pats, negate in exists:
+    for pats, efilters, negate in exists:
         right, rvars = _execute_bgp_ids(
             out_dir, pats, info, num_partitions=num_partitions, stats=stats
         )
+        if right is None:
+            raise ValueError("EXISTS block needs at least one pattern")
+        if efilters:
+            bad = [f for f in efilters if not (_filter_vars(f) <= rvars)]
+            if bad:
+                raise ValueError(
+                    "EXISTS filter references outer variables (correlated "
+                    f"filters are unsupported): {bad}"
+                )
+            right = _apply_filters(right, rvars, efilters, out_dir)
         shared = sorted(lvars & rvars)
-        if not shared:
-            raise ValueError(
-                "EXISTS/NOT EXISTS block must share a variable with the group"
+        if shared:
+            left = _semi_anti_join(
+                left, lvars, right, shared, keep_matched=not negate,
+                num_buckets=num_partitions,
             )
-        left = _semi_anti_join(
-            left, lvars, right, shared, keep_matched=not negate,
-            num_buckets=num_partitions,
+        elif (len(right.limit(1).take(1)) > 0) == negate:
+            # constant probe failed its gate (EXISTS empty / NOT EXISTS
+            # matched): the whole group yields no solutions
+            left = left.map_batches(
+                lambda tb: tb.slice(0, 0), batch_format="pyarrow"
+            )
+    bound_sel = [v for v in select if v in lvars]
+    missing = [v for v in select if v not in lvars]
+    if bound_sel or not missing:
+        res = _project_resolve(
+            left, lvars, bound_sel, out_dir, distinct=distinct
         )
-    return _project_resolve(left, lvars, select, out_dir, distinct=distinct)
+    else:
+        # nothing selected is bound: solutions are rows of unbound vars
+        res = left
+
+    if missing:
+
+        def pad_unbound(tb: pa.Table, _m=tuple(missing),
+                        _s=tuple(select)) -> pa.Table:
+            for v in _m:
+                tb = tb.append_column(v, pa.nulls(tb.num_rows,
+                                                  type=pa.string()))
+            return tb.select(list(_s))
+
+        res = res.map_batches(pad_unbound, batch_format="pyarrow")
+        if distinct and not bound_sel:
+            from jena_ray.stages.dedup import dedup_exact
+
+            res = dedup_exact(res, cols=tuple(select), coalesce=True)
+    return res
+
+
+def _tag_unique(ds, col: str = "__lid"):
+    """Append a row-unique fixed_size_binary(16) column: an 8-byte random
+    per-batch nonce + an 8-byte local row index — no coordination, no
+    driver round-trip. Tracks left-row identity (bag multiplicity) through
+    a conditional left join's matched/unmatched split.
+
+    The tagged dataset is MATERIALIZED (object store, spillable — not the
+    driver): both the join branch and the anti probe consume it, and a lazy
+    Dataset re-executes the tag map per consumer with fresh nonces, so the
+    probe would never match. The table is the compact id-space solution
+    set (fixed 16-byte columns), not raw data."""
+    import numpy as np
+
+    def tag(tb: pa.Table, _c=col) -> pa.Table:
+        import os as _os
+
+        n = tb.num_rows
+        buf = np.empty((n, 16), dtype=np.uint8)
+        buf[:, :8] = np.frombuffer(_os.urandom(8), dtype=np.uint8)
+        buf[:, 8:] = np.frombuffer(
+            np.arange(n, dtype="<u8").tobytes(), dtype=np.uint8
+        ).reshape(n, 8)
+        arr = pa.Array.from_buffers(
+            ID_TYPE, n, [None, pa.py_buffer(buf.tobytes())]
+        )
+        return tb.append_column(_c, arr)
+
+    return ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+
+def left_join_conditional(
+    left, lvars: set[str], right, rvars: set[str], cond_filters,
+    out_dir: str, *, num_buckets: int = 16,
+):
+    """OpLeftJoin WITH an expression — LeftJoin(L, R, expr), the reference's
+    conditional left join (OpLeftJoin.java; FILTER inside OPTIONAL is part
+    of the join condition, not a post-filter): a left row pairs with a
+    right row only where expr holds over the MERGED binding; left rows with
+    no surviving pair emerge once, null-padded. Also covers the
+    no-shared-variable shape (cross left join). Left rows carry a unique
+    tag so bag multiplicity survives the matched/unmatched split; every
+    step is a bucketed Dataset join — nothing materializes on the driver."""
+    shared = sorted(lvars & rvars)
+    lt = _tag_unique(left)
+    ltvars = lvars | {"__lid"}
+    if shared:
+        j = binding_join(lt, ltvars, right, rvars, shared,
+                         num_buckets=num_buckets)
+    else:
+        j = _cross_join(lt, ltvars, right, rvars)
+    if cond_filters:
+        j = _apply_filters(j, lvars | rvars, cond_filters, out_dir)
+    # unmatched left rows: anti probe on the tag, then null-pad right vars
+    unmatched = _semi_anti_join(
+        lt, ltvars, j, ["__lid"], keep_matched=False,
+        num_buckets=num_buckets,
+    )
+    pad_cols = sorted(set(rvars) - set(lvars))
+    all_cols = sorted(lvars | rvars)
+
+    def pad(tb: pa.Table, _p=tuple(pad_cols), _a=tuple(all_cols)) -> pa.Table:
+        for c in _p:
+            tb = tb.append_column(c, pa.nulls(tb.num_rows, type=ID_TYPE))
+        return tb.select(list(_a))
+
+    def strip(tb: pa.Table, _a=tuple(all_cols)) -> pa.Table:
+        return tb.select(list(_a))
+
+    return j.map_batches(strip, batch_format="pyarrow").union(
+        unmatched.map_batches(pad, batch_format="pyarrow")
+    )
+
+
+def _left_tree_ids(
+    out_dir: str,
+    patterns: list[Pattern],
+    blocks: list,
+    info: dict,
+    *,
+    num_partitions: int,
+    stats,
+):
+    """Recursive left-join tree in id space. ``blocks`` entries are
+    ``(patterns, filters, subblocks)`` — one per OPTIONAL, nested to any
+    depth (OPTIONAL { P OPTIONAL { Q } FILTER(e) } is
+    LeftJoin(·, LeftJoin(P, Q), e) per the algebra — the block's OWN
+    filters are the join CONDITION of the join that attaches it, NOT a
+    post-filter of the block). Returns (Dataset | None-for-unit, bound
+    vars, maybe-null vars). A join whose key may be null (bound only by a
+    deeper OPTIONAL — SPARQL compatibility lets unbound match anything, a
+    hash join does not) is rejected loudly."""
+    res, res_vars = _execute_bgp_ids(
+        out_dir, patterns, info, num_partitions=num_partitions, stats=stats
+    )
+    if res is None:
+        import ray.data as rd
+
+        # the unit table: one solution binding nothing; the carrier
+        # column is never selected by any downstream stage
+        res = rd.from_arrow(pa.table({"__unit": pa.array([0])}))
+        res_vars = set()
+    maybe_null: set[str] = set()
+    for opt_pats, opt_filters, opt_sub in blocks:
+        if not opt_pats and not opt_sub:
+            # OPTIONAL { } — LeftJoin with the unit table: every left row
+            # matches the unit solution; a no-op
+            if opt_filters:
+                raise ValueError(
+                    "OPTIONAL { FILTER } without patterns is unsupported"
+                )
+            continue
+        opt, opt_vars, opt_null = _left_tree_ids(
+            out_dir, opt_pats, opt_sub, info,
+            num_partitions=num_partitions, stats=stats,
+        )
+        shared = sorted(res_vars & opt_vars)
+        left_nullable = [v for v in shared if v in maybe_null]
+        right_nullable = [v for v in shared if v in opt_null]
+        if right_nullable:
+            raise ValueError(
+                f"OPTIONAL joins on variables possibly unbound on the "
+                f"BLOCK side (compatibility semantics over null block "
+                f"keys is unsupported): {right_nullable}"
+            )
+        if len(left_nullable) > 3:
+            raise ValueError(
+                f"too many possibly-unbound join keys (2^k branch union): "
+                f"{left_nullable}"
+            )
+        bf = list(opt_filters or [])
+        # condition filters referencing only never-null block vars are
+        # equivalent pre-filters on the block side (cheaper: filter before
+        # the join, plain left_outer after)
+        solid = opt_vars - opt_null
+        pre = [f for f in bf if _filter_vars(f) <= solid]
+        cond = [f for f in bf if not _filter_vars(f) <= solid]
+        for f in cond:
+            missing = _filter_vars(f) - (res_vars | opt_vars)
+            if missing:
+                raise ValueError(
+                    f"OPTIONAL filter references unbound vars "
+                    f"{sorted(missing)}"
+                )
+        if pre:
+            opt = _apply_filters(opt, opt_vars, pre, out_dir)
+        if left_nullable:
+            # SPARQL compatibility over possibly-unbound LEFT keys: an
+            # unbound var matches anything and adopts the block's binding
+            # (SPARQL 1.1 §18.3 compatible mappings; ARQ's
+            # QueryIterLeftJoin evaluates per-row). Hash joins can't match
+            # null keys, so split the left by the null-mask of the
+            # nullable keys — 2^k branches, each a plain join on its
+            # non-null key subset with the null columns dropped (the
+            # block side supplies them in the merge) — and union.
+            import itertools
+
+            import pyarrow.compute as pc
+
+            branches = []
+            for mask in itertools.product(
+                (False, True), repeat=len(left_nullable)
+            ):
+                null_set = {
+                    v for v, isn in zip(left_nullable, mask) if isn
+                }
+
+                def split(
+                    tb: pa.Table,
+                    _ns=tuple(sorted(null_set)),
+                    _nn=tuple(v for v in left_nullable if v not in null_set),
+                ) -> pa.Table:
+                    m = None
+                    for v in _ns:
+                        mm = pc.is_null(tb.column(v))
+                        m = mm if m is None else pc.and_(m, mm)
+                    for v in _nn:
+                        mm = pc.is_valid(tb.column(v))
+                        m = mm if m is None else pc.and_(m, mm)
+                    tb = tb.filter(m)
+                    return tb.drop_columns(list(_ns))
+
+                lm = res.map_batches(split, batch_format="pyarrow")
+                lv = res_vars - null_set
+                sh = sorted(lv & opt_vars)
+                if cond or not sh:
+                    bres = left_join_conditional(
+                        lm, lv, opt, opt_vars, cond, out_dir,
+                        num_buckets=num_partitions,
+                    )
+                else:
+                    bres = binding_join(
+                        lm, lv, opt, opt_vars, sh,
+                        how="left_outer", num_buckets=num_partitions,
+                    )
+                branches.append(bres)
+            res = branches[0].union(*branches[1:])
+        elif cond or not shared:
+            res = left_join_conditional(
+                res, res_vars, opt, opt_vars, cond, out_dir,
+                num_buckets=num_partitions,
+            )
+        else:
+            res = binding_join(
+                res, res_vars, opt, opt_vars, shared,
+                how="left_outer", num_buckets=num_partitions,
+            )
+        maybe_null |= opt_vars - res_vars
+        res_vars = res_vars | opt_vars
+    return res, res_vars, maybe_null
+
+
+def bgp_optionals(
+    out_dir: str,
+    patterns: list[Pattern],
+    blocks: list,
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+    filters: list[tuple] | None = None,
+):
+    """A required BGP followed by OPTIONAL blocks — chained OpLeftJoins
+    (AlgebraGenerator folds each OPTIONAL into LeftJoin(left-so-far,
+    block, exprs)). ``blocks`` entries are ``(patterns, filters,
+    subblocks)``; see :func:`_left_tree_ids` for the nesting and
+    join-condition semantics."""
+    info = read_layout(out_dir)
+    res, res_vars, _ = _left_tree_ids(
+        out_dir, patterns, blocks, info,
+        num_partitions=num_partitions, stats=stats,
+    )
+    if filters:
+        # group filter scope: after all left joins, optional vars null
+        # where unmatched (!bound(?x) expresses negation)
+        res = _apply_filters(res, res_vars, filters, out_dir)
+    return _project_resolve(res, res_vars, select, out_dir, distinct=distinct)
 
 
 def bgp_optional(
@@ -1588,29 +1909,11 @@ def bgp_optional(
     """OPTIONAL — OpLeftJoin over two BGPs (QueryIterHashLeftJoin_Left
     semantics, engine/join/): the required BGP's bindings survive whether or
     not the optional BGP matches; optional-only variables are null where it
-    does not. Both sides run as id-space BGPs; the left-outer join is
-    hash-partitioned on the shared variables (8-byte keys); null ids resolve
-    to null terms (index_in propagates nulls)."""
-    info = read_layout(out_dir)
-    req, req_vars = _execute_bgp_ids(
-        out_dir, patterns, info, num_partitions=num_partitions, stats=stats
-    )
-    opt, opt_vars = _execute_bgp_ids(
-        out_dir, optional, info, num_partitions=num_partitions, stats=stats
-    )
-    shared = sorted(req_vars & opt_vars)
-    if not shared:
-        raise ValueError("OPTIONAL must share at least one variable")
-    res = binding_join(
-        req, req_vars, opt, opt_vars, shared,
-        how="left_outer", num_buckets=num_partitions,
-    )
-    if filters:
-        # post-join filter scope: sees optional vars as null where unmatched
-        # (the FILTER-outside-OPTIONAL shape; !bound(?x) expresses negation)
-        res = _apply_filters(res, req_vars | opt_vars, filters, out_dir)
-    return _project_resolve(
-        res, req_vars | opt_vars, select, out_dir, distinct=distinct
+    does not. Single plain-block shorthand for :func:`bgp_optionals`."""
+    return bgp_optionals(
+        out_dir, patterns, [(optional, None, [])], select,
+        num_partitions=num_partitions, distinct=distinct, stats=stats,
+        filters=filters,
     )
 
 

@@ -171,3 +171,38 @@ def parse_srx(text: str) -> dict:
                 row[name] = fmt_literal(val, lang=lang, datatype=dt)
         rows.append(row)
     return {"vars": vars_, "rows": rows}
+
+
+# ------------------------------------------------------------- SRJ reader
+
+
+def _srj_term(b: dict) -> str:
+    from jena_ray.term import fmt_iri, fmt_literal
+
+    t = b["type"]
+    if t == "uri":
+        return fmt_iri(b["value"])
+    if t == "bnode":
+        return "_:" + b["value"]
+    if t == "triple":
+        v = b["value"]
+        return (f"<<{_srj_term(v['subject'])} {_srj_term(v['predicate'])} "
+                f"{_srj_term(v['object'])}>>")
+    # "literal" / legacy "typed-literal"
+    return fmt_literal(
+        b["value"], lang=b.get("xml:lang"), datatype=b.get("datatype")
+    )
+
+
+def parse_srj(text: str) -> dict:
+    """Read the SPARQL Query Results JSON Format
+    (resultset/rw/ResultSetReaderJSON — the ARQ suites' other
+    expected-result format). Same output shape as :func:`parse_srx`."""
+    doc = json.loads(text)
+    if "boolean" in doc:
+        return {"boolean": bool(doc["boolean"])}
+    rows = [
+        {var: _srj_term(term) for var, term in binding.items()}
+        for binding in doc.get("results", {}).get("bindings", [])
+    ]
+    return {"vars": doc.get("head", {}).get("vars", []), "rows": rows}

@@ -191,6 +191,9 @@ class Query:
     describe: list[str] = field(default_factory=list)  # terms and/or '?v'
     select: list[str] = field(default_factory=list)  # plain vars (no '?')
     aggs: list[Agg] = field(default_factory=list)
+    # (expr AS ?alias) select expressions (SPARQL 1.1 SelectClause exprs /
+    # ARQ bare exprs auto-named ".N"); lowered to BINDs after WHERE parses
+    select_exprs: list[tuple] = field(default_factory=list)
     star: bool = False
     distinct: bool = False
     reduced: bool = False
@@ -232,6 +235,12 @@ class Parser:
         self._bgp_epoch = 0
         self._bgp_counter = 0
         self._bnode_epoch: dict[str, int] = {}
+        # aggregate calls inside a SELECT expression (SUM(?x)/COUNT(?x)):
+        # each is hoisted to an internal-alias Agg and the expression
+        # references the alias (ARQ's AggregatorFactory allocation inside
+        # ExprTransformExpandAggregates). Non-None only while parsing a
+        # select expression.
+        self._pending_aggs: list[Agg] | None = None
 
     def _fresh_bgp_scope(self) -> None:
         self._bgp_counter += 1
@@ -495,23 +504,95 @@ class Parser:
             self.next()
             q.star = True
         else:
+            anon = 0  # ARQ-style ".N" allocation for anonymous exprs
             while True:
                 t = self.peek()
                 if t.kind == "VAR":
                     self.next()
                     q.select.append(t.text[1:])
                 elif t.kind == "OP" and t.text == "(":
+                    save = self.i
                     self.next()
-                    q.aggs.append(self._parse_agg())
+                    try:
+                        q.aggs.append(self._parse_agg())
+                        continue
+                    except SparqlSyntaxError:
+                        self.i = save
+                    # SelectClause expression: (expr [AS ?alias]); a bare
+                    # (expr) is the ARQ form, auto-named ".N" (ARQ's
+                    # internal-variable allocator)
+                    self.next()
+                    expr = self._parse_bind_expr()
+                    alias = None
+                    if self.take_kw("AS"):
+                        a = self.next()
+                        if a.kind != "VAR":
+                            raise SparqlSyntaxError("AS needs a variable")
+                        alias = a.text[1:]
+                    self.expect_op(")")
+                    if alias is None:
+                        alias = f".{anon}"
+                        anon += 1
+                    q.select_exprs.append((expr, alias))
+                elif (t.kind == "NAME" and t.text.upper() in _AGG_FUNCS
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).text == "("):
+                    # bare aggregate (ARQ): SELECT count(*) — the agg
+                    # binds an internal var, the select expr referencing
+                    # it gets the NEXT ".N" slot (matches ARQ's .1)
+                    func, var, distinct, sep = self._parse_agg_core()
+                    q.aggs.append(Agg(func, var, distinct, f".{anon + 1}",
+                                      sep))
+                    anon += 2
+                elif t.kind == "NAME" and (
+                    t.text.upper() in self._BIND_FNS
+                    or t.text.upper() in ("IF", "COALESCE")
+                ):
+                    # bare function expression (ARQ): SELECT str(?v)
+                    expr = self._parse_bind_expr()
+                    q.select_exprs.append((expr, f".{anon}"))
+                    anon += 1
                 else:
                     break
-            if not q.select and not q.aggs:
+            if not q.select and not q.aggs and not q.select_exprs:
                 raise SparqlSyntaxError("empty SELECT list")
         self._parse_dataset_clause(q)
         self.take_kw("WHERE")
         q.where = self._parse_group()
         self._parse_modifiers(q)
+        self._lower_select_exprs(q)
         return q
+
+    def _lower_select_exprs(self, q: Query) -> None:
+        """Lower (expr AS ?alias) select expressions to BINDs over the
+        WHERE solutions (AlgebraGenerator lowers them to OpExtend the same
+        way); with aggregates/GROUP BY the extend would run post-group,
+        which the subset does not execute yet."""
+        if not q.select_exprs:
+            return
+        if q.aggs or q.group_by:
+            raise SparqlSyntaxError(
+                "select expressions with GROUP BY/aggregates are not in "
+                "the supported subset"
+            )
+        for expr, alias in q.select_exprs:
+            q.where.binds.append((expr, alias))
+            q.select.append(alias)
+        q.select_exprs = []
+
+    def _finish_sub(self, sub: Query) -> Query:
+        """Post-parse a subquery: SELECT * projects every visible variable
+        of its own WHERE (Query.setResultVars over the pattern vars)."""
+        if sub.star:
+            sub.select = sorted(
+                v for v in _scope_vars(sub.where) if not v.startswith("__")
+            )
+            sub.star = False
+            if not sub.select:
+                raise SparqlSyntaxError(
+                    "subquery SELECT * projects no variables"
+                )
+        return sub
 
     def _parse_dataset_clause(self, q: Query) -> None:
         """FROM <iri> / FROM NAMED <iri> (DatasetClause): collect document
@@ -522,7 +603,9 @@ class Parser:
             iri = self._iri(self.next())
             (q.from_named if named else q.from_graphs).append(iri[1:-1])
 
-    def _parse_agg(self) -> Agg:
+    def _parse_agg_core(self) -> tuple:
+        """``AGG(... )`` through its own closing paren; returns
+        (func, var, distinct, sep) without the ``AS ?alias`` wrapper."""
         t = self.next()
         if t.kind != "NAME" or t.text.upper() not in _AGG_FUNCS:
             raise SparqlSyntaxError(f"expected aggregate at {t.text!r}")
@@ -552,12 +635,16 @@ class Parser:
                 raise SparqlSyntaxError("SEPARATOR needs a string")
             sep = unescape_string(s.text[1:-1])
         self.expect_op(")")
+        return (func.lower(), var, distinct, sep)
+
+    def _parse_agg(self) -> Agg:
+        func, var, distinct, sep = self._parse_agg_core()
         self.expect_kw("AS")
         a = self.next()
         if a.kind != "VAR":
             raise SparqlSyntaxError("AS needs a variable alias")
         self.expect_op(")")
-        return Agg(func.lower(), var, distinct, a.text[1:], sep)
+        return Agg(func, var, distinct, a.text[1:], sep)
 
     def _parse_ask(self) -> Query:
         self.expect_kw("ASK")
@@ -599,7 +686,10 @@ class Parser:
         self.expect_op("}")
         if g.patterns or g.paths:
             raise SparqlSyntaxError("internal: template captured as patterns")
-        self.expect_kw("WHERE")
+        # WHERE is optional before the group (Query.rq grammar:
+        # ConstructQuery takes DatasetClause* WhereClause, and WhereClause
+        # makes the keyword itself optional)
+        self.take_kw("WHERE")
         q = Query(form="construct", template=template)
         q.where = self._parse_group()
         self._parse_modifiers(q)
@@ -703,6 +793,20 @@ class Parser:
                 # epoch around it (EXISTS groups bump it internally)
                 epoch = self._bgp_epoch
                 nxt = self.peek()
+                # FILTER (NOT) EXISTS {…} — bare or once-parenthesized
+                # (E_Exists/E_NotExists as the whole FILTER expression;
+                # EXISTS inside a larger boolean expression is out of
+                # subset and falls through to the expression parser)
+                paren = 0
+                if (nxt.kind == "OP" and nxt.text == "("
+                        and self.peek(1).kind == "NAME"
+                        and (self.peek(1).text.upper() == "EXISTS"
+                             or (self.peek(1).text.upper() == "NOT"
+                                 and self.peek(2).kind == "NAME"
+                                 and self.peek(2).text.upper() == "EXISTS"))):
+                    paren = 1
+                    self.next()
+                    nxt = self.peek()
                 if nxt.kind == "NAME" and (
                     nxt.text.upper() == "EXISTS"
                     or (nxt.text.upper() == "NOT"
@@ -712,6 +816,8 @@ class Parser:
                     neg = self.take_kw("NOT")
                     self.expect_kw("EXISTS")
                     g.exists.append((self._parse_group(), neg))
+                    if paren:
+                        self.expect_op(")")
                 else:
                     g.filters.extend(self._parse_filter())
                 self._bgp_epoch = epoch
@@ -728,6 +834,41 @@ class Parser:
                     raise SparqlSyntaxError("BIND needs AS ?var")
                 self.expect_op(")")
                 g.binds.append((expr, v.text[1:]))
+            elif self.take_kw("LET"):
+                # ARQ extension LET(?v := expr) (ElementAssign,
+                # lang/arq/arq.jj) — same lowering as BIND in this subset
+                self.expect_op("(")
+                v = self.next()
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError("LET needs a ?var")
+                t = self.peek()
+                if t.kind == "PNAME" and t.text == ":":
+                    self.next()  # ':=' tokenizes as PNAME ':' + OP '='
+                    self.expect_op("=")
+                else:
+                    raise SparqlSyntaxError("LET needs ':='")
+                expr = self._parse_bind_expr()
+                self.expect_op(")")
+                if any(bv == v.text[1:] for _, bv in g.binds):
+                    # ARQ LET re-assignment has compatibility semantics
+                    # (bind-if-unbound, else same-value check) — outside
+                    # the subset; fail loudly rather than overwrite
+                    raise SparqlSyntaxError(
+                        f"LET re-assigns {v.text!r} (ARQ compatibility "
+                        "semantics unsupported)"
+                    )
+                g.binds.append((expr, v.text[1:]))
+            elif (self.at_kw("EXISTS") and self.peek(1).kind == "OP"
+                    and self.peek(1).text == "{") or (
+                    self.at_kw("NOT") and self.peek(1).kind == "NAME"
+                    and self.peek(1).text.upper() == "EXISTS"):
+                # ARQ extension: bare EXISTS{}/NOT EXISTS{} group elements
+                # (ElementExists/ElementNotExists) — FILTER (NOT) EXISTS
+                neg = self.take_kw("NOT")
+                self.expect_kw("EXISTS")
+                epoch = self._bgp_epoch
+                g.exists.append((self._parse_group(), neg))
+                self._bgp_epoch = epoch
             elif self.take_kw("OPTIONAL"):
                 g.optionals.append(self._parse_group())
             elif self.take_kw("MINUS"):
@@ -768,17 +909,23 @@ class Parser:
                 g.filters.extend(inner.filters)
             elif self.take_kw("VALUES"):
                 g.values = (g.values or []) + self._parse_values()
+            elif (self.peek().kind == "NAME"
+                    and self.peek().text.upper() == "SELECT"):
+                # ARQ extension: a bare sub-SELECT group element without
+                # the wrapping braces (arq.jj ElementSubQuery branch)
+                g.subqueries.append(self._finish_sub(self._parse_select()))
+                self._fresh_bgp_scope()
+                last_was_triples = False
+                if self.at_op("."):
+                    self.next()
+                continue
             elif self.at_op("{"):
                 nxt = self.peek(1)
                 if nxt.kind == "NAME" and nxt.text.upper() == "SELECT":
                     # ElementSubQuery: { SELECT ... } — a nested query whose
                     # solution table joins the enclosing group
                     self.next()
-                    sub = self._parse_select()
-                    if sub.star:
-                        raise SparqlSyntaxError(
-                            "subqueries must project explicit variables"
-                        )
+                    sub = self._finish_sub(self._parse_select())
                     self.expect_op("}")
                     g.subqueries.append(sub)
                     self._fresh_bgp_scope()
@@ -821,13 +968,55 @@ class Parser:
             if self.at_op("."):
                 self.next()
         self.expect_op("}")
+        self._rescope_optional_filters(g)
         return g
 
     @staticmethod
+    def _rescope_optional_filters(g: Group) -> None:
+        """Pin the visibility of each direct OPTIONAL block's filters at
+        the close of THIS group: the LeftJoin condition sees this group's
+        scope (left side) plus the block's own vars — never an enclosing
+        group's (DAWG algebra filter-scope-1: the merge into the parent
+        must not widen visibility). An out-of-scope reference is a type
+        error on every solution — constant false, or constant true for
+        !bound. Deeper OPTIONALs were pinned when their own group closed."""
+        from jena_ray.pipelines.bgp import _filter_vars
+
+        scope = None
+        for o in g.optionals:
+            if not o.filters:
+                continue
+            if scope is None:
+                scope = _scope_vars(g)
+            o.filters = [
+                f for f in o.filters
+                if not (f[0] == "!bound" and not _filter_vars(f) <= scope)
+            ]
+            o.filters = [
+                f if _filter_vars(f) <= scope else ("never",)
+                for f in o.filters
+            ]
+
+    @staticmethod
     def _merge(g: Group, h: Group) -> None:
+        # FILTER scope: a filter sees only variables in scope of its OWN
+        # group (SPARQL 1.1 §18.2.1; ARQ simplifies {{…}} only AFTER
+        # scoping — DAWG optional-filter-005-not-simplified). A merged
+        # subgroup's filter referencing out-of-scope vars is a type error
+        # on every solution: constant false (("never",)), or constant
+        # true for !bound (dropped).
+        from jena_ray.pipelines.bgp import _filter_vars
+
+        scope = _scope_vars(h)
+        for f in h.filters:
+            if _filter_vars(f) <= scope:
+                g.filters.append(f)
+            elif f[0] == "!bound":
+                continue
+            else:
+                g.filters.append(("never",))
         g.patterns.extend(h.patterns)
         g.paths.extend(h.paths)
-        g.filters.extend(h.filters)
         g.optionals.extend(h.optionals)
         g.minuses.extend(h.minuses)
         g.exists.extend(h.exists)
@@ -1363,9 +1552,22 @@ class Parser:
         a float constant, a '?var' / term string, or a nested tuple AST
         ('+'|'-'|'*'|'/', a, b) / ('neg', a) for the cmp value filter."""
         e = self._parse_mul_expr()
-        while self.at_op("+") or self.at_op("-"):
-            op = self.next().text
-            r = self._parse_mul_expr()
+        while True:
+            if self.at_op("+") or self.at_op("-"):
+                op = self.next().text
+                r = self._parse_mul_expr()
+            elif (self.peek().kind == "NUMBER"
+                    and self.peek().text[0] in "+-"):
+                # '?v+9' tokenizes the sign INTO the number — the
+                # grammar's NumericLiteralPositive/Negative additive
+                # branch; the literal may itself start a mul chain
+                t = self.next()
+                op, r = t.text[0], float(t.text[1:])
+                while self.at_op("*") or self.at_op("/"):
+                    op2 = self.next().text
+                    r = self._fold_arith(op2, r, self._parse_unary_expr())
+            else:
+                break
             e = self._fold_arith(op, e, r)
         return e
 
@@ -1460,9 +1662,22 @@ class Parser:
 
     def _parse_bind_add(self) -> tuple:
         e = self._parse_bind_mul()
-        while self.at_op("+") or self.at_op("-"):
-            op = self.next().text
-            e = ("arith", op, e, self._parse_bind_mul())
+        while True:
+            if self.at_op("+") or self.at_op("-"):
+                op = self.next().text
+                e = ("arith", op, e, self._parse_bind_mul())
+            elif (self.peek().kind == "NUMBER"
+                    and self.peek().text[0] in "+-"):
+                # signed numeric literal as additive op+operand (the
+                # grammar's NumericLiteralPositive/Negative branch)
+                t = self.next()
+                r: tuple = ("numconst", float(t.text[1:]))
+                while self.at_op("*") or self.at_op("/"):
+                    op2 = self.next().text
+                    r = ("arith", op2, r, self._parse_bind_unary())
+                e = ("arith", t.text[0], e, r)
+            else:
+                break
         return e
 
     def _parse_bind_mul(self) -> tuple:
@@ -1497,6 +1712,10 @@ class Parser:
         if t.kind == "NUMBER":
             self.next()
             return ("numconst", float(t.text))
+        if t.kind == "NAME" and t.text.lower() in ("true", "false"):
+            self.next()
+            return ("termconst",
+                    fmt_literal(t.text.lower(), datatype=XSD + "boolean"))
         if t.kind == "NAME" and t.text.upper() == "IF":
             # E_Conditional: IF(cond, then, else). The condition reuses the
             # FILTER expression grammar/kernels; an erroring condition row
@@ -1623,6 +1842,19 @@ def _sub_vars(sub: "Query") -> list[str]:
     """Variables a subquery projects into the enclosing group (explicit
     projection + aggregate aliases)."""
     return list(sub.select) + [a.alias for a in sub.aggs]
+
+
+def _scope_vars(g: Group) -> set[str]:
+    """All variables in scope of a group for FILTER visibility (SPARQL 1.1
+    §18.2.1): the group's own binders plus OPTIONAL blocks, UNION branches,
+    and BIND aliases — but NOT the enclosing group's variables."""
+    out = _group_vars(g)
+    for o in g.optionals:
+        out |= _scope_vars(o)
+    for b in g.union or []:
+        out |= _scope_vars(b)
+    out |= {v for _, v in g.binds}
+    return out
 
 
 def _execute_star_where(out_dir: str, q: Query, select: list[str], *,
@@ -1841,10 +2073,13 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
             )
         ex = []
         for eg, neg in g.exists:
-            if (eg.filters or eg.optionals or eg.minuses or eg.union
-                    or eg.values or eg.paths or eg.graph or eg.exists):
-                raise SparqlSyntaxError("EXISTS block must be a plain BGP")
-            ex.append((eg.patterns, neg))
+            if (eg.optionals or eg.minuses or eg.union or eg.values
+                    or eg.paths or eg.graph or eg.exists or eg.binds
+                    or eg.subqueries or eg.star):
+                raise SparqlSyntaxError(
+                    "EXISTS block must be a BGP (+ FILTER)"
+                )
+            ex.append((eg.patterns, eg.filters or None, neg))
         return bgp.bgp_exists(out_dir, g.patterns, ex, select,
                               filters=g.filters or None, stats=stats, **kw)
 
@@ -1877,13 +2112,23 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
                              filters=g.filters or None, stats=stats, **kw)
 
     if g.optionals:
-        if len(g.optionals) != 1 or g.values:
-            raise SparqlSyntaxError("exactly one OPTIONAL block is supported")
-        o = g.optionals[0]
-        if o.filters or o.optionals or o.minuses or o.union or o.paths:
-            raise SparqlSyntaxError("OPTIONAL block must be a plain BGP")
-        return bgp.bgp_optional(out_dir, g.patterns, o.patterns, select,
-                                filters=g.filters or None, stats=stats, **kw)
+        if g.values:
+            raise SparqlSyntaxError("VALUES with OPTIONAL is unsupported")
+
+        def opt_block(o: Group) -> tuple:
+            if (o.minuses or o.union or o.paths or o.binds or o.values
+                    or o.exists or o.subqueries or o.star or o.graph):
+                raise SparqlSyntaxError(
+                    "OPTIONAL block must be patterns + FILTER (+ nested "
+                    "OPTIONAL)"
+                )
+            return (o.patterns, o.filters or None,
+                    [opt_block(s) for s in o.optionals])
+
+        blocks = [opt_block(o) for o in g.optionals]
+        return bgp.bgp_optionals(out_dir, g.patterns, blocks, select,
+                                 filters=g.filters or None, stats=stats,
+                                 **kw)
 
     return bgp.bgp_execute(out_dir, g.patterns, select,
                            filters=g.filters or None, values=g.values,
@@ -2014,6 +2259,14 @@ def _term_number(col):
 
 # ------------------------------------------------------------- BIND exprs
 
+def _group_is_empty(g: Group) -> bool:
+    """True when the group pattern carries no solution-producing element
+    (binds/filters aside) — the algebra unit table."""
+    return not (g.patterns or g.paths or g.optionals or g.minuses
+                or g.exists or g.union or g.values or g.graph
+                or g.subqueries or g.star)
+
+
 def _bind_vars(expr: tuple) -> set[str]:
     k = expr[0]
     if k == "var":
@@ -2124,6 +2377,10 @@ def _eval_bind_num(tb: pa.Table, expr: tuple):
     k = expr[0]
     if k == "numconst":
         return pa.array([expr[1]] * tb.num_rows, type=pa.float64())
+    if k == "var":
+        # straight from the column: native numeric columns (aggregate
+        # aliases) pass through _num_value without a lossy string hop
+        return _num_value(tb.column(expr[1]))
     if k == "neg":
         return pc.negate(_eval_bind_num(tb, expr[1]))
     if k == "arith":
@@ -2187,15 +2444,9 @@ def _eval_bind(tb: pa.Table, expr: tuple):
         n = pc.cast(pc.utf8_length(raw), pa.string())
         return pc.binary_join_element_wise('"', n, f'"^^<{XSD}integer>', "")
     if k == "lang":
-        a = expr[1][0]
-        if a[0] != "var":
-            raise SparqlSyntaxError("LANG takes a variable")
-        return _mk_plain(_lang_value(tb.column(a[1])))
+        return _mk_plain(_lang_value(_eval_bind(tb, expr[1][0])))
     if k == "datatype":
-        a = expr[1][0]
-        if a[0] != "var":
-            raise SparqlSyntaxError("DATATYPE takes a variable")
-        return _datatype_term(tb.column(a[1]))
+        return _datatype_term(_eval_bind(tb, expr[1][0]))
     if k in ("subject", "predicate", "object"):
         # E_TripleSubject/Predicate/Object: component of a quoted-triple
         # term; non-triple rows are an eval error → unbound (null). The
@@ -2279,6 +2530,9 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         g = df.groupby(keys, sort=False, dropna=False)
+        if not aggs:
+            # GROUP BY with no aggregates: one row per distinct key tuple
+            return g.size().reset_index()[keys]
         out: dict[str, object] = {}
         for a in aggs:
             if a.func == "count":
@@ -2858,7 +3112,13 @@ def sparql_query(
 
         res = res.map_batches(proj, batch_format="pyarrow")
     else:
-        sel = sorted(wvars | set(bind_names)) if q.star else q.select
+        if q.star:
+            # SELECT * — every user variable; "__"-prefixed names are
+            # engine-internal (path sequence hops) and never projected
+            sel = sorted(v for v in wvars | set(bind_names)
+                         if not v.startswith("__"))
+        else:
+            sel = q.select
         missing = [v for v in sel if v not in wvars and v not in bind_names]
         if missing:
             raise SparqlSyntaxError(f"SELECT vars not bound in WHERE: {missing}")
@@ -2866,19 +3126,65 @@ def sparql_query(
             # run the pattern part for (selected pattern vars + expr inputs),
             # compute the BIND columns post-resolve, project, then dedup
             pattern_sel = [v for v in sel if v not in bind_names]
-            expr_in = sorted(
-                {vv for e, _ in binds for vv in _bind_vars(e)} - set(pattern_sel)
+            # BINDs evaluate in order (chained OpExtend): an input may be a
+            # PRIOR bind's output — only pattern-variable inputs need to
+            # come out of the WHERE execution
+            seen: set[str] = set()
+            for e, v in binds:
+                bad = [vv for vv in _bind_vars(e)
+                       if vv not in wvars and vv not in seen]
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"BIND expression vars not bound: {bad}")
+                seen.add(v)
+            # group FILTERs referencing a BIND output evaluate AFTER the
+            # extends (OpFilter over OpExtend — ARQ keeps the filter above
+            # the assignment in the algebra); push the rest into the BGP
+            from jena_ray.pipelines.bgp import (
+                _filter_vars as _fvars,
+                _value_filter_mask,
             )
-            bad = [v for v in expr_in if v not in wvars]
-            if bad:
-                raise SparqlSyntaxError(f"BIND expression vars not bound: {bad}")
-            res = _execute_where(out_dir, q, pattern_sel + expr_in,
-                                 distinct=False, num_partitions=num_partitions,
-                                 pf_context=pf_context, stats=stats)
 
-            def apply_binds(tb: pa.Table, _b=tuple(binds), _s=tuple(sel)) -> pa.Table:
+            post_f = [f for f in q.where.filters
+                      if _fvars(f) & set(bind_names)]
+            push_f = [f for f in q.where.filters if f not in post_f]
+            # pattern vars a post-bind filter needs beyond the selection
+            f_extra = sorted(
+                {vv for f in post_f for vv in _fvars(f)}
+                & wvars - set(pattern_sel) - set(bind_names)
+            )
+            expr_in = sorted(
+                ({vv for e, _ in binds for vv in _bind_vars(e)}
+                 | set(f_extra))
+                - set(pattern_sel) - set(bind_names)
+            )
+            if not pattern_sel and not expr_in and _group_is_empty(q.where):
+                # SELECT (expr AS ?v) {} — the empty group pattern is the
+                # unit table: ONE solution binding nothing (Jena's
+                # OpTable.unit()); BINDs extend it. The carrier column is
+                # dropped by apply_binds' projection.
+                import ray.data as rd
+
+                res = rd.from_arrow(
+                    pa.table({"__unit": pa.array([0], type=pa.int64())})
+                )
+            else:
+                saved_f = q.where.filters
+                q.where.filters = push_f
+                try:
+                    res = _execute_where(out_dir, q, pattern_sel + expr_in,
+                                         distinct=False,
+                                         num_partitions=num_partitions,
+                                         pf_context=pf_context, stats=stats)
+                finally:
+                    q.where.filters = saved_f
+
+            def apply_binds(tb: pa.Table, _b=tuple(binds), _s=tuple(sel),
+                            _pf=tuple(post_f)) -> pa.Table:
                 for expr, v in _b:
                     tb = tb.append_column(v, _eval_bind(tb, expr))
+                for f in _pf:
+                    tb = tb.filter(_value_filter_mask(tb, f, lambda v: v))
                 return tb.select(list(_s))
 
             res = res.map_batches(apply_binds, batch_format="pyarrow")

@@ -525,10 +525,19 @@ def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
             return add_bucket(t, [_c], nb)
 
         def resolve(g, _c=idc, _n=name):
+            import pyarrow as pa
+
             b = g.column("_bucket")[0].as_py()
-            tt = pq.read_table(
-                os.path.join(terms_root, f"bucket={b}"), columns=["id", "term"]
-            )
+            bpath = os.path.join(terms_root, f"bucket={b}")
+            if not os.path.isdir(bpath):
+                # hash-partitioned writes skip empty buckets; a bucket with
+                # no terms can still receive all-null id rows (unmatched
+                # OPTIONAL bindings) — they resolve to null terms
+                out = g.drop_columns(["_bucket", _c])
+                return out.append_column(
+                    _n, pa.nulls(g.num_rows, type=pa.string())
+                )
+            tt = pq.read_table(bpath, columns=["id", "term"])
             idx = pc.index_in(g.column(_c), value_set=tt.column("id"))
             out = g.drop_columns(["_bucket", _c])
             return out.append_column(_n, pc.take(tt.column("term"), idx))

@@ -135,10 +135,17 @@ def test_filter_var_var_and_unbound_raises(algebra_index):
         filters=[("!=", "?a", "?b")],
     )
     assert _ds_set(out) == {_subj(2), _subj(3)}
-    with pytest.raises(ValueError, match="unbound"):
-        bgp_execute(
-            algebra_index, [("?d", T, DOC)], ["d"], filters=[(">", "?zzz", 1)]
-        ).take_all()
+    # a filter over a never-bound var is a type error on every solution:
+    # statically FALSE (SPARQL 1.1 §17.2) — empty result, not an exception
+    out = bgp_execute(
+        algebra_index, [("?d", T, DOC)], ["d"], filters=[(">", "?zzz", 1)]
+    )
+    assert out.count() == 0
+    # …and !bound() of a never-bound var is TRUE on every solution
+    out = bgp_execute(
+        algebra_index, [("?d", T, DOC)], ["d"], filters=[("!bound", "?zzz")]
+    )
+    assert out.count() > 0
 
 
 def test_optional_bang_bound_negation(algebra_index):

@@ -741,15 +741,22 @@ def test_subquery_alone_with_modifiers(sparql_index):
     assert _col(res, "d") == [_subj(0), _subj(1)]
 
 
-def test_subquery_rejects(sparql_index):
-    for bad in (
-        PFX + "SELECT ?d WHERE { { SELECT * WHERE { ?d ex:mentions ?e } } }",
-        PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . "
-              "{ SELECT ?x WHERE { ?x ex:mentions ex:e1 } } }",
-    ):
-        with pytest.raises(SparqlSyntaxError):
-            res = sparql_query(sparql_index, bad, num_partitions=4)
-            res.to_pandas() if hasattr(res, "to_pandas") else None
+def test_subquery_select_star(sparql_index):
+    """Subquery SELECT * projects every visible variable of its own WHERE
+    (Query.setResultVars; the ARQ SubQuery suite exercises it)."""
+    q = PFX + "SELECT ?d WHERE { { SELECT * WHERE { ?d ex:mentions ?e } } }"
+    res = sparql_query(sparql_index, q, num_partitions=4)
+    assert len(_col(res, "d")) > 0
+
+
+def test_subquery_rejects_disconnected(sparql_index):
+    """A subquery sharing no variable with the enclosing group is a
+    cartesian product — rejected loudly, not silently computed."""
+    bad = (PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . "
+                 "{ SELECT ?x WHERE { ?x ex:mentions ex:e1 } } }")
+    with pytest.raises((SparqlSyntaxError, ValueError)):
+        res = sparql_query(sparql_index, bad, num_partitions=4)
+        res.to_pandas() if hasattr(res, "to_pandas") else None
 
 
 def test_path_alternation(sparql_index):
