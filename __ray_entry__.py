@@ -391,6 +391,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }} ORDER BY ?e ?d""",
         )
 
+    def sparql_select_expr(sf_dir):
+        """SELECT expressions over aggregates (OpExtend above OpGroup):
+        aggregate calls hoisted from the expression to internal aliases
+        (ARQ's ExprTransformExpandAggregates), evaluated per group — the
+        per-language charCount spread MAX-MIN. Integer-exact, so the
+        canonical xsd:integer term is reproducible in SQL."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                SELECT ?l (MAX(?c) - MIN(?c) AS ?spread)
+                WHERE {{ ?d rel:language ?l ; rel:charCount ?c }}
+                GROUP BY ?l ORDER BY ?l""",
+        )
+
     def sparql_group_chars(sf_dir):
         """SPARQL GROUP BY + COUNT/SUM aggregates from query text
         (OpGroup + AggCount/AggSum lowered onto the bucketed groupby)."""
@@ -516,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_not_exists_docs": sparql_not_exists_docs,
         "sparql_arith_if": sparql_arith_if,
         "sparql_subquery_max": sparql_subquery_max,
+        "sparql_select_expr": sparql_select_expr,
         "path_cooccur_closure": path_cooccur_closure,
         "quad_bgp_source": quad_bgp_source,
         "rdfs_materialize": rdfs_materialize,
@@ -1077,6 +1096,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sq_chars ch ON ch.d = m.d
             JOIN sq_mx ON sq_mx.e = m.e AND ch.c = sq_mx.mx
             ORDER BY e, d
+        """,
+        "sparql_select_expr": f"""
+            WITH {_TRIPLES_CTE},
+            se_chars AS (
+              SELECT a.obj AS l,
+                     CAST(regexp_extract(b.obj, '"([0-9]+)"', 1) AS BIGINT) AS c
+              FROM triples a
+              JOIN triples b ON b.subj = a.subj AND b.pred = '<{V.P_CHARS}>'
+              WHERE a.pred = '<{V.P_LANG}>'
+            )
+            SELECT l,
+                   '"' || CAST(MAX(c) - MIN(c) AS VARCHAR)
+                       || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                       AS spread
+            FROM se_chars GROUP BY l ORDER BY l
         """,
         # True word-3-gram Jaccard over ALL pairs — the engine must therefore
         # achieve LSH recall 1.0 at the threshold on the fixture (verified by

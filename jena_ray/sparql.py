@@ -505,6 +505,8 @@ class Parser:
             q.star = True
         else:
             anon = 0  # ARQ-style ".N" allocation for anonymous exprs
+            outer_pending = self._pending_aggs
+            self._pending_aggs = pending = []
             while True:
                 t = self.peek()
                 if t.kind == "VAR":
@@ -554,6 +556,8 @@ class Parser:
                     anon += 1
                 else:
                     break
+            self._pending_aggs = outer_pending
+            q.aggs.extend(pending)
             if not q.select and not q.aggs and not q.select_exprs:
                 raise SparqlSyntaxError("empty SELECT list")
         self._parse_dataset_clause(q)
@@ -566,15 +570,24 @@ class Parser:
     def _lower_select_exprs(self, q: Query) -> None:
         """Lower (expr AS ?alias) select expressions to BINDs over the
         WHERE solutions (AlgebraGenerator lowers them to OpExtend the same
-        way); with aggregates/GROUP BY the extend would run post-group,
-        which the subset does not execute yet."""
+        way). With aggregates/GROUP BY they stay on the query as
+        post-group extends — OpExtend ABOVE OpGroup — evaluated over the
+        group keys and (hoisted) aggregate aliases by the grouped branch
+        of sparql_query; referencing a non-grouped pattern variable there
+        is the same error ARQ raises at algebra build."""
         if not q.select_exprs:
             return
         if q.aggs or q.group_by:
-            raise SparqlSyntaxError(
-                "select expressions with GROUP BY/aggregates are not in "
-                "the supported subset"
-            )
+            known = set(q.group_by) | {a.alias for a in q.aggs}
+            for expr, alias in q.select_exprs:
+                bad = sorted(_bind_vars(expr) - known)
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"select expression uses non-grouped variables: "
+                        f"{bad}"
+                    )
+                known.add(alias)
+            return
         for expr, alias in q.select_exprs:
             q.where.binds.append((expr, alias))
             q.select.append(alias)
@@ -1703,6 +1716,17 @@ class Parser:
 
     def _parse_bind_atom(self) -> tuple:
         t = self.peek()
+        if (self._pending_aggs is not None and t.kind == "NAME"
+                and t.text.upper() in _AGG_FUNCS
+                and self.peek(1).kind == "OP" and self.peek(1).text == "("):
+            # aggregate call inside a SELECT expression — hoisted to an
+            # internal-alias Agg computed by the group stage; the
+            # expression references the alias (ARQ expands nested
+            # aggregates the same way before algebra generation)
+            func, var, distinct, sep = self._parse_agg_core()
+            alias = f"__agg{len(self._pending_aggs)}"
+            self._pending_aggs.append(Agg(func, var, distinct, alias, sep))
+            return ("var", alias)
         if t.kind == "VAR":
             self.next()
             return ("var", t.text[1:])
@@ -3105,7 +3129,22 @@ def sparql_query(
                 return tb
 
             res = res.map_batches(apply_having, batch_format="pyarrow")
-        out_cols = (q.select or q.group_by) + [a.alias for a in q.aggs]
+        if q.select_exprs:
+            # OpExtend above OpGroup: select expressions over group keys
+            # and aggregate aliases (validated at parse); group cardinality
+            # is small, one vectorized pass per block
+            def apply_exprs(tb: pa.Table,
+                            _b=tuple(q.select_exprs)) -> pa.Table:
+                for expr, v in _b:
+                    tb = tb.append_column(v, _eval_bind(tb, expr))
+                return tb
+
+            res = res.map_batches(apply_exprs, batch_format="pyarrow")
+        out_cols = (
+            (q.select or ([] if q.select_exprs else q.group_by))
+            + [a.alias for a in q.aggs if not a.alias.startswith("__agg")]
+            + [v for _, v in q.select_exprs]
+        )
 
         def proj(tb: pa.Table, _c=tuple(out_cols)) -> pa.Table:
             return tb.select(list(_c))

@@ -214,6 +214,53 @@ def test_group_count_and_sum(sparql_index):
     assert str(df["total"].dtype) == "int64"
 
 
+def test_select_expr_over_aggregates(sparql_index):
+    """Aggregate calls inside a SELECT expression (SUM/COUNT hoisted to
+    internal aliases, expression evaluated post-group — OpExtend above
+    OpGroup), and an expression over a named aggregate alias."""
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT ?e (SUM(?c)/COUNT(?c) AS ?avg)
+            WHERE { ?d ex:mentions ?e ; ex:charCount ?c }
+            GROUP BY ?e""",
+        num_partitions=4,
+    )
+    df = res.to_pandas().set_index("e")
+    assert df.loc["<http://ex.org/e1>", "avg"] == (
+        '"150"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+    assert df.loc["<http://ex.org/e2>", "avg"] == (
+        '"350"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+    # expression over a preceding (AGG AS ?alias); internal aliases and
+    # group keys are not projected unless selected
+    res = sparql_query(
+        sparql_index,
+        PFX
+        + """SELECT (SUM(?c) AS ?s) (?s/100 AS ?hundreds)
+            WHERE { ?d ex:charCount ?c }""",
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    assert list(df.columns) == ["s", "hundreds"]
+    assert int(df["s"][0]) == 4500
+    assert df["hundreds"][0] == (
+        '"45"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+
+
+def test_select_expr_nongrouped_var_rejected(sparql_index):
+    with pytest.raises(SparqlSyntaxError, match="non-grouped"):
+        sparql_query(
+            sparql_index,
+            PFX + """SELECT ?e (?c + 1 AS ?c1)
+                WHERE { ?d ex:mentions ?e ; ex:charCount ?c }
+                GROUP BY ?e""",
+            num_partitions=4,
+        )
+
+
 def test_group_concat_and_distinct_count(sparql_index):
     res = sparql_query(
         sparql_index,
