@@ -1495,6 +1495,115 @@ def bgp_union(
     return _project_resolve(u, all_vars, select, out_dir, distinct=distinct)
 
 
+def _join_union_ids(
+    out_dir: str,
+    patterns: list[Pattern],
+    branches: list[list[Pattern]],
+    branch_filters: list | None,
+    info: dict,
+    *,
+    num_partitions: int,
+    stats,
+    pf_context=None,
+):
+    """Id-space Join(BGP, Union(B₁…Bₙ)) — join distributes over union, so
+    each branch joins the group BGP independently and the joined branches
+    union; never a join against a padded null-bearing table (each
+    branch's bound-variable set is known statically, so every per-branch
+    join is a plain equi-join). With no patterns this is the plain union.
+    Returns (ds, all_vars, maybe_null) — maybe_null = vars absent from at
+    least one joined branch (null in its padded rows)."""
+    if patterns:
+        left, lvars = _execute_bgp_ids(
+            out_dir, patterns, info, num_partitions=num_partitions,
+            stats=stats, pf_context=pf_context,
+        )
+    else:
+        left, lvars = None, set()
+    all_vars = set(lvars)
+    execs = []
+    for i, pats in enumerate(branches):
+        if not pats:
+            # empty branch = the unit table: Join(L, unit) = L
+            execs.append((None, set()))
+            continue
+        r, rv = _execute_bgp_ids(
+            out_dir, pats, info, num_partitions=num_partitions, stats=stats,
+            pf_context=pf_context,
+        )
+        bf = branch_filters[i] if branch_filters else None
+        if bf:
+            r = _apply_filters(r, rv, bf, out_dir)
+        if left is not None and not (lvars & rv):
+            raise ValueError(
+                "UNION branch shares no variable with the group BGP "
+                "(cartesian product pattern not supported)"
+            )
+        execs.append((r, rv))
+        all_vars |= rv
+
+    cols = sorted(all_vars)
+    if not cols:
+        raise ValueError("UNION of only empty branches is unsupported")
+    joined = []
+    maybe_null: set[str] = set()
+    for r, rv in execs:
+        if r is None and left is None:
+            import ray.data as rd
+
+            jb = rd.from_arrow(
+                pa.table({c: pa.nulls(1, type=ID_TYPE) for c in cols})
+            )
+            maybe_null |= all_vars
+            joined.append(jb)
+            continue
+        if r is None:
+            jb = left
+        elif left is None:
+            jb = r
+        else:
+            jb = binding_join(left, lvars, r, rv, sorted(lvars & rv),
+                              num_buckets=num_partitions)
+        missing = tuple(sorted(all_vars - lvars - rv))
+        maybe_null |= set(missing)
+
+        def pad(tb: pa.Table, _m=missing, _c=tuple(cols)) -> pa.Table:
+            for m in _m:
+                tb = tb.append_column(m, pa.nulls(tb.num_rows, type=ID_TYPE))
+            return tb.select(list(_c))
+
+        joined.append(jb.map_batches(pad, batch_format="pyarrow"))
+    u = joined[0] if len(joined) == 1 else joined[0].union(*joined[1:])
+    return u, all_vars, maybe_null
+
+
+def bgp_join_union(
+    out_dir: str,
+    patterns: list[Pattern],
+    branches: list[list[Pattern]],
+    select: list[str],
+    *,
+    num_partitions: int = 16,
+    distinct: bool = True,
+    stats: dict | None | bool = None,
+    filters: list | None = None,
+    branch_filters: list | None = None,
+    pf_context: dict | None = None,
+):
+    """Join(BGP, Union) — a group holding triple patterns AND a UNION
+    block (AlgebraGenerator joins the compiled union to the group's BGP).
+    Group filters outside the UNION apply post-union over the merged
+    scope. See :func:`_join_union_ids`."""
+    info = read_layout(out_dir)
+    u, all_vars, _mn = _join_union_ids(
+        out_dir, patterns, branches, branch_filters, info,
+        num_partitions=num_partitions, stats=stats, pf_context=pf_context,
+    )
+    if filters:
+        u = _apply_filters(u, all_vars, filters, out_dir)
+    return _project_resolve(u, all_vars, select, out_dir, distinct=distinct)
+
+
 def bgp_minus(
     out_dir: str,
     patterns: list[Pattern],
@@ -1689,6 +1798,7 @@ def _tag_unique(ds, col: str = "__lid"):
 def left_join_conditional(
     left, lvars: set[str], right, rvars: set[str], cond_filters,
     out_dir: str, *, num_buckets: int = 16,
+    right_null_keys: tuple[str, ...] = (),
 ):
     """OpLeftJoin WITH an expression — LeftJoin(L, R, expr), the reference's
     conditional left join (OpLeftJoin.java; FILTER inside OPTIONAL is part
@@ -1697,15 +1807,63 @@ def left_join_conditional(
     no surviving pair emerge once, null-padded. Also covers the
     no-shared-variable shape (cross left join). Left rows carry a unique
     tag so bag multiplicity survives the matched/unmatched split; every
-    step is a bucketed Dataset join — nothing materializes on the driver."""
+    step is a bucketed Dataset join — nothing materializes on the driver.
+
+    ``right_null_keys``: shared keys that may be UNBOUND on the right —
+    SPARQL compatibility (§18.3 compatible mappings) lets an unbound
+    right var match any left value and adopt it, which a hash join
+    cannot express. The right side splits by the null-mask of those keys
+    into 2^k branches — each an equi-join on its non-null key subset
+    with the null columns dropped (the LEFT side supplies them in the
+    merge) — whose pair sets union before the single anti probe decides
+    which left rows emerge null-padded."""
+    import itertools
+
+    import pyarrow.compute as pc
+
     shared = sorted(lvars & rvars)
     lt = _tag_unique(left)
     ltvars = lvars | {"__lid"}
-    if shared:
-        j = binding_join(lt, ltvars, right, rvars, shared,
-                         num_buckets=num_buckets)
-    else:
-        j = _cross_join(lt, ltvars, right, rvars)
+    out_order = sorted(ltvars | rvars)
+    branches = []
+    for mask in itertools.product((False, True),
+                                  repeat=len(right_null_keys or ())):
+        null_set = {v for v, isn in zip(right_null_keys, mask) if isn}
+
+        def rsplit(tb: pa.Table, _ns=tuple(sorted(null_set)),
+                   _nn=tuple(v for v in (right_null_keys or ())
+                             if v not in null_set)) -> pa.Table:
+            m = None
+            for v in _ns:
+                mm = pc.is_null(tb.column(v))
+                m = mm if m is None else pc.and_(m, mm)
+            for v in _nn:
+                mm = pc.is_valid(tb.column(v))
+                m = mm if m is None else pc.and_(m, mm)
+            if m is not None:
+                tb = tb.filter(m)
+            return tb.drop_columns(list(_ns)) if _ns else tb
+
+        r = (right.map_batches(rsplit, batch_format="pyarrow")
+             if right_null_keys else right)
+        rv = set(rvars) - null_set
+        keys = sorted(set(shared) - null_set)
+        if keys:
+            jb = binding_join(lt, ltvars, r, rv, keys,
+                              num_buckets=num_buckets)
+        else:
+            jb = _cross_join(lt, ltvars, r, rv)
+        # null-branch pairs carry the dropped keys from the LEFT columns
+        # already (null_set ⊆ shared ⊆ lvars); normalize column order so
+        # the branch union schemas agree
+        jb = jb.map_batches(
+            lambda tb, _o=tuple(out_order): tb.select(list(_o)),
+            batch_format="pyarrow",
+        )
+        branches.append(jb)
+    j = branches[0] if len(branches) == 1 else branches[0].union(
+        *branches[1:]
+    )
     if cond_filters:
         j = _apply_filters(j, lvars | rvars, cond_filters, out_dir)
     # unmatched left rows: anti probe on the tag, then null-pad right vars
@@ -1737,6 +1895,7 @@ def _left_tree_ids(
     *,
     num_partitions: int,
     stats,
+    base: tuple | None = None,
 ):
     """Recursive left-join tree in id space. ``blocks`` entries are
     ``(patterns, filters, subblocks)`` — one per OPTIONAL, nested to any
@@ -1744,12 +1903,18 @@ def _left_tree_ids(
     LeftJoin(·, LeftJoin(P, Q), e) per the algebra — the block's OWN
     filters are the join CONDITION of the join that attaches it, NOT a
     post-filter of the block). Returns (Dataset | None-for-unit, bound
-    vars, maybe-null vars). A join whose key may be null (bound only by a
-    deeper OPTIONAL — SPARQL compatibility lets unbound match anything, a
-    hash join does not) is rejected loudly."""
-    res, res_vars = _execute_bgp_ids(
-        out_dir, patterns, info, num_partitions=num_partitions, stats=stats
-    )
+    vars, maybe-null vars). ``base`` pre-seeds the left side with an
+    already-built id table (a Join(BGP, Union) — see _join_union_ids)
+    instead of executing ``patterns``. Joins over possibly-unbound keys
+    take the 2^k compatibility split on whichever side may be null."""
+    if base is not None:
+        res, res_vars, maybe_null = base[0], set(base[1]), set(base[2])
+    else:
+        res, res_vars = _execute_bgp_ids(
+            out_dir, patterns, info, num_partitions=num_partitions,
+            stats=stats,
+        )
+        maybe_null = set()
     if res is None:
         import ray.data as rd
 
@@ -1757,7 +1922,6 @@ def _left_tree_ids(
         # column is never selected by any downstream stage
         res = rd.from_arrow(pa.table({"__unit": pa.array([0])}))
         res_vars = set()
-    maybe_null: set[str] = set()
     for opt_pats, opt_filters, opt_sub in blocks:
         if not opt_pats and not opt_sub:
             # OPTIONAL { } — LeftJoin with the unit table: every left row
@@ -1774,16 +1938,10 @@ def _left_tree_ids(
         shared = sorted(res_vars & opt_vars)
         left_nullable = [v for v in shared if v in maybe_null]
         right_nullable = [v for v in shared if v in opt_null]
-        if right_nullable:
-            raise ValueError(
-                f"OPTIONAL joins on variables possibly unbound on the "
-                f"BLOCK side (compatibility semantics over null block "
-                f"keys is unsupported): {right_nullable}"
-            )
-        if len(left_nullable) > 3:
+        if len(left_nullable) > 3 or len(right_nullable) > 3:
             raise ValueError(
                 f"too many possibly-unbound join keys (2^k branch union): "
-                f"{left_nullable}"
+                f"{left_nullable or right_nullable}"
             )
         bf = list(opt_filters or [])
         # condition filters referencing only never-null block vars are
@@ -1840,10 +1998,11 @@ def _left_tree_ids(
                 lm = res.map_batches(split, batch_format="pyarrow")
                 lv = res_vars - null_set
                 sh = sorted(lv & opt_vars)
-                if cond or not sh:
+                rnk = tuple(v for v in right_nullable if v in sh)
+                if cond or not sh or rnk:
                     bres = left_join_conditional(
                         lm, lv, opt, opt_vars, cond, out_dir,
-                        num_buckets=num_partitions,
+                        num_buckets=num_partitions, right_null_keys=rnk,
                     )
                 else:
                     bres = binding_join(
@@ -1852,10 +2011,11 @@ def _left_tree_ids(
                     )
                 branches.append(bres)
             res = branches[0].union(*branches[1:])
-        elif cond or not shared:
+        elif cond or not shared or right_nullable:
             res = left_join_conditional(
                 res, res_vars, opt, opt_vars, cond, out_dir,
                 num_buckets=num_partitions,
+                right_null_keys=tuple(right_nullable),
             )
         else:
             res = binding_join(
@@ -1877,16 +2037,26 @@ def bgp_optionals(
     distinct: bool = True,
     stats: dict | None | bool = None,
     filters: list[tuple] | None = None,
+    union_branches: list | None = None,
+    branch_filters: list | None = None,
 ):
     """A required BGP followed by OPTIONAL blocks — chained OpLeftJoins
     (AlgebraGenerator folds each OPTIONAL into LeftJoin(left-so-far,
     block, exprs)). ``blocks`` entries are ``(patterns, filters,
     subblocks)``; see :func:`_left_tree_ids` for the nesting and
-    join-condition semantics."""
+    join-condition semantics. ``union_branches`` (with
+    ``branch_filters``) makes the left side Join(BGP, Union) — a group
+    holding patterns, a UNION block AND OPTIONALs."""
     info = read_layout(out_dir)
+    base = None
+    if union_branches is not None:
+        base = _join_union_ids(
+            out_dir, patterns, union_branches, branch_filters, info,
+            num_partitions=num_partitions, stats=stats,
+        )
     res, res_vars, _ = _left_tree_ids(
         out_dir, patterns, blocks, info,
-        num_partitions=num_partitions, stats=stats,
+        num_partitions=num_partitions, stats=stats, base=base,
     )
     if filters:
         # group filter scope: after all left joins, optional vars null

@@ -1868,6 +1868,35 @@ def _sub_vars(sub: "Query") -> list[str]:
     return list(sub.select) + [a.alias for a in sub.aggs]
 
 
+def _opt_blocks(g: Group) -> list[tuple]:
+    """Compile a group's OPTIONAL blocks to bgp_optionals' nested
+    ``(patterns, filters, subblocks)`` entries, rejecting block shapes
+    outside the subset."""
+
+    def one(o: Group) -> tuple:
+        if (o.minuses or o.union or o.paths or o.binds or o.values
+                or o.exists or o.subqueries or o.star or o.graph):
+            raise SparqlSyntaxError(
+                "OPTIONAL block must be patterns + FILTER (+ nested "
+                "OPTIONAL)"
+            )
+        return (o.patterns, o.filters or None, [one(s) for s in o.optionals])
+
+    return [one(o) for o in g.optionals]
+
+
+def _binding_vars(g: Group) -> set[str]:
+    """Variables a group's solutions may bind, excluding BIND aliases
+    (tracked separately) and MINUS sides (never bind): the group's own
+    binders plus OPTIONAL blocks at any depth and UNION branches."""
+    out = _group_vars(g)
+    for o in g.optionals:
+        out |= _binding_vars(o)
+    for b in g.union or []:
+        out |= _binding_vars(b)
+    return out
+
+
 def _scope_vars(g: Group) -> set[str]:
     """All variables in scope of a group for FILTER visibility (SPARQL 1.1
     §18.2.1): the group's own binders plus OPTIONAL blocks, UNION branches,
@@ -2108,11 +2137,12 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
                               filters=g.filters or None, stats=stats, **kw)
 
     if g.union is not None:
-        if g.patterns or g.optionals or g.minuses or g.values:
+        if g.minuses or g.values:
             raise SparqlSyntaxError(
-                "UNION must be the only pattern block in its group"
+                "UNION combines only with triple patterns, FILTER and "
+                "OPTIONAL in its group"
             )
-        if g.filters:
+        if g.filters and not (g.patterns or g.optionals):
             raise SparqlSyntaxError(
                 "FILTER outside UNION branches is unsupported (put it inside)"
             )
@@ -2122,6 +2152,19 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
                 raise SparqlSyntaxError("UNION branches must be plain BGPs")
             branches.append(b.patterns)
             branch_filters.append(b.filters or None)
+        if g.optionals:
+            # LeftJoins over Join(BGP, Union) — the OPTIONALs attach to
+            # the joined union base
+            return bgp.bgp_optionals(
+                out_dir, g.patterns, _opt_blocks(g), select,
+                filters=g.filters or None, union_branches=branches,
+                branch_filters=branch_filters, stats=stats, **kw)
+        if g.patterns:
+            # Join(BGP, Union): the union's branches each join the BGP
+            return bgp.bgp_join_union(
+                out_dir, g.patterns, branches, select,
+                filters=g.filters or None, branch_filters=branch_filters,
+                pf_context=pf_context, stats=stats, **kw)
         return bgp.bgp_union(out_dir, branches, select,
                              filters=branch_filters, pf_context=pf_context,
                              stats=stats, **kw)
@@ -2138,21 +2181,9 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
     if g.optionals:
         if g.values:
             raise SparqlSyntaxError("VALUES with OPTIONAL is unsupported")
-
-        def opt_block(o: Group) -> tuple:
-            if (o.minuses or o.union or o.paths or o.binds or o.values
-                    or o.exists or o.subqueries or o.star or o.graph):
-                raise SparqlSyntaxError(
-                    "OPTIONAL block must be patterns + FILTER (+ nested "
-                    "OPTIONAL)"
-                )
-            return (o.patterns, o.filters or None,
-                    [opt_block(s) for s in o.optionals])
-
-        blocks = [opt_block(o) for o in g.optionals]
-        return bgp.bgp_optionals(out_dir, g.patterns, blocks, select,
-                                 filters=g.filters or None, stats=stats,
-                                 **kw)
+        return bgp.bgp_optionals(out_dir, g.patterns, _opt_blocks(g),
+                                 select, filters=g.filters or None,
+                                 stats=stats, **kw)
 
     return bgp.bgp_execute(out_dir, g.patterns, select,
                            filters=g.filters or None, values=g.values,
@@ -2560,7 +2591,16 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
         out: dict[str, object] = {}
         for a in aggs:
             if a.func == "count":
-                if a.var is None:
+                if a.var is None and a.distinct:
+                    # COUNT(DISTINCT *): distinct whole solution rows per
+                    # group (AggCountDistinct); __num_* helper columns are
+                    # functions of their vars so excluding them suffices
+                    scols = [c for c in df.columns
+                             if not c.startswith("__num_")]
+                    s = g.apply(
+                        lambda x, _c=scols: x[_c].drop_duplicates().shape[0]
+                    )
+                elif a.var is None:
                     s = g.size()
                 elif a.distinct:
                     s = g[a.var].nunique()
@@ -3048,10 +3088,10 @@ def sparql_query(
             raise SparqlSyntaxError("CONSTRUCT WHERE must be a plain BGP")
         return res
 
-    # MINUS-side variables never bind in the result, so they are excluded
-    wvars = _group_vars(q.where)
-    for og in q.where.optionals + (q.where.union or []):
-        wvars |= _group_vars(og)
+    # MINUS-side variables never bind in the result, so they are excluded;
+    # OPTIONAL blocks bind (possibly null) at ANY nesting depth, as do
+    # UNION branches and their optionals
+    wvars = _binding_vars(q.where)
 
     if q.form == "ask":
         if not wvars:
@@ -3089,6 +3129,10 @@ def sparql_query(
     if grouped:
         needed = sorted(set(q.group_by)
                         | {a.var for a in q.aggs if a.var is not None})
+        if any(a.var is None and a.distinct for a in q.aggs):
+            # COUNT(DISTINCT *) dedups WHOLE solution rows — every
+            # in-scope variable must survive into the aggregate input
+            needed = sorted(set(needed) | wvars)
         bad = [v for v in needed if v not in wvars]
         if bad:
             raise SparqlSyntaxError(f"GROUP BY/aggregate vars not bound: {bad}")

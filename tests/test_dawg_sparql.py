@@ -49,31 +49,33 @@ SKIP: dict[tuple[str, str], str] = {
 }
 
 # minimum number of accepted (executed) tests per suite — the vacuity guard
+# (raised to the round-3 measured acceptance; a regression that turns an
+# executed test back into a skip trips the floor)
 SUITES: dict[str, int] = {
-    "basic": 10,
+    "basic": 19,
     "triple-match": 4,
-    "distinct": 10,
-    "sort": 8,
-    "bound": 0,
+    "distinct": 11,
+    "sort": 10,
+    "bound": 1,
     "regex": 4,
-    "optional": 2,
-    "construct": 2,
-    "ask": 3,
+    "optional": 3,
+    "construct": 3,
+    "ask": 4,
     "expr-equals": 12,
     "bnode-coreference": 1,
-    "algebra": 4,
+    "algebra": 10,
     "reduced": 2,
     "i18n": 1,
-    "expr-builtin": 9,
+    "expr-builtin": 17,
     "solution-seq": 10,
-    "optional-filter": 2,
-    "open-world": 15,
+    "optional-filter": 5,
+    "open-world": 16,
     "expr-ops": 7,
     "boolean-effective-value": 7,
     "cast": 7,
-    "type-promotion": 28,
-    "graph": 9,
-    "dataset": 10,
+    "type-promotion": 30,
+    "graph": 12,
+    "dataset": 15,
 }
 
 pytestmark = pytest.mark.skipif(
@@ -344,14 +346,14 @@ def test_dawg_suite(suite, ray_session, tmp_path_factory):
 # RunnerSPARQL with ARQ-extension syntax). Queries using ARQ-only syntax
 # (LET, nested paths in groups, …) skip at parse; floors guard the rest.
 ARQ_SUITES: dict[str, int] = {
-    "GroupBy": 18,
-    "SubQuery": 1,
-    "Negation": 1,
+    "GroupBy": 19,
+    "SubQuery": 3,
+    "Negation": 2,
     "Paths": 6,
-    "SelectExpr": 3,
-    "Assign": 1,
+    "SelectExpr": 5,
+    "Assign": 3,
     "Union": 8,
-    "OptFilterEquality": 4,
+    "OptFilterEquality": 13,
     "Distinct": 16,
     "OrderBy": 10,
 }
