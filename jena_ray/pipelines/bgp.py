@@ -398,6 +398,12 @@ def _validate_filter(f: tuple) -> None:
         if f[1] not in ("<", "<=", ">", ">=", "=", "!="):
             raise ValueError(f"malformed cmp filter: {f}")
         return
+    if op == "scmp":
+        # ("scmp", cmp, "?v", lexical) — simple-string codepoint ordering
+        if (f[1] not in ("<", "<=", ">", ">=", "=", "!=")
+                or not isinstance(f[3], str)):
+            raise ValueError(f"malformed scmp filter: {f}")
+        return
     if op not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
         raise ValueError(f"unknown filter op: {f[0]}")
     if op in _NUM_FILTER_OPS and not isinstance(f[2], (int, float)):
@@ -1036,6 +1042,23 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
     if op == "dtcmp":
         cmp_op, var, lexical, kind = f[1], f[2][1:], f[3], f[4]
         return _dtcmp_mask(tb.column(col_for(var)), cmp_op, lexical, kind)
+    if op == "scmp":
+        # ("scmp", cmp, "?v", "lexical") — codepoint ordering on SIMPLE
+        # strings (plain / xsd:string — XSDFuncOp.compareString via
+        # VSPACE_STRING); any other term kind errors → row dropped
+        cmp_op, var, rhs = f[1], f[2][1:], f[3]
+        col = tb.column(col_for(var))
+        s = pc.cast(col, pa.string())
+        is_simple = pc.match_substring_regex(
+            s,
+            r'^"(?:[^"\\]|\\.)*"'
+            r"(?:\^\^<http://www\.w3\.org/2001/XMLSchema#string>)?$",
+        )
+        kern = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+                ">=": pc.greater_equal, "=": pc.equal,
+                "!=": pc.not_equal}[cmp_op]
+        mask = pc.and_(is_simple, kern(_str_value(col), rhs))
+        return pc.fill_null(mask, False)
     if op == "cmp":
         cmp_op = f[1]
         a = _eval_num_expr(tb, f[2], col_for)
@@ -2233,31 +2256,42 @@ def path_closure(
     edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info).materialize()
 
     probe_col, out_col = ("y", "x") if inverse else ("x", "y")
-    frontier: set[bytes] = {term_id(source)}
-    visited: set[bytes] = set()
+    # frontier/visited are Arrow fixed-size-binary arrays, NOT Python sets:
+    # 16 bytes per node, set algebra via vectorized is_in — the driver only
+    # ever runs pc kernels, never a per-element loop, so a hub predicate
+    # with a million-node frontier stays a few-ms unique+filter
+    frontier = pa.array([term_id(source)], type=ID_TYPE)
+    visited = pa.array([], type=ID_TYPE)
     for _ in range(max_iters):
-        probe = pa.array(sorted(frontier), type=ID_TYPE)
 
-        def hop(tb: pa.Table, _p=probe) -> pa.Table:
+        def hop(tb: pa.Table, _p=frontier) -> pa.Table:
             keep = pc.is_in(tb.column(probe_col), value_set=_p)
-            return tb.filter(keep).select([out_col]).rename_columns(["y"])
+            ys = pc.unique(tb.filter(keep).column(out_col))
+            # per-block dedup before anything crosses to the driver
+            return pa.table({"y": ys})
 
-        ys = edges.map_batches(hop, batch_format="pyarrow")
-        level = set()
-        for b in ys.iter_batches(batch_format="pyarrow"):
-            level.update(b.column("y").to_pylist())
-        frontier = level - visited
-        if not frontier:
+        chunks = [
+            c
+            for b in edges.map_batches(hop, batch_format="pyarrow")
+                          .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+            for c in b.column("y").chunks
+        ]
+        if not chunks:
             break
-        visited |= frontier
+        level = pc.unique(pa.chunked_array(chunks))
+        frontier = level.filter(
+            pc.invert(pc.is_in(level, value_set=visited))
+        )
+        if len(frontier) == 0:
+            break
+        visited = pa.concat_arrays([visited, frontier])
     else:
         raise RuntimeError(f"path closure did not converge in {max_iters} hops")
 
-    if not visited:
+    if len(visited) == 0:
         return rd.from_arrow(pa.table({var: pa.array([], type=pa.string())}))
-    ids = rd.from_arrow(
-        pa.table({"y": pa.array(sorted(visited), type=ID_TYPE)})
-    )
+    ids = rd.from_arrow(pa.table({"y": visited}))
     return resolve_id_columns(ids, out_dir, {"y": var})
 
 

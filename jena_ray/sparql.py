@@ -379,8 +379,10 @@ class Parser:
             return fmt_literal(lex)
         if t.kind == "NUMBER":
             return _number_term(t.text)
-        if t.kind == "NAME" and t.text in ("true", "false"):
-            return fmt_literal(t.text, datatype=XSD + "boolean")
+        if t.kind == "NAME" and t.text.lower() in ("true", "false"):
+            # boolean keywords are case-insensitive (BooleanLiteral via
+            # keyword tokens); the term canonicalizes to lowercase
+            return fmt_literal(t.text.lower(), datatype=XSD + "boolean")
         raise SparqlSyntaxError(f"expected term at {t.text!r} (offset {t.pos})")
 
     # -- query entry
@@ -919,7 +921,10 @@ class Parser:
                 g.patterns.extend(
                     p if len(p) == 4 else (gt, *p) for p in inner.patterns
                 )
-                g.filters.extend(inner.filters)
+                g.filters.extend(
+                    _unbind_graph_var(f, gt[1:]) if gt.startswith("?") else f
+                    for f in inner.filters
+                )
             elif self.take_kw("VALUES"):
                 g.values = (g.values or []) + self._parse_values()
             elif (self.peek().kind == "NAME"
@@ -1541,6 +1546,27 @@ class Parser:
                     o2 = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
                           "=": "=", "!=": "!="}[op]
                 return ("dtcmp", o2, a, dt[1], dt[0])
+        # simple-string constants order by codepoint (XSDFuncOp
+        # compareString — FILTER(?name < "M")); lowered to the scmp
+        # value filter, which errors (drops) non-simple-string terms
+        if op in ("<", "<=", ">", ">="):
+            import re as _re
+
+            for a, b, flipped in ((lhs, rhs, False), (rhs, lhs, True)):
+                if not (isinstance(a, str) and a.startswith("?")
+                        and isinstance(b, str) and b.startswith('"')):
+                    continue
+                m = _re.match(
+                    r'^"((?:[^"\\]|\\.)*)"(?:\^\^<http://www\.w3\.org'
+                    r"/2001/XMLSchema#string>)?$",
+                    b,
+                )
+                if m:
+                    o2 = op
+                    if flipped:
+                        o2 = {"<": ">", "<=": ">=", ">": "<",
+                              ">=": "<="}[op]
+                    return ("scmp", o2, a, unescape_string(m.group(1)))
         if isinstance(lhs, float) and isinstance(rhs, float):
             raise SparqlSyntaxError("constant-only FILTER comparison")
         if isinstance(lhs, float):  # flip to var-on-left
@@ -1860,6 +1886,45 @@ def _group_vars(g: Group) -> set[str]:
     for sub in g.subqueries:
         out |= set(_sub_vars(sub))
     return out
+
+
+def _filter_tree_vars(f: tuple) -> set[str]:
+    from jena_ray.pipelines.bgp import _filter_vars
+
+    return _filter_vars(f)
+
+
+def _const_filter_value(f: tuple) -> bool:
+    """Fold a filter tree whose leaves are all ``constb`` (after
+    unbound-variable lowering) to its boolean value."""
+    op = f[0]
+    if op == "and":
+        return all(_const_filter_value(s) for s in f[1:])
+    if op == "or":
+        return any(_const_filter_value(s) for s in f[1:])
+    if op == "constb":
+        return bool(f[1])
+    raise SparqlSyntaxError(f"non-constant FILTER with no in-scope vars: {f}")
+
+
+def _unbind_graph_var(f: tuple, gv: str) -> tuple:
+    """SPARQL §18.5 Graph(var, P): eval joins {var→g} AFTER evaluating P,
+    so a FILTER inside the GRAPH braces sees the graph variable UNBOUND
+    (ARQ Dataset/graph-20 vs graph-21). Rewrite leaves referencing it:
+    bound → false, !bound → true, every other leaf ERRORS on the unbound
+    arg — and error and false are outcome-equivalent at every position in
+    an and/or tree (negations are baked into leaf ops), so they lower to
+    constant false."""
+    op = f[0]
+    if op in ("or", "and"):
+        return (op, *(_unbind_graph_var(s, gv) for s in f[1:]))
+    from jena_ray.pipelines.bgp import _filter_vars
+
+    if gv not in _filter_vars(f):
+        return f
+    if op in ("bound", "!bound") and f[1] == "?" + gv:
+        return ("constb", op == "!bound")
+    return ("constb", False)
 
 
 def _sub_vars(sub: "Query") -> list[str]:
@@ -2298,15 +2363,26 @@ def _execute_subquery_group(out_dir: str, q: Query, select: list[str], *,
     return res
 
 
+_XSD_NUM_DTS = ("integer|decimal|double|float|int|long|short|byte|"
+                "negativeInteger|nonNegativeInteger|nonPositiveInteger|"
+                "positiveInteger|unsignedLong|unsignedInt|unsignedShort|"
+                "unsignedByte")
+
+
 def _term_number(col):
-    """Numeric value of a term-string column (canonical numeric literals)."""
+    """Numeric VALUE of a term-string column — literals with a numeric XSD
+    datatype and a well-formed lexical only. Plain/xsd:string literals like
+    '"12"' are NOT numbers (NodeValue.classifyValueSpace puts them in
+    VSPACE_STRING: they order by codepoint and error in arithmetic)."""
     import pyarrow.compute as pc
 
-    lex = pc.struct_field(
-        pc.extract_regex(pc.cast(col, pa.string()), r'^"(?P<v>[^"]*)"'), "v"
-    )
     num = pc.struct_field(
-        pc.extract_regex(lex, r"^(?P<v>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)$"),
+        pc.extract_regex(
+            pc.cast(col, pa.string()),
+            r'^"(?P<v>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"'
+            r"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:" + _XSD_NUM_DTS
+            + r")>$",
+        ),
         "v",
     )
     return pc.cast(num, pa.float64())
@@ -2762,15 +2838,26 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
 
 
 def _value_order(res, order_by: list[tuple[str, bool]]):
-    """ORDER BY with SPARQL's value comparator (OpOrder over NodeValue
-    ordering — unbound < blank nodes < IRIs < literals, numeric literals by
-    VALUE): each order variable expands to (type-rank, numeric-value,
-    string-value) key columns, sorted together, then dropped."""
+    """ORDER BY with ARQ's comparator (NodeValue.compareAlways → value
+    compare, falling to NodeUtils.compareRDFTerms syntactic order): unbound
+    < blank nodes (label) < IRIs (codepoint) < literals. Literals: typed
+    numerics / temporals by VALUE first, then lexical form, then class
+    (simple < lang-tagged < other-typed — compareLiteralsBySyntax), then
+    lang tag case-insensitively / datatype IRI, then lang tag exactly.
+    Each order variable expands to six key columns sorted together then
+    dropped. Known divergence (documented, inherent to key-based sorting):
+    Jena compares two lang-tagged literals by TAG before lexical
+    (VSPACE_LANG) — a pair where tag order and lexical order conflict
+    ("b"@en vs "a"@fr) sorts lexically here; Jena's pairwise comparator is
+    not transitive across value spaces, so no key order can match it
+    everywhere."""
     import pyarrow.compute as pc
 
     from jena_ray.pipelines.bgp import _str_value
 
     n_keys = len(order_by)
+    _RE_LANG = r'^"(?:[^"\\]|\\.)*"@(?P<v>[A-Za-z0-9-]+)$'
+    _RE_DT = r'^"(?:[^"\\]|\\.)*"\^\^<(?P<v>[^>]*)>$'
 
     def add_keys(tb: pa.Table, _ov=tuple(order_by)) -> pa.Table:
         for i, (v, _d) in enumerate(_ov):
@@ -2799,27 +2886,45 @@ def _value_order(res, order_by: list[tuple[str, bool]]):
                     pc.cast(_dt_value(s), pa.float64(), safe=False),
                 )
                 sv = _str_value(s)
+                lang = pc.struct_field(pc.extract_regex(s, _RE_LANG), "v")
+                dt = pc.struct_field(pc.extract_regex(s, _RE_DT), "v")
+                cls = pc.if_else(
+                    pc.is_valid(lang),
+                    pa.scalar(1, type=pa.int8()),
+                    pc.if_else(pc.is_valid(dt),
+                               pa.scalar(2, type=pa.int8()),
+                               pa.scalar(0, type=pa.int8())),
+                )
+                dv = pc.coalesce(pc.utf8_lower(lang), dt)
+                ev = lang
             else:  # aggregate alias columns are plain values already
                 rank = pa.array([3] * tb.num_rows, type=pa.int8())
                 num = pc.cast(col, pa.float64())
                 sv = pc.cast(col, pa.string())
+                cls = pa.nulls(tb.num_rows, type=pa.int8())
+                dv = ev = None
             # sort keys must be null-free: Ray's range-partitioned sort
             # duplicates boundary rows when a key column is all-null
-            num = pc.fill_null(num, float("inf"))
-            sv = pc.fill_null(sv, "")
             tb = tb.append_column(f"__o{i}r", rank)
-            tb = tb.append_column(f"__o{i}n", num)
-            tb = tb.append_column(f"__o{i}s", sv)
+            tb = tb.append_column(f"__o{i}n", pc.fill_null(num, float("inf")))
+            tb = tb.append_column(f"__o{i}s", pc.fill_null(sv, ""))
+            tb = tb.append_column(
+                f"__o{i}c", pc.fill_null(cls, 0).cast(pa.int8())
+            )
+            for suf, c in (("d", dv), ("e", ev)):
+                c = (pa.nulls(tb.num_rows, type=pa.string())
+                     if c is None else c)
+                tb = tb.append_column(f"__o{i}{suf}", pc.fill_null(c, ""))
         return tb
 
     keys, descs = [], []
     for i, (_v, d) in enumerate(order_by):
-        keys += [f"__o{i}r", f"__o{i}n", f"__o{i}s"]
-        descs += [d, d, d]
+        keys += [f"__o{i}{c}" for c in "rnscde"]
+        descs += [d] * 6
     out = res.map_batches(add_keys, batch_format="pyarrow").sort(
         keys, descending=descs
     )
-    drop = [f"__o{i}{c}" for i in range(n_keys) for c in "rns"]
+    drop = [f"__o{i}{c}" for i in range(n_keys) for c in "rnscde"]
 
     def strip(tb: pa.Table, _d=tuple(drop)) -> pa.Table:
         return tb.drop_columns(list(_d))
@@ -3203,8 +3308,50 @@ def sparql_query(
         else:
             sel = q.select
         missing = [v for v in sel if v not in wvars and v not in bind_names]
-        if missing:
-            raise SparqlSyntaxError(f"SELECT vars not bound in WHERE: {missing}")
+        if missing and set(missing) == set(sel):
+            raise SparqlSyntaxError(f"no SELECT var bound in WHERE: {missing}")
+        if not sel and not binds:
+            # ZERO projectable variables — ground patterns, constant
+            # FILTERs, or bnode-placeholder vars only (SELECT * { :x :p
+            # _:a }): every solution binds NOTHING, so the result is n
+            # empty rows (one, under DISTINCT/REDUCED, iff any solution
+            # exists) — Jena's ResultSet rows with an empty binding set.
+            import pandas as pd
+
+            g = q.where
+            if not wvars:
+                if (g.union or g.optionals or g.minuses or g.paths
+                        or g.graph or g.exists or g.subqueries):
+                    raise SparqlSyntaxError(
+                        "zero-variable WHERE shape unsupported"
+                    )
+                n = 1
+                for p in g.patterns:
+                    if not ground_pattern_holds(
+                        out_dir, p, num_partitions=num_partitions
+                    ):
+                        n = 0
+                for f in g.filters or []:
+                    # every referenced variable is unbound: the same
+                    # error→false lowering as GRAPH-var scope, then the
+                    # constant and/or tree folds on the driver
+                    for v in _filter_tree_vars(f):
+                        f = _unbind_graph_var(f, v)
+                    if not _const_filter_value(f):
+                        n = 0
+            else:
+                carrier = sorted(wvars)[0]
+                zres = _execute_where(out_dir, q, [carrier], distinct=False,
+                                      num_partitions=num_partitions,
+                                      pf_context=pf_context, stats=stats)
+                n = zres.count()
+            if (q.distinct or q.reduced) and n > 1:
+                n = 1
+            if q.offset:
+                n = max(0, n - q.offset)
+            if q.limit is not None:
+                n = min(n, q.limit)
+            return pd.DataFrame(index=range(n))
         if binds:
             # run the pattern part for (selected pattern vars + expr inputs),
             # compute the BIND columns post-resolve, project, then dedup
@@ -3285,10 +3432,25 @@ def sparql_query(
                 raise SparqlSyntaxError(
                     f"ORDER BY on non-projected vars with DISTINCT: {extra_order}"
                 )
-            res = _execute_where(out_dir, q, sel + extra_order,
+            bound_sel = [v for v in sel if v not in missing]
+            res = _execute_where(out_dir, q, bound_sel + extra_order,
                                  distinct=q.distinct,
                                  num_partitions=num_partitions,
                                  pf_context=pf_context, stats=stats)
+            if missing:
+                # selecting a variable the WHERE never binds is legal —
+                # it is simply unbound in every solution (Jena projects a
+                # null column, not an error)
+                def pad_missing(tb: pa.Table, _m=tuple(missing),
+                                _s=tuple(bound_sel + extra_order)) -> pa.Table:
+                    for v in _m:
+                        tb = tb.append_column(
+                            v, pa.nulls(tb.num_rows, type=pa.string())
+                        )
+                    return tb.select(list(sel) + [c for c in _s
+                                                  if c not in sel])
+
+                res = res.map_batches(pad_missing, batch_format="pyarrow")
             if extra_order:
                 if q.order_by:
                     res = _value_order(res, q.order_by)
