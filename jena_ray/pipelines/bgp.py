@@ -333,7 +333,7 @@ _TYPE_FILTER_OPS = {"isiri", "isblank", "isliteral", "isnumeric", "istriple"}
 
 def _is_id_filter(f: tuple) -> bool:
     op = f[0]
-    if op in ("or", "and"):
+    if op in ("or", "and", "not"):
         return False  # compound expressions evaluate in value space
     if op in ("bound", "!bound"):
         return True
@@ -354,7 +354,7 @@ def _filter_vars(f: tuple) -> set[str]:
 
 def _validate_filter(f: tuple) -> None:
     op = f[0]
-    if op in ("or", "and"):
+    if op in ("or", "and", "not"):
         for sub in f[1:]:
             _validate_filter(sub)
         return
@@ -403,6 +403,12 @@ def _validate_filter(f: tuple) -> None:
         if (f[1] not in ("<", "<=", ">", ">=", "=", "!=")
                 or not isinstance(f[3], str)):
             raise ValueError(f"malformed scmp filter: {f}")
+        return
+    if op == "streq":
+        # ("streq", "="|"!=", "?v", rhs) — E_Str equality on the effective
+        # string value; rhs is a folded python string or a second "?var"
+        if f[1] not in ("=", "!=") or not isinstance(f[3], str):
+            raise ValueError(f"malformed streq filter: {f}")
         return
     if op not in (_NUM_FILTER_OPS | _STR_FILTER_OPS):
         raise ValueError(f"unknown filter op: {f[0]}")
@@ -649,8 +655,22 @@ def _expr_datatype(tb: pa.Table, inner: tuple, col_for):
         simple = pc.fill_null(
             pc.match_substring_regex(s, r'^"(?:[^"\\]|\\.)*"$'), False
         )
+        # RDF 1.1: DATATYPE of a language-tagged literal is rdf:langString
+        # (E_Datatype → NodeFunctions.datatype)
+        tagged = pc.fill_null(
+            pc.match_substring_regex(
+                s, r'^"(?:[^"\\]|\\.)*"@[A-Za-z][A-Za-z0-9\-]*$'
+            ),
+            False,
+        )
+        rdf_ls = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
         return pc.coalesce(
-            typed, pc.if_else(simple, pa.scalar(_XSD + "string"), nul)
+            typed,
+            pc.if_else(
+                tagged,
+                pa.scalar(rdf_ls),
+                pc.if_else(simple, pa.scalar(_XSD + "string"), nul),
+            ),
         )
     if kind == "cast":
         target = inner[1]
@@ -796,6 +816,23 @@ def _term_eq_mask(tb: pa.Table, op: str, a: str, b: str, col_for):
     res = pc.if_else(both("bool"), veq("bool"), res)
     res = pc.if_else(both("num"), veq("num"), res)
     res = pc.if_else(both("plain"), veq("plain"), res)
+    # both sides in KNOWN but DISJOINT value spaces (string vs number vs
+    # boolean vs temporal) → determinately not equal, not a type error —
+    # NodeValue.sameAs's known-vspace dispatch (ARQ ExprDatatypes
+    # "FILTER - '!= true'" pins this: "Other"/1/0 all pass ?v != true,
+    # only the :unknown-typed literal is an error). Invalid lexicals for
+    # a known datatype stay unknown → error.
+    def known(c, is_lang):
+        k = pc.is_valid(c["plain"])
+        for key in ("num", "bool", "dt", "date"):
+            k = pc.or_(k, pc.is_valid(c[key]))
+        return pc.or_(k, is_lang)
+
+    res = pc.if_else(
+        pc.and_(known(ca, is_lang_a), known(cb, is_lang_b)),
+        pc.fill_null(res, False),
+        res,
+    )
     res = pc.if_else(
         pc.or_(is_lang_a, is_lang_b),
         pc.if_else(
@@ -1000,6 +1037,18 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
             m = _value_filter_mask(tb, sub, col_for)
             mask = m if mask is None else comb(mask, m)
         return pc.fill_null(mask, False)
+    if op == "not":
+        # E_LogicalNot over a subtree whose only error source is an
+        # UNBOUND variable (parser lowers '!(...)' over streq/constb
+        # and/or compositions only): an unbound operand is a type error,
+        # and !error is still an error → the row drops on both polarities,
+        # so the inverted mask is ANDed with every referenced var's
+        # validity
+        inner = pc.fill_null(_value_filter_mask(tb, f[1], col_for), False)
+        m = pc.invert(inner)
+        for v in sorted(_filter_vars(f[1])):
+            m = pc.and_(m, pc.is_valid(tb.column(col_for(v))))
+        return m
     if op in ("bound", "!bound"):
         col = tb.column(col_for(f[1][1:]))
         return pc.is_valid(col) if op == "bound" else pc.is_null(col)
@@ -1042,6 +1091,17 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
     if op == "dtcmp":
         cmp_op, var, lexical, kind = f[1], f[2][1:], f[3], f[4]
         return _dtcmp_mask(tb.column(col_for(var)), cmp_op, lexical, kind)
+    if op == "streq":
+        # E_Str '='/'!=' — effective string value of ANY term kind (STR()
+        # widens IRIs/typed literals to their string form)
+        cmp_op, var, rhs = f[1], f[2][1:], f[3]
+        sv = _str_value(tb.column(col_for(var)))
+        other = (_str_value(tb.column(col_for(rhs[1:])))
+                 if rhs.startswith("?") else rhs)
+        mask = pc.equal(sv, other)
+        if cmp_op == "!=":
+            mask = pc.invert(mask)
+        return pc.fill_null(mask, False)
     if op == "scmp":
         # ("scmp", cmp, "?v", "lexical") — codepoint ordering on SIMPLE
         # strings (plain / xsd:string — XSDFuncOp.compareString via
@@ -2154,6 +2214,52 @@ def bgp_construct(
     from jena_ray.stages.materialize import resolve_id_columns
 
     info = read_layout(out_dir)
+
+    tvars = sorted({t[1:] for trip in template for t in trip if is_var(t)})
+    if not tvars:
+        # fully-ground template: TemplateLib.subst is constant per
+        # solution, so the result is the template itself iff the WHERE
+        # matches at least one solution (an empty WHERE group is one
+        # empty solution — Construct Quad: Syntax 3)
+        if any(t.startswith("_:") for trip in template for t in trip):
+            raise ValueError(
+                "bnode template slots need at least one template variable "
+                "(fresh labels are allocated per distinct solution)"
+            )
+        pvars = {t for p in patterns for t in p if is_var(t)}
+        if not patterns and not filters:
+            holds = True
+        elif not pvars:
+            if filters:
+                raise ValueError("FILTER over a fully ground WHERE")
+            holds = all(
+                len(
+                    bgp_execute(
+                        out_dir, [("?__g0", p, o)], ["__g0"],
+                        filters=[("=", "?__g0", s)],
+                        num_partitions=num_partitions, stats=False,
+                    ).limit(1).take(1)
+                ) > 0
+                for s, p, o in patterns
+            )
+        else:
+            sols, sol_vars = _execute_bgp_ids(
+                out_dir, patterns, info,
+                num_partitions=num_partitions, stats=stats,
+                pf_context=pf_context,
+            )
+            if filters:
+                sols = _apply_filters(sols, sol_vars, filters, out_dir)
+            holds = len(sols.limit(1).take(1)) > 0
+        import ray.data as rd
+
+        trips = sorted(set(template)) if holds else []
+        return rd.from_arrow(pa.table({
+            "subj": pa.array([t[0] for t in trips], type=pa.string()),
+            "pred": pa.array([t[1] for t in trips], type=pa.string()),
+            "obj": pa.array([t[2] for t in trips], type=pa.string()),
+        }))
+
     res, res_vars = _execute_bgp_ids(
         out_dir, patterns, info, num_partitions=num_partitions, stats=stats,
         pf_context=pf_context,
@@ -2161,7 +2267,6 @@ def bgp_construct(
     if filters:
         res = _apply_filters(res, res_vars, filters, out_dir)
 
-    tvars = sorted({t[1:] for trip in template for t in trip if is_var(t)})
     missing = [v for v in tvars if v not in res_vars]
     if missing:
         raise ValueError(f"template vars not bound by the BGP: {missing}")
@@ -2293,6 +2398,88 @@ def path_closure(
         return rd.from_arrow(pa.table({var: pa.array([], type=pa.string())}))
     ids = rd.from_arrow(pa.table({"y": visited}))
     return resolve_id_columns(ids, out_dir, {"y": var})
+
+
+def path_closure_pairs(
+    out_dir: str,
+    pred,
+    sources: list[str],
+    *,
+    max_iters: int = 25,
+    inverse: bool = False,
+    one_step: bool = False,
+) -> "pa.Table":
+    """(src, y) TERM pairs — y reachable from src via ≥1 ``pred`` step
+    (multi-root P_OneOrMore: PathEngine's per-binding BFS batched over all
+    roots at once). One distributed edge scan reused per hop with a
+    broadcast frontier ``is_in`` probe; the (root, node) pair frontier
+    lives on the DRIVER (pandas merges — vectorized, closure-sized like
+    path_closure's visited set). ``one_step=True`` stops after one hop
+    (P_ZeroOrOne's non-zero leg). Zero-length pairs are the CALLER's to
+    add (they depend on the modifier). Partitioning assumption: the
+    union of the roots' closures fits on the driver — same contract as
+    the reference's PathEngine visited set."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.stages.materialize import resolve_id_columns
+
+    info = read_layout(out_dir)
+    edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info).materialize()
+    probe_col, out_col = ("y", "x") if inverse else ("x", "y")
+
+    src_ids = pd.Series([term_id(s) for s in sources]).drop_duplicates()
+    frontier = pd.DataFrame({"root": src_ids, "node": src_ids})
+    pairs = pd.DataFrame({"root": [], "node": []})
+    for _ in range(max_iters):
+        nodes = pa.array(frontier["node"].unique().tolist(), type=ID_TYPE)
+
+        def hop(tb: pa.Table, _n=nodes) -> pa.Table:
+            keep = pc.is_in(tb.column(probe_col), value_set=_n)
+            m = tb.filter(keep)
+            return pa.table({"a": m.column(probe_col),
+                             "b": m.column(out_col)})
+
+        chunks = [
+            b.to_pandas()
+            for b in edges.map_batches(hop, batch_format="pyarrow")
+                          .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not chunks:
+            break
+        matched = pd.concat(chunks).drop_duplicates()
+        new = (
+            frontier.merge(matched, left_on="node", right_on="a")
+            [["root", "b"]].rename(columns={"b": "node"}).drop_duplicates()
+        )
+        if len(pairs):
+            new = new.merge(pairs, how="left", indicator=True,
+                            on=["root", "node"])
+            new = new[new["_merge"] == "left_only"][["root", "node"]]
+        if not len(new):
+            break
+        pairs = pd.concat([pairs, new], ignore_index=True)
+        frontier = new
+        if one_step:
+            break
+    else:
+        raise RuntimeError(f"path closure did not converge in {max_iters} hops")
+
+    if not len(pairs):
+        e = pa.array([], type=pa.string())
+        return pa.table({"src": e, "y": e})
+    ids = rd.from_arrow(pa.table({
+        "root": pa.array(pairs["root"].tolist(), type=ID_TYPE),
+        "node": pa.array(pairs["node"].tolist(), type=ID_TYPE),
+    }))
+    res = resolve_id_columns(ids, out_dir, {"root": "src", "node": "y"})
+    return pa.concat_tables(
+        list(res.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"src": pa.array([], type=pa.string()),
+                      "y": pa.array([], type=pa.string())})]
+    ).select(["src", "y"])
 
 
 def kg_text_index_dir(sf_dir: str) -> str:

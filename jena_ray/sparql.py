@@ -75,6 +75,7 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -95,6 +96,16 @@ from jena_ray.term import (
 RDF_TYPE_IRI = RDF_NS + "type"
 
 
+def _not_total(expr: tuple) -> bool:
+    """Is this filter subtree safe under '!(...)'? — every leaf's only
+    error source is an unbound variable (streq / constb), so E_LogicalNot
+    lowers to an inverted mask ANDed with operand validity."""
+    op = expr[0]
+    if op in ("and", "or", "not"):
+        return all(_not_total(s) for s in expr[1:])
+    return op in ("streq", "constb")
+
+
 class SparqlSyntaxError(ValueError):
     pass
 
@@ -105,16 +116,16 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
-  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
-  | (?P<BNODE>_:[A-Za-z_][A-Za-z_0-9.\-]*)
+  | (?P<VAR>[?$][^\W\d][\w]*)
+  | (?P<BNODE>_:[^\W\d][\w.\-]*)
   | (?P<ANON>\[[ \t]*\])
   | (?P<STRING>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
-               (?:[A-Za-z0-9_%\-](?:[A-Za-z0-9_%\-]|\.(?=[A-Za-z0-9_.%\-]))*)?)
-  | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|<<|>>|[{}().;,*+\-=<>!/^?|])
+  | (?P<PNAME>(?:[^\W\d_][\w\-]*(?:\.[\w\-]+)*)?:
+               (?:[\w%\-](?:[\w%\-]|\.(?=[\w.%\-]))*)?)
+  | (?P<NAME>[^\W\d][\w]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|<<|>>|[{}().;,*+\-=<>!/^?|\[\]])
     """,
     re.VERBOSE,
 )
@@ -156,6 +167,9 @@ class Group:
     union: list["Group"] | None = None
     values: list[dict] | None = None
     graph: str | None = None
+    # GRAPH x { } empty-group elements: '?var' enumerates named-graph
+    # names, '<iri>' probes graph existence (OpGraph over an empty BGP)
+    graph_enum: list[str] = field(default_factory=list)
     subqueries: list["Query"] = field(default_factory=list)  # { SELECT ... }
     # RDF-star embedded patterns: (placeholder '?__qtN', s, p, o) — the
     # placeholder stands in the triple pattern; components are '?var' or
@@ -200,6 +214,10 @@ class Query:
     where: Group | None = None
     template: list[tuple] | None = None
     group_by: list[str] = field(default_factory=list)
+    # GROUP BY (expr [AS ?v]) keys (ElementGroup expr keys — arq.jj
+    # GroupCondition): (bind-expr AST, alias, user-named?). Anonymous
+    # exprs get an internal "__gexpr{i}" alias and are never projected.
+    group_exprs: list[tuple] = field(default_factory=list)
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (op, var, n)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
@@ -618,6 +636,23 @@ class Parser:
             iri = self._iri(self.next())
             (q.from_named if named else q.from_graphs).append(iri[1:-1])
 
+    def _having_operand(self, q: Query) -> Tok:
+        """One HAVING comparison side: a ?var / number token, or an inline
+        aggregate call hoisted to an Agg (reusing a SELECT aggregate with
+        identical (func, var, distinct, sep)) and returned as its alias."""
+        t = self.peek()
+        if (t.kind == "NAME" and t.text.upper() in _AGG_FUNCS
+                and self.peek(1).kind == "OP" and self.peek(1).text == "("):
+            func, var, distinct, sep = self._parse_agg_core()
+            for a in q.aggs:
+                if (a.func, a.var, a.distinct, a.sep) == (func, var,
+                                                          distinct, sep):
+                    return Tok("VAR", "?" + a.alias, t.pos)
+            alias = f"__aggh{len(q.aggs)}"
+            q.aggs.append(Agg(func, var, distinct, alias, sep))
+            return Tok("VAR", "?" + alias, t.pos)
+        return self.next()
+
     def _parse_agg_core(self) -> tuple:
         """``AGG(... )`` through its own closing paren; returns
         (func, var, distinct, sep) without the ``AS ?alias`` wrapper."""
@@ -735,17 +770,39 @@ class Parser:
     def _parse_modifiers(self, q: Query) -> None:
         if self.take_kw("GROUP"):
             self.expect_kw("BY")
-            while self.peek().kind == "VAR":
-                q.group_by.append(self.next().text[1:])
-            if not q.group_by:
+            while True:
+                if self.peek().kind == "VAR":
+                    q.group_by.append(self.next().text[1:])
+                elif self.at_op("("):
+                    # GroupCondition '(' Expression [AS ?var] ')' — keys
+                    # computed per solution before grouping (OpGroup's
+                    # VarExprList); reuses the BIND expression subset
+                    self.next()
+                    expr = self._parse_bind_expr()
+                    if self.take_kw("AS"):
+                        v = self.next()
+                        if v.kind != "VAR":
+                            raise SparqlSyntaxError(
+                                "GROUP BY (expr AS ?var) needs a variable"
+                            )
+                        alias, named = v.text[1:], True
+                    else:
+                        alias, named = f"__gexpr{len(q.group_exprs)}", False
+                    self.expect_op(")")
+                    q.group_exprs.append((expr, alias, named))
+                else:
+                    break
+            if not q.group_by and not q.group_exprs:
                 raise SparqlSyntaxError("GROUP BY needs at least one variable")
         if self.take_kw("HAVING"):
-            # numeric comparisons on aggregate aliases, && conjunctions
+            # numeric comparisons on aggregate aliases or inline aggregate
+            # calls (HAVING (count(*) = 1) — hoisted to an internal Agg,
+            # reusing a SELECT aggregate when one matches), && conjunctions
             self.expect_op("(")
             while True:
-                a = self.next()
+                a = self._having_operand(q)
                 op_t = self.next()
-                b = self.next()
+                b = self._having_operand(q)
                 if op_t.kind != "OP" or op_t.text not in (
                     "=", "!=", "<", "<=", ">", ">="
                 ):
@@ -914,6 +971,13 @@ class Parser:
                         "MINUS/BIND/VALUES/EXISTS/paths inside GRAPH are "
                         "not in the supported subset"
                     )
+                if not (inner.patterns or inner.filters):
+                    # GRAPH <g>/?g { } — the empty BGP matches ONCE per
+                    # named graph: enumerates graph names / probes graph
+                    # existence (ARQ Dataset graph-07/08/10)
+                    g.graph_enum.append(gt)
+                    last_was_triples = False
+                    continue
                 # wrap the inner TRIPLE patterns in this graph term; a
                 # nested GRAPH block already produced 4-slot patterns and
                 # keeps its own (inner) graph scope — SPARQL GRAPH
@@ -1144,16 +1208,68 @@ class Parser:
         g.star.append((ph, qt[1], qt[2], qt[3]))
         return ph
 
+    def _parse_bnode_plist(self, g: Group, template_out: list | None) -> str:
+        """``[ p1 o1 ; p2 o2 , o3 ]`` — BlankNodePropertyList (the grammar's
+        TriplesNode): a fresh scoped variable (fresh template bnode inside
+        CONSTRUCT templates) plus its predicate-object patterns. Plain
+        predicates only (no paths inside the brackets)."""
+        self.expect_op("[")
+        self._seq += 1
+        node = (f"_:__tpl{self._seq}" if self._in_template
+                else f"?__bn{self._seq}")
+        while not self.at_op("]"):
+            t = self.peek()
+            if t.kind == "NAME" and t.text == "a":
+                self.next()
+                pred = fmt_iri(RDF_TYPE_IRI)
+            elif t.kind == "VAR":
+                self.next()
+                pred = "?" + t.text[1:]
+            else:
+                pred = self._iri(self.next())
+            while True:
+                if self.at_op("["):
+                    obj = self._parse_bnode_plist(g, template_out)
+                else:
+                    obj = self.parse_term()
+                    if isinstance(obj, tuple):
+                        obj = self._qt_placeholder(g, obj, template_out)
+                trip = (node, pred, obj)
+                if template_out is not None:
+                    template_out.append(trip)
+                else:
+                    g.patterns.append(trip)
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                while self.at_op(";"):
+                    self.next()
+                continue
+            break
+        self.expect_op("]")
+        return node
+
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
-        subj = self.parse_term()
-        if isinstance(subj, tuple):
-            subj = self._qt_placeholder(g, subj, template_out)
+        if self.at_op("["):
+            subj = self._parse_bnode_plist(g, template_out)
+            if self.at_op(".") or self.at_op("}"):
+                return  # bare TriplesNode: [ ... ] with no predicate list
+        else:
+            subj = self.parse_term()
+            if isinstance(subj, tuple):
+                subj = self._qt_placeholder(g, subj, template_out)
         while True:
             # predicate position: a property PATH — 'a' / IRI / ?var steps
             # with '^' inverse, '/' sequences, '+' / '*' closures
             steps = [self._parse_path_step()]
-            while self.at_op("/"):
-                self.next()
+            # '/' sequences; a directly-juxtaposed '^' also continues the
+            # sequence (ARQ arq.jj accepts ^:p3^:p2^:p1 — Paths path-06)
+            while self.at_op("/") or self.at_op("^"):
+                if self.at_op("/"):
+                    self.next()
                 steps.append(self._parse_path_step())
             # expand fixed-length {n} steps into n chained copies
             # (P_FixedLength → P_Seq, PathCompiler's reduction) before any
@@ -1200,27 +1316,51 @@ class Parser:
                     iris.append(pred)
                 steps = [(("alt", *iris), False, None)]
             if len(steps) > 1:
-                for pred, _inv, mod in steps:
+                # a closure modifier is allowed on the LAST step only:
+                # p1/p2* desugars to a chain into a fresh variable plus a
+                # path entry from it (PathCompiler splits P_Seq the same
+                # way — Paths path-20..22 rdf:type/rdfs:subClassOf*)
+                for pred, _inv, mod in steps[:-1]:
                     if mod is not None:
                         raise SparqlSyntaxError(
-                            "closure modifiers inside '/' sequences are unsupported"
+                            "closure modifiers are supported only on the "
+                            "last step of a '/' sequence"
                         )
+                for pred, _inv, mod in steps:
                     if isinstance(pred, tuple) or pred.startswith("?"):
                         raise SparqlSyntaxError(
                             "variables / property sets not allowed in '/' "
                             "sequences"
                         )
             while True:
-                obj = self.parse_term()
-                if isinstance(obj, tuple):
-                    obj = self._qt_placeholder(g, obj, template_out)
+                if self.at_op("["):
+                    obj = self._parse_bnode_plist(g, template_out)
+                else:
+                    obj = self.parse_term()
+                    if isinstance(obj, tuple):
+                        obj = self._qt_placeholder(g, obj, template_out)
                 if len(steps) == 1 and steps[0][2] is not None:
                     pred, inv, mod = steps[0]
                     if template_out is not None:
                         raise SparqlSyntaxError("property path in template")
-                    if pred.startswith("?"):
+                    if isinstance(pred, str) and pred.startswith("?"):
                         raise SparqlSyntaxError("variables not allowed in paths")
                     g.paths.append((subj, pred, obj, mod, inv))
+                elif len(steps) > 1 and steps[-1][2] is not None:
+                    # trailing-closure sequence: chain the plain prefix
+                    # steps through fresh variables, then a path entry
+                    # from the last fresh node
+                    if template_out is not None:
+                        raise SparqlSyntaxError("property path in template")
+                    node = subj
+                    for pred, inv, _mod in steps[:-1]:
+                        nxt = f"?__seq{self._seq}"
+                        self._seq += 1
+                        trip = (nxt, pred, node) if inv else (node, pred, nxt)
+                        g.patterns.append(trip)
+                        node = nxt
+                    lp, li, lm = steps[-1]
+                    g.paths.append((node, lp, obj, lm, li))
                 else:
                     # desugar: inverse swaps slots; sequences chain through
                     # fresh variables (P_Seq → conjunctive BGP, the
@@ -1364,6 +1504,19 @@ class Parser:
             # negated EBV of a bare variable: FILTER(!?v)
             if self.peek().kind == "VAR" and self._closes_atom(1):
                 return ("notebv", "?" + self.next().text[1:])
+            if self.at_op("("):
+                # E_LogicalNot of a parenthesised boolean subtree — only
+                # over operands whose sole error source is unboundness
+                # (streq / constb compositions; BasicPatterns test-3-07)
+                self.next()
+                inner = self._parse_filter_or()
+                self.expect_op(")")
+                if not _not_total(inner):
+                    raise SparqlSyntaxError(
+                        "'!(...)' supports STR-equality / constant-boolean "
+                        "subtrees only"
+                    )
+                return ("not", inner)
         t = self.peek()
         if t.kind == "NAME":
             fn = t.text.upper()
@@ -1389,6 +1542,40 @@ class Parser:
                 return ("!bound" if neg else "bound", "?" + v.text[1:])
             if neg:
                 raise SparqlSyntaxError(f"'!' only supported before BOUND, not {fn}")
+            if (fn == "STR" and self.peek(1).kind == "OP"
+                    and self.peek(1).text == "("
+                    and self._str_cmp_ahead()):
+                # E_Str under '='/'!=': STR(x) = STR(y) / "lit" — constant
+                # operands fold to their string value at parse time
+                # (BasicPatterns test-3-*: str(?x) = str(<iri>))
+                self.next()
+                self.expect_op("(")
+                a = self._str_fold_operand()
+                self.expect_op(")")
+                op_t = self.next()
+                if op_t.kind != "OP" or op_t.text not in ("=", "!="):
+                    raise SparqlSyntaxError(
+                        "STR(...) comparisons support only = / !="
+                    )
+                if self.at_kw("STR"):
+                    self.next()
+                    self.expect_op("(")
+                    b = self._str_fold_operand()
+                    self.expect_op(")")
+                else:
+                    t2 = self.next()
+                    if t2.kind != "STRING":
+                        raise SparqlSyntaxError(
+                            "STR(...) compares to a string or STR(...)"
+                        )
+                    b = unescape_string(t2.text[1:-1])
+                a_var = isinstance(a, str) and a.startswith("?")
+                b_var = isinstance(b, str) and b.startswith("?")
+                if a_var:
+                    return ("streq", op_t.text, a, b)
+                if b_var:
+                    return ("streq", op_t.text, b, a)
+                return ("constb", (a == b) == (op_t.text == "="))
             if fn == "SAMETERM":
                 self.next()
                 self.expect_op("(")
@@ -1660,6 +1847,38 @@ class Parser:
             raise SparqlSyntaxError("LANG needs a variable")
         return "?" + v.text[1:]
 
+    def _str_cmp_ahead(self) -> bool:
+        """Lookahead: does STR( ... ) close and continue with '=' / '!='?
+        (distinguishes the E_Str comparison from STR as a plain operand of
+        an unsupported expression shape)."""
+        k = 2  # past STR (
+        depth = 1
+        while depth and self.peek(k).kind != "EOF":
+            t = self.peek(k)
+            if t.kind == "OP" and t.text == "(":
+                depth += 1
+            elif t.kind == "OP" and t.text == ")":
+                depth -= 1
+            k += 1
+        nxt = self.peek(k)
+        return nxt.kind == "OP" and nxt.text in ("=", "!=")
+
+    def _str_fold_operand(self) -> str:
+        """STR(x) operand: a variable, or a constant folded to its string
+        value (IRI → IRI string, literal → lexical form — E_Str)."""
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.text[1:]
+        term = self._no_qtpat(self.parse_term(), "STR")
+        if term.startswith("<"):
+            return term[1:-1]
+        if term.startswith('"'):
+            from jena_ray.term import split_literal
+
+            return split_literal(term)[0]
+        raise SparqlSyntaxError("STR operand must be a variable/IRI/literal")
+
     def _parse_str_arg(self) -> tuple[str, bool]:
         wrapped = False
         if self.at_kw("STR"):
@@ -1881,6 +2100,7 @@ def _group_vars(g: Group) -> set[str]:
         out |= {t[1:] for t in (s, o) if t.startswith("?")}
     if g.graph and g.graph.startswith("?"):
         out.add(g.graph[1:])
+    out |= {t[1:] for t in g.graph_enum if t.startswith("?")}
     for r in g.values or []:
         out |= {k.lstrip("?") for k in r}
     for sub in g.subqueries:
@@ -2106,6 +2326,153 @@ def _filter_var_names(f) -> set[str]:
     return out
 
 
+def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
+                         distinct: bool, num_partitions: int, stats):
+    """Property paths joined with triple patterns (ARQ Paths path-10/11,
+    rdf:type/rdfs:subClassOf* idioms): execute the plain-BGP base first,
+    then evaluate each path per distinct root binding — multi-root BFS
+    pairs broadcast into a vectorized per-batch join/semi-join (the
+    reference's PathEngine runs the path once per incoming binding; the
+    batched-roots form is the same contract without the per-row loop).
+    Partitioning assumption: path closures are driver-sized (PathEngine
+    visited-set contract); the BASE bindings stay distributed."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines import bgp
+    from jena_ray.stages.dedup import dedup_exact
+
+    if (g.optionals or g.minuses or g.union or g.values or g.graph
+            or g.exists or g.subqueries or g.star or g.binds):
+        raise SparqlSyntaxError(
+            "property paths combine only with triple patterns + FILTER"
+        )
+    base_vars = {t[1:] for p in g.patterns for t in p
+                 if isinstance(t, str) and t.startswith("?")}
+    # endpoint vars the base must provide; paths evaluate in order, each
+    # may extend the binding set with its object variable
+    bound: set[str] = set(base_vars)
+    plan: list[tuple] = []
+    for src, pred, obj, mod, inv in g.paths:
+        if isinstance(mod, tuple):
+            raise SparqlSyntaxError(
+                "p{n,m} ranges join patterns only via the sole-path form"
+            )
+        s_var = src[1:] if isinstance(src, str) and src.startswith("?") else None
+        o_var = obj[1:] if isinstance(obj, str) and obj.startswith("?") else None
+        if s_var is not None and s_var not in bound:
+            if (o_var is None) or (o_var in bound):
+                # roots only known on the object side: walk backwards
+                src, obj = obj, src
+                s_var, o_var = o_var, s_var
+                inv = not inv
+            else:
+                raise SparqlSyntaxError(
+                    "path needs one endpoint bound by the base patterns"
+                )
+        plan.append((src, pred, obj, mod, inv, s_var, o_var))
+        if o_var is not None:
+            bound.add(o_var)
+    missing = [v for v in select if v not in bound]
+    if missing:
+        raise SparqlSyntaxError(f"select vars not bound: {missing}")
+    for f in g.filters or []:
+        if not _filter_tree_vars(f) <= base_vars:
+            raise SparqlSyntaxError(
+                "FILTER over path-bound variables is unsupported"
+            )
+
+    need = set(select)
+    for src, pred, obj, mod, inv, s_var, o_var in plan:
+        need |= {v for v in (s_var, o_var) if v is not None}
+    base_sel = sorted(need & base_vars)
+    if not g.patterns:
+        raise SparqlSyntaxError(
+            "paths without base patterns need a concrete source "
+            "(the sole-path form)"
+        )
+    res = bgp.bgp_execute(
+        out_dir, g.patterns, base_sel, num_partitions=num_partitions,
+        distinct=False, stats=stats, filters=g.filters or None,
+    )
+    res_cols = list(base_sel)
+
+    for src, pred, obj, mod, inv, s_var, o_var in plan:
+        if s_var is not None:
+            roots: set[str] = set()
+            for b in res.iter_batches(batch_format="pyarrow"):
+                roots.update(
+                    v for v in pc.unique(b.column(s_var)).to_pylist()
+                    if v is not None
+                )
+            roots = sorted(roots)
+        else:
+            roots = [src]
+        pairs = bgp.path_closure_pairs(
+            out_dir, pred, list(roots), inverse=inv,
+            one_step=(mod == "?"),
+        ).to_pandas()
+        if mod in ("*", "?"):
+            # zero-length leg: every root reaches itself
+            pairs = pd.concat(
+                [pairs, pd.DataFrame({"src": list(roots),
+                                      "y": list(roots)})],
+                ignore_index=True,
+            ).drop_duplicates()
+        if o_var is not None and o_var not in res_cols:
+            # EXTEND: base row × its root's reached set
+            pdf = pairs.rename(columns={"y": o_var})
+
+            def extend(tb: pa.Table, _p=pdf, _sv=s_var, _ov=o_var,
+                       _src=src) -> pa.Table:
+                df = tb.to_pandas()
+                if _sv is not None:
+                    out = df.merge(_p, left_on=_sv, right_on="src")
+                    out = out.drop(columns=["src"])
+                else:
+                    rows = _p[_p["src"] == _src][[_ov]]
+                    out = df.merge(rows, how="cross")
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            res = res.map_batches(extend, batch_format="pyarrow")
+            res_cols.append(o_var)
+        else:
+            # SEMI-JOIN: keep rows whose (root, target) pair holds
+            tgt_col = o_var  # None → concrete obj
+            keyset = pa.array(
+                # "\n" separator: canonical N-Triples terms never contain
+                # a raw newline (and pandas object-Series concat silently
+                # drops NUL bytes, so "\x00" is NOT usable here)
+                (pairs["src"] + "\n" + pairs["y"]).tolist(),
+                type=pa.string(),
+            )
+
+            def keep(tb: pa.Table, _k=keyset, _sv=s_var, _tv=tgt_col,
+                     _src=src, _obj=obj) -> pa.Table:
+                n = tb.num_rows
+                s_arr = (pc.cast(tb.column(_sv), pa.string())
+                         if _sv is not None
+                         else pa.array([_src] * n, type=pa.string()))
+                t_arr = (pc.cast(tb.column(_tv), pa.string())
+                         if _tv is not None
+                         else pa.array([_obj] * n, type=pa.string()))
+                key = pc.binary_join_element_wise(s_arr, t_arr, "\n")
+                return tb.filter(
+                    pc.fill_null(pc.is_in(key, value_set=_k), False)
+                )
+
+            res = res.map_batches(keep, batch_format="pyarrow")
+
+    if set(res_cols) != set(select):
+        def proj(tb: pa.Table, _s=tuple(select)) -> pa.Table:
+            return tb.select(list(_s))
+
+        res = res.map_batches(proj, batch_format="pyarrow")
+    if distinct:
+        res = dedup_exact(res, cols=tuple(select), coalesce=True)
+    return res
+
+
 def _execute_where(out_dir: str, q: Query, select: list[str], *,
                    distinct: bool, num_partitions: int, pf_context, stats):
     """Lower the WHERE group onto the pipelines/bgp.py algebra entry points
@@ -2114,6 +2481,49 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
 
     g = q.where
     kw = dict(num_partitions=num_partitions, distinct=distinct)
+
+    if g.graph_enum:
+        # GRAPH x { } elements (empty BGP per named graph): sole-element
+        # subset — enumerate names / probe existence over the GSPO store
+        import ray.data as rd
+
+        from jena_ray.stages.dedup import dedup_exact
+        from jena_ray.stages.materialize import resolve_id_columns
+
+        if (g.patterns or g.paths or g.filters or g.optionals or g.minuses
+                or g.union or g.values or g.exists or g.subqueries
+                or g.star or len(g.graph_enum) != 1):
+            raise SparqlSyntaxError(
+                "GRAPH x { } combines with nothing else in this subset"
+            )
+        gt = g.graph_enum[0]
+        has_quads = os.path.isdir(os.path.join(out_dir, "gspo"))
+        if not gt.startswith("?"):
+            # existence probe: one empty solution iff the graph exists
+            import pandas as pd
+
+            n = 0
+            if has_quads:
+                from jena_ray.stages.quads import quad_pattern_scan
+
+                probe = quad_pattern_scan(out_dir, g=gt,
+                                          resolve_terms=False)
+                n = 1 if len(probe.limit(1).take(1)) > 0 else 0
+            return pd.DataFrame(index=range(n))
+        gvar = gt[1:]
+        if select != [gvar]:
+            raise SparqlSyntaxError(
+                "GRAPH ?g { } must select the graph variable"
+            )
+        if not has_quads:
+            return rd.from_arrow(
+                pa.table({gvar: pa.array([], type=pa.string())})
+            )
+        ids = rd.read_parquet(
+            os.path.join(out_dir, "gspo"), columns=["g_id"]
+        )
+        ids = dedup_exact(ids, cols=("g_id",), coalesce=True)
+        return resolve_id_columns(ids, out_dir, {"g_id": gvar})
 
     if g.star:
         return _execute_star_where(
@@ -2129,20 +2539,25 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
         )
 
     if g.paths:
-        if (len(g.paths) != 1 or g.patterns or g.optionals or g.minuses
-                or g.union or g.values or g.graph or g.exists):
-            raise SparqlSyntaxError(
-                "property paths are supported only as the sole pattern"
+        sole = (
+            len(g.paths) == 1 and not g.patterns and not g.optionals
+            and not g.minuses and not g.union and not g.values
+            and not g.graph and not g.exists and not g.filters
+            and isinstance(g.paths[0][0], str)
+            and not g.paths[0][0].startswith("?")
+            and isinstance(g.paths[0][2], str)
+            and g.paths[0][2].startswith("?")
+            and select == [g.paths[0][2][1:]]
+        )
+        if not sole:
+            # paths JOINED with triple patterns / several paths / bound
+            # endpoints: per-binding path evaluation batched over all
+            # roots (PathEngine's evaluation under a binding stream)
+            return _execute_bound_paths(
+                out_dir, g, select, distinct=distinct,
+                num_partitions=num_partitions, stats=stats,
             )
         src, pred, obj, mod, inv = g.paths[0]
-        if src.startswith("?") or not obj.startswith("?"):
-            raise SparqlSyntaxError(
-                "path subset: concrete source, variable object"
-            )
-        if g.filters:
-            raise SparqlSyntaxError("FILTER with a property path is unsupported")
-        if select != [obj[1:]]:
-            raise SparqlSyntaxError("path queries must select the object variable")
         if isinstance(mod, tuple) and mod[0] == "range":
             # p{n,m}: DISTINCT union of the k-step chains for k=n..m (the
             # draft alternation P{n}|…|P{m}, set semantics). One multi-arg
@@ -2628,7 +3043,7 @@ def _aggregate(sols, q: Query, *, num_buckets: int = 16):
 
     from jena_ray.stages.dedup import bucketed_group_apply
 
-    keys = list(q.group_by)
+    keys = list(q.group_by) + [alias for _e, alias, _n in q.group_exprs]
     aggs = list(q.aggs)
     ungrouped = not keys
     if ungrouped:
@@ -2790,6 +3205,20 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
 
     info = read_layout(out_dir)
     scan = _scan_pattern(out_dir, ("?s", "?p", "?o"), info)
+    if os.path.isdir(os.path.join(out_dir, "gspo")):
+        # DescribeBNodeClosure.java:53-70 describes the resource in the
+        # default model AND every named model — union the named-graph quads
+        # (projected to s/p/o; the quad store shares the NodeTable)
+        from jena_ray.stages.quads import quad_pattern_scan
+
+        def drop_g(tb: pa.Table) -> pa.Table:
+            return pa.table({"s": tb.column("s_id"), "p": tb.column("p_id"),
+                             "o": tb.column("o_id")})
+
+        scan = scan.union(
+            quad_pattern_scan(out_dir, resolve_terms=False)
+            .map_batches(drop_g, batch_format="pyarrow")
+        )
 
     rows: list[pa.Table] = []
     described: set[bytes] = set()
@@ -2831,6 +3260,9 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
         empty = pa.array([], type=pa.string())
         return pa.table({"subj": empty, "pred": empty, "obj": empty})
     allrows = pa.concat_tables(rows).rename_columns(["s_id", "p_id", "o_id"])
+    # the description is a GRAPH (set of triples): a triple present in
+    # several graphs of the dataset must appear once
+    allrows = allrows.group_by(["s_id", "p_id", "o_id"]).aggregate([])
     ds = rd.from_arrow(allrows)
     return resolve_id_columns(
         ds, out_dir, {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
@@ -3132,6 +3564,30 @@ def _dynamic_dataset(q: Query) -> str:
     return out
 
 
+def _group_has_solution(out_dir: str, g: "Group",
+                        *, num_partitions: int = 16) -> bool:
+    """Uncorrelated EXISTS probe (ElementExists over the unit solution —
+    ARQ Negation-01..06): does this plain-BGP group match the store at
+    all? Ground patterns use the existence probe; otherwise one BGP
+    execution limited to the first solution."""
+    from jena_ray.pipelines import bgp
+    from jena_ray.pipelines.bgp import is_var
+
+    if (g.union or g.optionals or g.minuses or g.paths or g.graph
+            or g.exists or g.binds or g.values or g.subqueries or g.star
+            or g.filters):
+        raise SparqlSyntaxError("EXISTS group must be a plain BGP")
+    gvars = sorted({t[1:] for p in g.patterns for t in p if is_var(t)})
+    if not gvars:
+        return all(
+            ground_pattern_holds(out_dir, p, num_partitions=num_partitions)
+            for p in g.patterns
+        )
+    res = bgp.bgp_execute(out_dir, g.patterns, gvars[:1],
+                          num_partitions=num_partitions, stats=False)
+    return len(res.limit(1).take(1)) > 0
+
+
 def ground_pattern_holds(out_dir: str, pattern: tuple,
                          *, num_partitions: int = 16) -> bool:
     """Existence probe for one fully-ground triple pattern (the ground-BGP
@@ -3206,13 +3662,20 @@ def sparql_query(
             # ground patterns with different subjects never do)
             g = q.where
             if (g.union or g.optionals or g.minuses or g.paths or g.graph
-                    or g.filters or g.exists):
+                    or g.filters):
                 raise SparqlSyntaxError("ground ASK must be a plain BGP")
             got = all(
                 ground_pattern_holds(out_dir, p,
                                      num_partitions=num_partitions)
                 for p in g.patterns
             )
+            # uncorrelated EXISTS / NOT EXISTS elements gate the unit
+            # solution (ARQ Negation-01..05)
+            for eg, negated in g.exists:
+                hit = _group_has_solution(out_dir, eg,
+                                          num_partitions=num_partitions)
+                if hit == negated:
+                    got = False
             return pa.table({"ask": pa.array([got], type=pa.bool_())})
         sel = sorted(wvars)[:1]
         res = _execute_where(out_dir, q, sel, distinct=False,
@@ -3228,37 +3691,78 @@ def sparql_query(
         if clash:
             raise SparqlSyntaxError(f"BIND reuses bound variables: {sorted(clash)}")
 
-    grouped = bool(q.group_by or q.aggs)
+    grouped = bool(q.group_by or q.aggs or q.group_exprs)
     if grouped and binds:
         raise SparqlSyntaxError("BIND with GROUP BY is not in the supported subset")
     if grouped:
-        needed = sorted(set(q.group_by)
-                        | {a.var for a in q.aggs if a.var is not None})
+        # group / aggregate / group-expr vars may be UNBOUND in the WHERE
+        # (ARQ "Group var does not occur", count-13): an unbound variable
+        # keys null (one group) and an aggregate over it sees only errors
+        # (COUNT → 0) — appended as null columns, never an error here
+        gexpr_vars: set[str] = set()
+        for e, _alias, _named in q.group_exprs:
+            gexpr_vars |= _bind_vars(e)
+        referenced = (set(q.group_by)
+                      | {a.var for a in q.aggs if a.var is not None}
+                      | gexpr_vars)
         if any(a.var is None and a.distinct for a in q.aggs):
             # COUNT(DISTINCT *) dedups WHOLE solution rows — every
             # in-scope variable must survive into the aggregate input
-            needed = sorted(set(needed) | wvars)
-        bad = [v for v in needed if v not in wvars]
-        if bad:
-            raise SparqlSyntaxError(f"GROUP BY/aggregate vars not bound: {bad}")
-        if not needed:
-            # pure COUNT(*) with no GROUP BY: carry one bound variable so
-            # solution MULTIPLICITY survives into the aggregate (an empty
-            # projection would collapse the solution bag)
-            if not wvars:
-                raise SparqlSyntaxError(
-                    "aggregates over a fully ground WHERE are unsupported"
-                )
-            needed = [sorted(wvars)[0]]
-        extra = [v for v in q.select if v not in q.group_by]
+            referenced |= wvars
+        unbound_vars = sorted(referenced - wvars)
+        needed = sorted(referenced & wvars)
+        named_aliases = {a for _e, a, named in q.group_exprs if named}
+        extra = [v for v in q.select
+                 if v not in q.group_by and v not in named_aliases]
         if extra:
             raise SparqlSyntaxError(
                 f"non-grouped variables in SELECT: {extra}"
             )
         # bag semantics under the projection: solutions keep multiplicity
-        sols = _execute_where(out_dir, q, needed, distinct=False,
-                              num_partitions=num_partitions,
-                              pf_context=pf_context, stats=stats)
+        if needed:
+            sols = _execute_where(out_dir, q, needed, distinct=False,
+                                  num_partitions=num_partitions,
+                                  pf_context=pf_context, stats=stats)
+        elif wvars:
+            # nothing referenced is bound: carry one bound variable so
+            # solution MULTIPLICITY survives into the aggregate (an empty
+            # projection would collapse the solution bag)
+            sols = _execute_where(out_dir, q, [sorted(wvars)[0]],
+                                  distinct=False,
+                                  num_partitions=num_partitions,
+                                  pf_context=pf_context, stats=stats)
+        else:
+            # fully ground WHERE (GroupBy "Zero data"): ONE unit solution
+            # iff every ground pattern holds, else zero groups
+            import ray.data as rd
+
+            g2 = q.where
+            if (g2.union or g2.optionals or g2.minuses or g2.paths
+                    or g2.graph or g2.filters or g2.exists
+                    or g2.subqueries):
+                raise SparqlSyntaxError(
+                    "aggregates over a non-BGP ground WHERE are unsupported"
+                )
+            n_unit = 1 if all(
+                ground_pattern_holds(out_dir, p,
+                                     num_partitions=num_partitions)
+                for p in g2.patterns
+            ) else 0
+            sols = rd.from_arrow(pa.table(
+                {"__unit": pa.array([0] * n_unit, type=pa.int8())}
+            ))
+        if q.group_exprs or unbound_vars:
+            def add_group_keys(tb: pa.Table, _ge=tuple(q.group_exprs),
+                               _uk=tuple(unbound_vars)) -> pa.Table:
+                for v in _uk:
+                    tb = tb.append_column(
+                        v, pa.array([None] * tb.num_rows, type=pa.string())
+                    )
+                for e, alias, _named in _ge:
+                    tb = tb.append_column(alias, _eval_bind(tb, e))
+                return tb
+
+            sols = sols.map_batches(add_group_keys, batch_format="pyarrow")
         res = _aggregate(sols, q, num_buckets=num_partitions)
         if q.having:
             known = set(q.group_by) | {a.alias for a in q.aggs}
@@ -3290,7 +3794,9 @@ def sparql_query(
 
             res = res.map_batches(apply_exprs, batch_format="pyarrow")
         out_cols = (
-            (q.select or ([] if q.select_exprs else q.group_by))
+            (q.select or ([] if q.select_exprs
+                          else q.group_by + [a for _e, a, named
+                                             in q.group_exprs if named]))
             + [a.alias for a in q.aggs if not a.alias.startswith("__agg")]
             + [v for _, v in q.select_exprs]
         )
@@ -3309,7 +3815,14 @@ def sparql_query(
             sel = q.select
         missing = [v for v in sel if v not in wvars and v not in bind_names]
         if missing and set(missing) == set(sel):
-            raise SparqlSyntaxError(f"no SELECT var bound in WHERE: {missing}")
+            if binds or wvars:
+                raise SparqlSyntaxError(
+                    f"no SELECT var bound in WHERE: {missing}"
+                )
+            # nothing in the WHERE ever binds: each solution binds NOTHING
+            # for the selected vars — n empty rows, the zero-variable
+            # shape (ARQ Negation-06 SELECT ?x ?z { EXISTS {...} })
+            sel = []
         if not sel and not binds:
             # ZERO projectable variables — ground patterns, constant
             # FILTERs, or bnode-placeholder vars only (SELECT * { :x :p
@@ -3319,9 +3832,33 @@ def sparql_query(
             import pandas as pd
 
             g = q.where
+            if not wvars and g.graph_enum:
+                # GRAPH <iri> { } existence probe drives the row count
+                # (ARQ Dataset graph-10)
+                res0 = _execute_where(out_dir, q, [], distinct=False,
+                                      num_partitions=num_partitions,
+                                      pf_context=pf_context, stats=stats)
+                n = len(res0)
+                if (q.distinct or q.reduced) and n > 1:
+                    n = 1
+                if q.offset:
+                    n = max(0, n - q.offset)
+                if q.limit is not None:
+                    n = min(n, q.limit)
+                return pd.DataFrame(index=range(n))
             if not wvars:
-                if (g.union or g.optionals or g.minuses or g.paths
-                        or g.graph or g.exists or g.subqueries):
+                # an entirely EMPTY optional group is the identity left
+                # join (OPTIONAL {} — ARQ filter-equality-07); any other
+                # non-BGP element is out of subset here
+                def _empty_grp(og: "Group") -> bool:
+                    return not (og.patterns or og.paths or og.filters
+                                or og.optionals or og.minuses or og.exists
+                                or og.binds or og.union or og.values
+                                or og.graph or og.subqueries or og.star)
+
+                if (g.union or g.minuses or g.paths
+                        or g.graph or g.subqueries
+                        or not all(_empty_grp(o) for o in g.optionals)):
                     raise SparqlSyntaxError(
                         "zero-variable WHERE shape unsupported"
                     )
@@ -3330,6 +3867,11 @@ def sparql_query(
                     if not ground_pattern_holds(
                         out_dir, p, num_partitions=num_partitions
                     ):
+                        n = 0
+                for eg, negated in g.exists:
+                    hit = _group_has_solution(out_dir, eg,
+                                              num_partitions=num_partitions)
+                    if hit == negated:
                         n = 0
                 for f in g.filters or []:
                     # every referenced variable is unbound: the same
