@@ -321,7 +321,7 @@ def _is_pf_pattern(p: Pattern) -> bool:
 _ID_FILTER_OPS = {"=", "!=", "bound", "!bound"}
 _NUM_FILTER_OPS = {"<", "<=", ">", ">=", "=", "!="}
 _STR_FILTER_OPS = {"regex", "strstarts", "strends", "contains", "lang",
-                   "langmatches"}
+                   "langmatches", "notlangmatches", "regexvar"}
 
 # canonical-NT lexical extraction: IRI <...>, literal "..." (suffix ignored)
 _RE_IRI = r"^<(?P<v>.*)>$"
@@ -1147,14 +1147,16 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
             ">=": pc.greater_equal, "=": pc.equal, "!=": pc.not_equal,
         }[op]
         mask = kern(v, float(f[2]))
-    elif op in ("lang", "langmatches"):
+    elif op in ("lang", "langmatches", "notlangmatches"):
         # lang() is only defined on literals (type error drops the row).
         # langMatches uses BCP-47 basic ranges: case-insensitive, "*" = any
         # non-empty tag, "en" matches "en" and "en-GB" (E_LangMatches);
-        # plain LANG(?x) = "tag" stays an exact string compare.
+        # plain LANG(?x) =/!= "tag" stays an exact string compare.
+        # notlangmatches = E_LogicalNot(E_LangMatches): inverted match but
+        # non-literal rows stay errors (dropped) — the is_lit AND holds.
         is_lit = pc.starts_with(pc.cast(col, pa.string()), '"')
         lv = _lang_value(col)
-        if op == "langmatches":
+        if op in ("langmatches", "notlangmatches"):
             rng = f[2].lower()
             lvl = pc.utf8_lower(lv)
             if rng == "*":
@@ -1162,9 +1164,44 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
             else:
                 m = pc.or_(pc.equal(lvl, rng),
                            pc.starts_with(lvl, rng + "-"))
+            if op == "notlangmatches":
+                m = pc.invert(m)
         else:
             m = pc.equal(lv, f[2])
+            if len(f) > 3 and f[3]:
+                m = pc.invert(m)
         mask = pc.and_(is_lit, m)
+    elif op == "regexvar":
+        # E_Regex with a VARIABLE pattern (ARQ regex-3/4): group rows by
+        # distinct pattern value per batch, one compiled regex per group
+        # (patterns are literals; non-literal/unbound patterns are type
+        # errors → dropped)
+        import re as _re
+
+        pat_col = tb.column(col_for(f[2][1:]))
+        sv = _str_value(col).to_pylist()
+        pats = _lit_value(pat_col).to_pylist()
+        if len(f) > 3 and f[3] is not None:
+            flags = _lit_value(tb.column(col_for(f[3][1:]))).to_pylist()
+        else:
+            flags = [""] * tb.num_rows
+        out = []
+        cache: dict[tuple, object] = {}
+        for v, p, fl in zip(sv, pats, flags):
+            if v is None or p is None or fl is None:
+                out.append(False)
+                continue
+            key = (p, fl)
+            rx = cache.get(key)
+            if rx is None:
+                try:
+                    rx = cache[key] = _re.compile(
+                        f"(?{fl})" + p if fl else p
+                    )
+                except _re.error:
+                    rx = cache[key] = False
+            out.append(bool(rx.search(v)) if rx is not False else False)
+        return pa.array(out, type=pa.bool_())
     else:
         # 4th tuple slot: STR(...) applied → effective string value;
         # absent/False → literal lexical only (type error on IRIs/bnodes

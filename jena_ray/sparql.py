@@ -1316,16 +1316,6 @@ class Parser:
                     iris.append(pred)
                 steps = [(("alt", *iris), False, None)]
             if len(steps) > 1:
-                # a closure modifier is allowed on the LAST step only:
-                # p1/p2* desugars to a chain into a fresh variable plus a
-                # path entry from it (PathCompiler splits P_Seq the same
-                # way — Paths path-20..22 rdf:type/rdfs:subClassOf*)
-                for pred, _inv, mod in steps[:-1]:
-                    if mod is not None:
-                        raise SparqlSyntaxError(
-                            "closure modifiers are supported only on the "
-                            "last step of a '/' sequence"
-                        )
                 for pred, _inv, mod in steps:
                     if isinstance(pred, tuple) or pred.startswith("?"):
                         raise SparqlSyntaxError(
@@ -1346,21 +1336,27 @@ class Parser:
                     if isinstance(pred, str) and pred.startswith("?"):
                         raise SparqlSyntaxError("variables not allowed in paths")
                     g.paths.append((subj, pred, obj, mod, inv))
-                elif len(steps) > 1 and steps[-1][2] is not None:
-                    # trailing-closure sequence: chain the plain prefix
-                    # steps through fresh variables, then a path entry
-                    # from the last fresh node
+                elif len(steps) > 1 and any(s[2] is not None for s in steps):
+                    # mixed sequence with closure step(s): plain steps
+                    # chain through fresh variables as patterns, each
+                    # closure step becomes a path entry from its chain
+                    # node (PathCompiler splits P_Seq the same way —
+                    # type/subClassOf*, p+/label)
                     if template_out is not None:
                         raise SparqlSyntaxError("property path in template")
                     node = subj
-                    for pred, inv, _mod in steps[:-1]:
-                        nxt = f"?__seq{self._seq}"
-                        self._seq += 1
-                        trip = (nxt, pred, node) if inv else (node, pred, nxt)
-                        g.patterns.append(trip)
+                    for i, (pred, inv, mod) in enumerate(steps):
+                        last = i == len(steps) - 1
+                        nxt = obj if last else f"?__seq{self._seq}"
+                        if not last:
+                            self._seq += 1
+                        if mod is None:
+                            trip = ((nxt, pred, node) if inv
+                                    else (node, pred, nxt))
+                            g.patterns.append(trip)
+                        else:
+                            g.paths.append((node, pred, nxt, mod, inv))
                         node = nxt
-                    lp, li, lm = steps[-1]
-                    g.paths.append((node, lp, obj, lm, li))
                 else:
                     # desugar: inverse swaps slots; sequences chain through
                     # fresh variables (P_Seq → conjunctive BGP, the
@@ -1540,6 +1536,20 @@ class Parser:
                 if v.kind != "VAR":
                     raise SparqlSyntaxError("BOUND needs a variable")
                 return ("!bound" if neg else "bound", "?" + v.text[1:])
+            if neg and fn == "LANGMATCHES":
+                # E_LogicalNot(E_LangMatches) — inverted range match,
+                # non-literal operands stay type errors (ExprBuiltIns
+                # LangMatches-4)
+                self.next()
+                self.expect_op("(")
+                var = self._parse_lang_arg()
+                self.expect_op(",")
+                s = self.next()
+                self.expect_op(")")
+                if s.kind != "STRING":
+                    raise SparqlSyntaxError("LANGMATCHES range must be a string")
+                return ("notlangmatches", var,
+                        unescape_string(s.text[1:-1]).lower())
             if neg:
                 raise SparqlSyntaxError(f"'!' only supported before BOUND, not {fn}")
             if (fn == "STR" and self.peek(1).kind == "OP"
@@ -1594,6 +1604,23 @@ class Parser:
                 self.expect_op("(")
                 var, wrapped = self._parse_str_arg()
                 self.expect_op(",")
+                if fn == "REGEX" and self.peek().kind == "VAR":
+                    # E_Regex with a VARIABLE pattern (and optionally
+                    # variable flags — ARQ regex-3/4): per-distinct-pattern
+                    # compile at evaluation
+                    pv = self.next()
+                    fv = None
+                    if self.at_op(","):
+                        self.next()
+                        fvt = self.next()
+                        if fvt.kind != "VAR":
+                            raise SparqlSyntaxError(
+                                "REGEX with a variable pattern takes "
+                                "variable flags"
+                            )
+                        fv = "?" + fvt.text[1:]
+                    self.expect_op(")")
+                    return ("regexvar", var, "?" + pv.text[1:], fv)
                 s = self.next()
                 if s.kind != "STRING":
                     raise SparqlSyntaxError(f"{fn} pattern must be a string")
@@ -1625,11 +1652,16 @@ class Parser:
                 return ("langmatches", var, unescape_string(s.text[1:-1]).lower())
             if fn == "LANG":
                 var = self._parse_lang_arg()
-                self.expect_op("=")
+                op_t = self.next()
+                if op_t.kind != "OP" or op_t.text not in ("=", "!="):
+                    raise SparqlSyntaxError(
+                        "LANG(...) compares with = / != to a string"
+                    )
                 s = self.next()
                 if s.kind != "STRING":
                     raise SparqlSyntaxError("LANG(...) compares to a string")
-                return ("lang", var, unescape_string(s.text[1:-1]))
+                return ("lang", var, unescape_string(s.text[1:-1]),
+                        op_t.text == "!=")
         if neg:
             raise SparqlSyntaxError("'!' only supported before BOUND")
         # comparison: additive-expr (OP additive-expr | IN (...) | NOT IN (...))
@@ -2386,16 +2418,21 @@ def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
     for src, pred, obj, mod, inv, s_var, o_var in plan:
         need |= {v for v in (s_var, o_var) if v is not None}
     base_sel = sorted(need & base_vars)
-    if not g.patterns:
-        raise SparqlSyntaxError(
-            "paths without base patterns need a concrete source "
-            "(the sole-path form)"
+    if g.patterns:
+        res = bgp.bgp_execute(
+            out_dir, g.patterns, base_sel, num_partitions=num_partitions,
+            distinct=False, stats=stats, filters=g.filters or None,
         )
-    res = bgp.bgp_execute(
-        out_dir, g.patterns, base_sel, num_partitions=num_partitions,
-        distinct=False, stats=stats, filters=g.filters or None,
-    )
-    res_cols = list(base_sel)
+        res_cols = list(base_sel)
+    else:
+        # pure path chain from a concrete endpoint (p+/q* …): start from
+        # the unit solution and let the first path extend it
+        import ray.data as rd
+
+        res = rd.from_arrow(
+            pa.table({"__unit": pa.array([0], type=pa.int8())})
+        )
+        res_cols = []
 
     for src, pred, obj, mod, inv, s_var, o_var in plan:
         if s_var is not None:
@@ -3706,9 +3743,11 @@ def sparql_query(
                       | {a.var for a in q.aggs if a.var is not None}
                       | gexpr_vars)
         if any(a.var is None and a.distinct for a in q.aggs):
-            # COUNT(DISTINCT *) dedups WHOLE solution rows — every
-            # in-scope variable must survive into the aggregate input
-            referenced |= wvars
+            # COUNT(DISTINCT *) dedups WHOLE solution rows — every USER
+            # variable must survive into the aggregate input (internal
+            # "__"-prefixed path/sequence hops are not part of the
+            # solution — Extra count-distinct-star pins this)
+            referenced |= {v for v in wvars if not v.startswith("__")}
         unbound_vars = sorted(referenced - wvars)
         needed = sorted(referenced & wvars)
         named_aliases = {a for _e, a, named in q.group_exprs if named}

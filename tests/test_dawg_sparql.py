@@ -410,11 +410,11 @@ ARQ_SUITES: dict[str, int] = {
     "Expr": 4,
     "Expr1": 3,
     "Expr2": 6,
-    "ExprBuiltIns": 12,
+    "ExprBuiltIns": 18,
     "ExprDatatypes": 3,
     "ExprEquals": 9,
-    "ExprRegex": 3,
-    "Extra": 1,
+    "ExprRegex": 5,
+    "Extra": 2,
     "GroupBy": 33,
     "Negation": 8,
     "OpenWorld": 16,

@@ -83,6 +83,20 @@ def test_parse_terms_and_abbreviations():
     assert pats[2][2].startswith('"4.5"^^')
 
 
+def test_parse_bnode_property_list():
+    # [ p o ] — BlankNodePropertyList desugars to a fresh scoped variable
+    # plus its own patterns (TriplesNode expansion)
+    q = parse_query(PFX + "SELECT ?s WHERE { ?s ex:p [ ex:q 1 ; ex:r ?v ] }")
+    pats = q.where.patterns
+    outer = [p for p in pats if p[0] == "?s"]
+    assert len(outer) == 1 and outer[0][1] == "<http://ex.org/p>"
+    node = outer[0][2]
+    assert node.startswith("?__bn")
+    assert (node, "<http://ex.org/q>",
+            '"1"^^<http://www.w3.org/2001/XMLSchema#integer>') in pats
+    assert (node, "<http://ex.org/r>", "?v") in pats
+
+
 def test_parse_base_resolution():
     q = parse_query("BASE <http://ex.org/a/> SELECT ?x WHERE { ?x <b> <../c> }")
     assert q.where.patterns[0][1] == "<http://ex.org/a/b>"
@@ -94,7 +108,6 @@ def test_parse_base_resolution():
     [
         "SELECT WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o } FOO",
-        PFX + "SELECT ?s WHERE { ?s ex:p [ ex:q 1 ] }",
         PFX + 'SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o + "a" = 2) }',
         "SELECT ?s WHERE { ?s undefined:p ?o }",
         # constructs inside GRAPH braces would silently be dropped
