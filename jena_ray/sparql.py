@@ -193,10 +193,16 @@ class UpdateOp:
     carries delete/insert templates instantiated per WHERE solution
     (DELETE WHERE is a modify whose delete template IS the pattern)."""
 
-    kind: str  # insert_data / delete_data / modify
+    kind: str  # insert_data / delete_data / modify / clear / drop / create
+    #           / add / copy / move (graph management — UpdateClear/
+    #           UpdateDrop/UpdateCreate/UpdateAdd/UpdateCopy/UpdateMove)
     insert: list[tuple] | None = None
     delete: list[tuple] | None = None
     where: "Group | None" = None
+    # graph-management operands: '<iri>' | 'default' | 'named' | 'all'
+    graph_src: str | None = None
+    graph_dst: str | None = None
+    silent: bool = False
 
 
 @dataclass
@@ -424,8 +430,52 @@ class Parser:
         return q
 
     # -- update requests (ParserSPARQL11Update / UpdateEngineMain lineage)
+    def _graph_ref(self, *, allow_sets: bool) -> str:
+        """GraphRef / GraphOrDefault operand: DEFAULT | [GRAPH] iri,
+        plus NAMED / ALL for CLEAR and DROP."""
+        if self.take_kw("DEFAULT"):
+            return "default"
+        if allow_sets and self.take_kw("NAMED"):
+            return "named"
+        if allow_sets and self.take_kw("ALL"):
+            return "all"
+        self.take_kw("GRAPH")  # optional in GraphOrDefault, required in
+        # GraphRef — accepting both is a superset of the grammar
+        t = self.next()
+        if t.kind not in ("IRIREF", "PNAME"):
+            raise SparqlSyntaxError(f"expected a graph IRI at {t.text!r}")
+        return self._iri(t)
+
     def parse_update(self) -> UpdateOp:
         self._parse_prologue()
+        # graph management (UpdateClear.java / UpdateDrop.java /
+        # UpdateCreate.java / UpdateAdd/Copy/Move — update/ in jena-arq)
+        for kw, kind in (("CLEAR", "clear"), ("DROP", "drop")):
+            if self.take_kw(kw):
+                silent = self.take_kw("SILENT")
+                op = UpdateOp(kind, silent=silent,
+                              graph_src=self._graph_ref(allow_sets=True))
+                self._end_update()
+                return op
+        if self.take_kw("CREATE"):
+            silent = self.take_kw("SILENT")
+            self.expect_kw("GRAPH")
+            t = self.next()
+            if t.kind not in ("IRIREF", "PNAME"):
+                raise SparqlSyntaxError(f"expected a graph IRI at {t.text!r}")
+            op = UpdateOp("create", silent=silent, graph_src=self._iri(t))
+            self._end_update()
+            return op
+        for kw, kind in (("ADD", "add"), ("COPY", "copy"), ("MOVE", "move")):
+            if self.take_kw(kw):
+                silent = self.take_kw("SILENT")
+                src = self._graph_ref(allow_sets=False)
+                self.expect_kw("TO")
+                dst = self._graph_ref(allow_sets=False)
+                op = UpdateOp(kind, silent=silent, graph_src=src,
+                              graph_dst=dst)
+                self._end_update()
+                return op
         if self.take_kw("INSERT"):
             if self.take_kw("DATA"):
                 op = UpdateOp("insert_data", insert=self._parse_ground_block())
@@ -461,6 +511,10 @@ class Parser:
             raise SparqlSyntaxError(
                 f"expected INSERT or DELETE at {self.peek().text!r}"
             )
+        self._end_update()
+        return op
+
+    def _end_update(self) -> None:
         t = self.peek()
         if t.kind == "OP" and t.text == ";":
             raise SparqlSyntaxError(
@@ -468,7 +522,6 @@ class Parser:
             )
         if t.kind != "EOF":
             raise SparqlSyntaxError(f"unexpected trailing input at {t.text!r}")
-        return op
 
     def _parse_template_block(self) -> list[tuple]:
         self.expect_op("{")
@@ -486,11 +539,41 @@ class Parser:
         return template
 
     def _parse_ground_block(self) -> list[tuple]:
-        tmpl = self._parse_template_block()
-        for trip in tmpl:
+        """QuadData: ``{ triples… GRAPH <g> { triples… } … }`` → mixed
+        ground 3-tuples (default graph) and 4-tuples ``(g, s, p, o)``
+        (the Quads production restricted to ground terms)."""
+        self.expect_op("{")
+        out: list[tuple] = []
+        g = Group()
+        self._in_template = True
+        try:
+            while not self.at_op("}"):
+                if self.take_kw("GRAPH"):
+                    t = self.next()
+                    if t.kind not in ("IRIREF", "PNAME"):
+                        raise SparqlSyntaxError(
+                            f"QuadData names a graph IRI, got {t.text!r}"
+                        )
+                    giri = self._iri(t)
+                    self.expect_op("{")
+                    inner: list[tuple] = []
+                    while not self.at_op("}"):
+                        self._parse_triples_into(g, template_out=inner)
+                        if self.at_op("."):
+                            self.next()
+                    self.expect_op("}")
+                    out.extend((giri, *tr) for tr in inner)
+                else:
+                    self._parse_triples_into(g, template_out=out)
+                if self.at_op("."):
+                    self.next()
+        finally:
+            self._in_template = False
+        self.expect_op("}")
+        for trip in out:
             if any(t.startswith("?") for t in trip):
                 raise SparqlSyntaxError(f"DATA block must be ground: {trip}")
-        return tmpl
+        return out
 
     def _parse_prologue(self) -> None:
         while True:

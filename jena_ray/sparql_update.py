@@ -129,11 +129,191 @@ def _set_minus(cur, dele, num_partitions: int):
     )
 
 
+def _quads_dataset(quads: list[tuple]):
+    import ray.data as rd
+
+    cols = ("graph", "subj", "pred", "obj")
+    return rd.from_arrow(
+        pa.table({c: pa.array([q[i] for q in quads], type=pa.string())
+                  for i, c in enumerate(cols)})
+    )
+
+
+def _dataset_update(out_dir: str, op: UpdateOp, *, num_partitions: int):
+    """Graph management + GRAPH-qualified DATA over an RDF-dataset store
+    (UpdateClear/Drop/Create/Add/Copy/Move + quad INSERT/DELETE DATA —
+    jena-arq update/UpdateEngineWorker.java): batch semantics, like the
+    triple path — snapshot the default graph + named quads in term space,
+    apply the op, rebuild the whole store (materialize_rdf_dataset) and
+    swap. TDB storage semantics: named graphs exist implicitly, so CREATE
+    is a no-op and CLEAR/DROP of an absent graph succeeds (DatasetGraphTDB
+    — the SILENT flag never matters here)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.pipelines.bgp import _scan_pattern
+    from jena_ray.stages.dedup import dedup_exact
+    from jena_ray.stages.materialize import read_layout, resolve_id_columns
+    from jena_ray.stages.quads import materialize_rdf_dataset, quad_pattern_scan
+
+    info = read_layout(out_dir)
+    if not info.get("quads"):
+        raise SparqlSyntaxError(
+            "graph-qualified updates need an RDF-dataset store "
+            "(materialize_rdf_dataset layout)"
+        )
+
+    # term-space snapshots (the store is immutable until the swap)
+    ids = _scan_pattern(out_dir, ("?s", "?p", "?o"), info)
+    tri = resolve_id_columns(
+        ids, out_dir, {"s": "subj", "p": "pred", "o": "obj"}
+    ).map_batches(lambda t: t.select(["subj", "pred", "obj"]),
+                  batch_format="pyarrow")
+    qds = quad_pattern_scan(out_dir)
+
+    def sel(ds, g):
+        return ds.map_batches(
+            lambda t, _g=g: t.filter(pc.equal(t.column("graph"), _g)),
+            batch_format="pyarrow",
+        )
+
+    def drop_graph_col(ds):
+        return ds.map_batches(
+            lambda t: t.select(["subj", "pred", "obj"]),
+            batch_format="pyarrow",
+        )
+
+    def with_graph(ds, g):
+        return ds.map_batches(
+            lambda t, _g=g: pa.table({
+                "graph": pa.array([_g] * t.num_rows, type=pa.string()),
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "obj": t.column("obj"),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def not_graph(ds, g):
+        return ds.map_batches(
+            lambda t, _g=g: t.filter(
+                pc.invert(pc.equal(t.column("graph"), _g))
+            ),
+            batch_format="pyarrow",
+        )
+
+    empty_tri = rd.from_arrow(pa.table(
+        {c: pa.array([], type=pa.string()) for c in ("subj", "pred", "obj")}
+    ))
+    empty_quads = rd.from_arrow(pa.table(
+        {c: pa.array([], type=pa.string())
+         for c in ("graph", "subj", "pred", "obj")}
+    ))
+
+    k, src, dst = op.kind, op.graph_src, op.graph_dst
+    new_tri, new_quads = tri, qds
+    if k == "create":
+        # graphs exist implicitly (TDB): validate only
+        return {"changed": False}
+    if k in ("clear", "drop"):
+        # CLEAR empties; DROP removes — identical on implicit-graph storage
+        if src == "default":
+            new_tri = empty_tri
+        elif src == "named":
+            new_quads = empty_quads
+        elif src == "all":
+            new_tri, new_quads = empty_tri, empty_quads
+        else:
+            new_quads = not_graph(qds, src)
+    elif k in ("add", "copy", "move"):
+        if src == dst:
+            return {"changed": False}
+        content = drop_graph_col(sel(qds, src)) if src != "default" else tri
+        if k in ("copy", "move") and dst != "default":
+            # destination is REPLACED by the source content (ADD keeps it)
+            new_quads = not_graph(qds, dst)
+        if dst == "default":
+            new_tri = (content if k in ("copy", "move")
+                       else tri.union(content))
+        else:
+            new_quads = new_quads.union(with_graph(content, dst))
+        if k == "move":
+            if src == "default":
+                new_tri = empty_tri
+            else:
+                new_quads = not_graph(new_quads, src)
+    elif k in ("insert_data", "delete_data"):
+        rows = op.insert if k == "insert_data" else op.delete
+        tri_rows = [t for t in rows if len(t) == 3]
+        quad_rows = [t for t in rows if len(t) == 4]
+        if k == "insert_data":
+            if tri_rows:
+                new_tri = tri.union(_ground_dataset(tri_rows))
+            if quad_rows:
+                new_quads = qds.union(_quads_dataset(quad_rows))
+        else:
+            if tri_rows:
+                new_tri = _set_minus(tri, _ground_dataset(tri_rows),
+                                     num_partitions)
+            if quad_rows:
+                key = {(g, s, p, o) for g, s, p, o in quad_rows}
+
+                def drop_quads(t: pa.Table, _k=key) -> pa.Table:
+                    import pandas as pd
+
+                    df = t.to_pandas()
+                    mask = [
+                        (g, s, p, o) not in _k
+                        for g, s, p, o in zip(df["graph"], df["subj"],
+                                              df["pred"], df["obj"])
+                    ]
+                    return t.filter(pa.array(mask, type=pa.bool_()))
+
+                new_quads = qds.map_batches(drop_quads,
+                                            batch_format="pyarrow")
+    else:
+        raise SparqlSyntaxError(
+            f"unsupported update kind on a dataset store: {k}"
+        )
+
+    new_tri = dedup_exact(new_tri, cols=("subj", "pred", "obj"))
+    new_quads = dedup_exact(new_quads,
+                            cols=("graph", "subj", "pred", "obj"))
+    # snapshot to parquet BEFORE the rebuild deletes the dirs both
+    # snapshots lazily read from
+    snap = os.path.join(out_dir, "_update_snapshot")
+    shutil.rmtree(snap, ignore_errors=True)
+    new_tri.write_parquet(os.path.join(snap, "tri"))
+    new_quads.write_parquet(os.path.join(snap, "quads"))
+
+    def read_or_empty(path: str, cols: tuple[str, ...]):
+        has = os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+        if not has:
+            return rd.from_arrow(pa.table(
+                {c: pa.array([], type=pa.string()) for c in cols}
+            ))
+        return rd.read_parquet(path)
+
+    materialize_rdf_dataset(
+        out_dir,
+        read_or_empty(os.path.join(snap, "tri"), ("subj", "pred", "obj")),
+        read_or_empty(os.path.join(snap, "quads"),
+                      ("graph", "subj", "pred", "obj")),
+        num_buckets=info["num_buckets"],
+        min_rows_per_file=info.get("min_rows_per_file", 500_000),
+    )
+    shutil.rmtree(snap, ignore_errors=True)
+    return {"changed": True}
+
+
 def sparql_update(out_dir: str, update: str | UpdateOp, *,
                   num_partitions: int = 16):
     """Parse + apply one SPARQL Update request to the index at ``out_dir``.
 
-    Returns ``{"triples_before": n, "triples_after": m}``.
+    Returns ``{"triples_before": n, "triples_after": m}`` for triple-store
+    data updates; graph-management / quad-data requests over an
+    RDF-dataset store return ``{"changed": bool}``.
     """
     import ray.data as rd
 
@@ -141,6 +321,12 @@ def sparql_update(out_dir: str, update: str | UpdateOp, *,
     from jena_ray.stages.materialize import materialize_indexes, read_layout
 
     op = Parser(update).parse_update() if isinstance(update, str) else update
+
+    if op.kind in ("clear", "drop", "create", "add", "copy", "move") or (
+        op.kind in ("insert_data", "delete_data")
+        and any(len(t) == 4 for t in (op.insert or op.delete or []))
+    ):
+        return _dataset_update(out_dir, op, num_partitions=num_partitions)
 
     if op.kind == "insert_data":
         inserts, deletes = _ground_dataset(op.insert), None

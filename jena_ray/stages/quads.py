@@ -117,10 +117,14 @@ def materialize_rdf_dataset(
                        exploded=True)
 
     # triple permutations (default graph); an empty default graph writes
-    # no index dirs — the pattern scan treats a missing index as empty
+    # no index dirs — the pattern scan treats a missing index as empty.
+    # Remove ALL old permutation dirs up front: the build loop breaks
+    # early on an empty primary, and a stale secondary from a previous
+    # materialization must not survive (CLEAR DEFAULT rebuild)
+    for order in ("spo", "pos", "osp"):
+        shutil.rmtree(os.path.join(out_dir, order), ignore_errors=True)
     for i, order in enumerate(("spo", "pos", "osp")):
         path = os.path.join(out_dir, order)
-        shutil.rmtree(path, ignore_errors=True)
         if i == 0:
             src = tri_ids.map_batches(
                 lambda t: t.select(["s_id", "p_id", "o_id"]),
@@ -288,6 +292,14 @@ def quad_pattern_scan(
                 {c: pa.array([], type=pa.string()) for c in ("graph", "subj", "pred", "obj")}
             )
             return rd.from_arrow(empty)
+    if not os.path.isdir(path):
+        # a dataset whose named graphs were all removed (CLEAR NAMED/ALL)
+        # has no quad index dirs — an empty store, not an error
+        empty = pa.table(
+            {c: pa.array([], type=pa.string())
+             for c in ("graph", "subj", "pred", "obj")}
+        )
+        return rd.from_arrow(empty)
     expr = None
     for idc, val in bound_ids.items():
         if val is None:

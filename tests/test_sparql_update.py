@@ -107,3 +107,119 @@ def test_update_rejects(small_index):
             small_index,
             PFX + 'INSERT DATA { ex:a ex:b "c" } ; DELETE DATA { ex:a ex:b "c" }',
         )
+
+
+# ------------------------------------------------- graph management (quads)
+
+@pytest.fixture()
+def dataset_index(ray_session, tmp_path):
+    """RDF-dataset store: 2 default triples + 2 named graphs (g1: 2 quads,
+    g2: 1 quad) — the UpdateClear/Drop/Add/Copy/Move target shape."""
+    import ray.data as rd
+
+    from jena_ray.stages.quads import materialize_rdf_dataset
+
+    out = str(tmp_path / "dsidx")
+    tri = pa.table({
+        "subj": pa.array(["<http://ex.org/a>", "<http://ex.org/b>"]),
+        "pred": pa.array(["<http://ex.org/p>"] * 2),
+        "obj": pa.array(['"1"', '"2"']),
+    })
+    quads = pa.table({
+        "graph": pa.array(["<http://ex.org/g1>", "<http://ex.org/g1>",
+                           "<http://ex.org/g2>"]),
+        "subj": pa.array(["<http://ex.org/x>", "<http://ex.org/y>",
+                          "<http://ex.org/z>"]),
+        "pred": pa.array(["<http://ex.org/q>"] * 3),
+        "obj": pa.array(['"g1a"', '"g1b"', '"g2a"']),
+    })
+    materialize_rdf_dataset(out, rd.from_arrow(tri), rd.from_arrow(quads),
+                            num_buckets=2, min_rows_per_file=1000)
+    return out
+
+
+def _store_state(idx):
+    """(default-triple count, {graph: quad count}) via full scans."""
+    from collections import Counter
+
+    from jena_ray.pipelines.bgp import _scan_pattern
+    from jena_ray.stages.materialize import read_layout
+    from jena_ray.stages.quads import quad_pattern_scan
+
+    info = read_layout(idx)
+    n_tri = _scan_pattern(idx, ("?s", "?p", "?o"), info).count()
+    per = Counter()
+    for b in quad_pattern_scan(idx).iter_batches(batch_format="pyarrow"):
+        per.update(b.column("graph").to_pylist())
+    return n_tri, dict(per)
+
+
+def test_clear_named_graph(dataset_index):
+    sparql_update(dataset_index, "CLEAR GRAPH <http://ex.org/g1>",
+                  num_partitions=2)
+    n_tri, per = _store_state(dataset_index)
+    assert n_tri == 2
+    assert per == {"<http://ex.org/g2>": 1}
+
+
+def test_drop_all(dataset_index):
+    sparql_update(dataset_index, "DROP ALL", num_partitions=2)
+    n_tri, per = _store_state(dataset_index)
+    assert n_tri == 0 and per == {}
+
+
+def test_clear_default(dataset_index):
+    sparql_update(dataset_index, "CLEAR DEFAULT", num_partitions=2)
+    n_tri, per = _store_state(dataset_index)
+    assert n_tri == 0
+    assert per == {"<http://ex.org/g1>": 2, "<http://ex.org/g2>": 1}
+
+
+def test_add_default_to_graph(dataset_index):
+    sparql_update(dataset_index, "ADD DEFAULT TO GRAPH <http://ex.org/g2>",
+                  num_partitions=2)
+    n_tri, per = _store_state(dataset_index)
+    assert n_tri == 2  # ADD keeps the source
+    assert per == {"<http://ex.org/g1>": 2, "<http://ex.org/g2>": 3}
+
+
+def test_copy_replaces_destination(dataset_index):
+    sparql_update(dataset_index,
+                  "COPY GRAPH <http://ex.org/g1> TO GRAPH <http://ex.org/g2>",
+                  num_partitions=2)
+    _n, per = _store_state(dataset_index)
+    assert per == {"<http://ex.org/g1>": 2, "<http://ex.org/g2>": 2}
+
+
+def test_move_removes_source(dataset_index):
+    sparql_update(dataset_index,
+                  "MOVE GRAPH <http://ex.org/g1> TO DEFAULT",
+                  num_partitions=2)
+    n_tri, per = _store_state(dataset_index)
+    assert n_tri == 2  # destination REPLACED by g1's content
+    assert per == {"<http://ex.org/g2>": 1}
+
+
+def test_quad_insert_and_delete_data(dataset_index):
+    sparql_update(
+        dataset_index,
+        PFX + 'INSERT DATA { ex:n ex:p "dflt" . '
+              'GRAPH ex:g3 { ex:n ex:q "in3" } }',
+        num_partitions=2,
+    )
+    n_tri, per = _store_state(dataset_index)
+    assert n_tri == 3
+    assert per["<http://ex.org/g3>"] == 1
+    sparql_update(
+        dataset_index,
+        PFX + 'DELETE DATA { GRAPH ex:g1 { ex:x ex:q "g1a" } }',
+        num_partitions=2,
+    )
+    _n, per = _store_state(dataset_index)
+    assert per["<http://ex.org/g1>"] == 1
+
+
+def test_create_is_noop(dataset_index):
+    m = sparql_update(dataset_index, "CREATE GRAPH <http://ex.org/new>",
+                      num_partitions=2)
+    assert m == {"changed": False}
