@@ -1,0 +1,359 @@
+"""ARQ property-function library evaluated in VALUE space (term strings).
+
+The reference registers these against its PropertyFunctionRegistry
+(jena-arq sparql/pfunction/PropertyFunctionRegistry.java:36; library
+implementations under sparql/pfunction/library/ — ListMember, ListIndex,
+ListLength, SplitIRI, StrFunc, Assign, Concat — plus ContainerMembers for
+rdfs:member). There a property function runs per incoming binding against
+the live graph; here each call is lowered over the already-executed group
+solutions:
+
+- graph-structure functions (``list:member`` / ``list:index`` /
+  ``list:length`` / ``rdfs:member``) pre-scan the structural triples
+  (rdf:first / rdf:rest / rdf:_N) into a small bindings TABLE, then join
+  it to the solution stream with the bucketed binding join. RDF list and
+  container structures are schema-scale (bounded by hand-authored
+  vocabulary, not corpus rows), so collecting them on the driver is the
+  same assumption the reference makes when it walks the graph per
+  binding; the join back into the solutions stays distributed.
+- row-wise functions (``apf:assign`` / ``apf:str`` / ``apf:concat`` /
+  ``apf:splitIRI``) evaluate vectorized per batch: an unbound target
+  variable becomes a computed column (OpExtend-like), a bound/ground
+  target becomes an equality filter.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+LIST_NS = "http://jena.apache.org/ARQ/list#"
+APF_NS = "http://jena.apache.org/ARQ/property#"
+RDFS_MEMBER = "http://www.w3.org/2000/01/rdf-schema#member"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+#: property-function IRIs the SPARQL front-end routes to this module
+VALUE_PFS = (
+    {LIST_NS + x for x in ("member", "index", "length")}
+    | {APF_NS + x for x in ("splitIRI", "str", "assign", "concat")}
+    | {RDFS_MEMBER}
+)
+
+
+def _is_var(t) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+def _int_term(n: int) -> str:
+    return f'"{n}"^^<{XSD_INT}>'
+
+
+def _scan_pairs(out_dir: str, pred_iri: str, num_partitions: int):
+    """All (subj, obj) term pairs for one ground predicate — a single
+    bucket-pruned pattern scan, collected (structural triples only)."""
+    from jena_ray.pipelines import bgp
+
+    ds = bgp.bgp_execute(
+        out_dir, [("?s", f"<{pred_iri}>", "?o")], ["s", "o"],
+        num_partitions=num_partitions, distinct=False,
+    )
+    return [(r["s"], r["o"]) for r in ds.take_all()]
+
+
+def _list_rows(out_dir: str, num_partitions: int):
+    """(list_node, index, member) rows for every MAXIMAL list head — a
+    cons cell that is not the object of any rdf:rest (interior cells are
+    not lists in their own right when the subject is unbound: ARQ's
+    GraphList.findAllLists enumerates heads the same way). Cycles are cut
+    (malformed data cannot hang the scan)."""
+    first = dict(_scan_pairs(out_dir, RDF_NS + "first", num_partitions))
+    rest = dict(_scan_pairs(out_dir, RDF_NS + "rest", num_partitions))
+    nil = f"<{RDF_NS}nil>"
+    interior = set(rest.values())
+    rows = []
+    for head in (set(first) | set(rest)) - interior:
+        node, idx, seen = head, 0, set()
+        while node != nil and node not in seen:
+            seen.add(node)
+            if node in first:
+                rows.append((head, idx, first[node]))
+                idx += 1
+            node = rest.get(node, nil)
+        rows.append((head, -1, str(idx)))  # length marker
+    rows.append((nil, -1, "0"))  # the empty list has length 0
+    return rows
+
+
+def _container_rows(out_dir: str, num_partitions: int):
+    """(container, member) rows: rdf:_N membership triples of subjects
+    TYPED as rdf:Bag/Seq/Alt, plus explicit rdfs:member triples in the
+    data (ContainerMembers semantics — an untyped node's rdf:_N triples
+    are not container membership; ARQ PropertyFunctions container-3/9)."""
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines import bgp
+
+    typed = {
+        s for s, o in _scan_pairs(out_dir, RDF_NS + "type", num_partitions)
+        if o in (f"<{RDF_NS}Bag>", f"<{RDF_NS}Seq>", f"<{RDF_NS}Alt>")
+    }
+    ds = bgp.bgp_execute(
+        out_dir, [("?b", "?p", "?m")], ["b", "p", "m"],
+        num_partitions=num_partitions, distinct=False,
+    )
+
+    def keep(tb: pa.Table) -> pa.Table:
+        return tb.filter(
+            pc.match_substring_regex(
+                pc.cast(tb.column("p"), pa.string()),
+                rf"^<{RDF_NS}_[0-9]+>$",
+            )
+        )
+
+    out = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    rows = [(r["b"], r["m"]) for r in out if r["b"] in typed]
+    rows.extend(_scan_pairs(out_dir, RDFS_MEMBER, num_partitions))
+    return rows
+
+
+def _bindings_table(call, out_dir: str, num_partitions: int, cache: dict):
+    """Lower one graph-structure PF call to (columns, rows): the variable
+    slots become columns, ground slots filter the structural rows."""
+    subj, iri, args = call
+    if iri == RDFS_MEMBER:
+        if "containers" not in cache:
+            cache["containers"] = _container_rows(out_dir, num_partitions)
+        slot_rows = cache["containers"]
+        slots = (subj, args[0])
+    else:
+        if "lists" not in cache:
+            cache["lists"] = _list_rows(out_dir, num_partitions)
+        local = iri.rsplit("#", 1)[-1]
+        lists = cache["lists"]
+        if local == "member":
+            slot_rows = [(h, m) for h, i, m in lists if i >= 0]
+            slots = (subj, args[0])
+        elif local == "index":
+            if len(args) != 2:
+                raise ValueError("list:index needs (?idx ?member)")
+            slot_rows = [(h, _int_term(i), m) for h, i, m in lists if i >= 0]
+            slots = (subj, args[0], args[1])
+        elif local == "length":
+            slot_rows = [(h, _int_term(int(m))) for h, i, m in lists
+                         if i == -1]
+            slots = (subj, args[0])
+        else:
+            raise ValueError(f"unknown list property function {iri}")
+    # ground slots filter; var slots become columns; a variable repeated
+    # across slots (?x rdfs:member ?x) requires equal values in the row
+    keep = []
+    for row in slot_rows:
+        if not all(_is_var(s) or s == v for s, v in zip(slots, row)):
+            continue
+        bound: dict[str, str] = {}
+        ok = True
+        for s, v in zip(slots, row):
+            if _is_var(s):
+                if bound.setdefault(s, v) != v:
+                    ok = False
+                    break
+        if ok:
+            keep.append(row)
+    cols: dict[str, list] = {}
+    for j, s in enumerate(slots):
+        if _is_var(s):
+            cols[s[1:]] = [r[j] for r in keep]
+    return cols, len(keep)
+
+
+def _str_value_col(col):
+    from jena_ray.pipelines.bgp import _str_value
+
+    import pyarrow.compute as pc
+
+    return _str_value(pc.cast(col, pa.string()))
+
+
+def _plain_terms(col):
+    from jena_ray.functions.scalar import _plain
+
+    return _plain(col)
+
+
+def _apply_rowwise(res, res_vars: set[str], call):
+    """apf:assign / apf:str / apf:concat / apf:splitIRI over the solution
+    stream: computed columns for unbound target variables, equality
+    filters for bound/ground targets."""
+    import pyarrow.compute as pc
+
+    subj, iri, args = call
+    local = iri.rsplit("#", 1)[-1]
+
+    def known(t) -> bool:
+        return not _is_var(t) or t[1:] in res_vars
+
+    def val(tb: pa.Table, t):
+        if _is_var(t):
+            return pc.cast(tb.column(t[1:]), pa.string())
+        return pa.array([t] * tb.num_rows, type=pa.string())
+
+    if local == "assign":
+        obj = args[0]
+        if known(subj) and known(obj):
+            def f(tb: pa.Table) -> pa.Table:
+                return tb.filter(
+                    pc.fill_null(pc.equal(val(tb, subj), val(tb, obj)),
+                                 False)
+                )
+            return res.map_batches(f, batch_format="pyarrow"), res_vars
+        tgt, src = (subj, obj) if not known(subj) else (obj, subj)
+        if not known(src):
+            raise ValueError("apf:assign needs one bound side")
+
+        def f(tb: pa.Table, _t=tgt[1:]) -> pa.Table:
+            return tb.append_column(_t, val(tb, src))
+        return (res.map_batches(f, batch_format="pyarrow"),
+                res_vars | {tgt[1:]})
+
+    if local == "str":
+        # SUBJECT is the string form of OBJECT (StrFunc): subject unbound
+        # → bind to the plain literal str(object); else term equality
+        obj = args[0]
+        if not known(obj):
+            raise ValueError("apf:str needs a bound object")
+        if known(subj):
+            def f(tb: pa.Table) -> pa.Table:
+                want = _plain_terms(_str_value_col(val(tb, obj)))
+                return tb.filter(
+                    pc.fill_null(pc.equal(val(tb, subj), want), False)
+                )
+            return res.map_batches(f, batch_format="pyarrow"), res_vars
+
+        def f(tb: pa.Table, _t=subj[1:]) -> pa.Table:
+            return tb.append_column(
+                _t, _plain_terms(_str_value_col(val(tb, obj)))
+            )
+        return (res.map_batches(f, batch_format="pyarrow"),
+                res_vars | {subj[1:]})
+
+    if local == "concat":
+        if not all(known(a) for a in args):
+            raise ValueError("apf:concat needs all arguments bound")
+
+        def computed(tb: pa.Table):
+            svs = [pc.fill_null(_str_value_col(val(tb, a)), "")
+                   for a in args]
+            joined = (pc.binary_join_element_wise(*svs, "") if svs
+                      else pa.array([""] * tb.num_rows, type=pa.string()))
+            return _plain_terms(joined)
+
+        if known(subj):
+            def f(tb: pa.Table) -> pa.Table:
+                return tb.filter(
+                    pc.fill_null(pc.equal(val(tb, subj), computed(tb)),
+                                 False)
+                )
+            return res.map_batches(f, batch_format="pyarrow"), res_vars
+
+        def f(tb: pa.Table, _t=subj[1:]) -> pa.Table:
+            return tb.append_column(_t, computed(tb))
+        return (res.map_batches(f, batch_format="pyarrow"),
+                res_vars | {subj[1:]})
+
+    if local == "splitIRI":
+        if len(args) != 2:
+            raise ValueError("apf:splitIRI needs (?namespace ?localname)")
+        if not known(subj):
+            raise ValueError("apf:splitIRI needs a bound subject")
+        from jena_ray.functions.scalar import _LOCALNAME_RE
+
+        out_vars = set(res_vars)
+
+        def f(tb: pa.Table, _ns=args[0], _ln=args[1]) -> pa.Table:
+            s = val(tb, subj)
+            parts = pc.extract_regex(s, _LOCALNAME_RE)
+            # SplitIRI binds the namespace as an IRI node and the local
+            # name as a plain string literal (pfunction/library/SplitIRI)
+            raw_ns = pc.struct_field(parts, "ns")
+            ns = pc.if_else(
+                pc.is_valid(raw_ns),
+                pc.binary_join_element_wise(
+                    pa.array(["<"] * tb.num_rows, type=pa.string()),
+                    pc.cast(raw_ns, pa.string()),
+                    pa.array([">"] * tb.num_rows, type=pa.string()),
+                    "",
+                ),
+                pa.scalar(None, pa.string()),
+            )
+            ln = _plain_terms(pc.struct_field(parts, "ln"))
+            mask = None
+            for slot, got in ((_ns, ns), (_ln, ln)):
+                if _is_var(slot) and slot[1:] not in res_vars:
+                    tb = tb.append_column(slot[1:], got)
+                else:
+                    m = pc.fill_null(pc.equal(val(tb, slot), got), False)
+                    mask = m if mask is None else pc.and_(mask, m)
+            # rows where the subject is not an IRI error out (null ns)
+            valid = pc.is_valid(ns)
+            mask = valid if mask is None else pc.and_(mask, valid)
+            return tb.filter(mask)
+        for slot in args:
+            if _is_var(slot) and slot[1:] not in res_vars:
+                out_vars.add(slot[1:])
+        return res.map_batches(f, batch_format="pyarrow"), out_vars
+
+    raise ValueError(f"unknown row-wise property function {iri}")
+
+
+def apply_value_pfs(out_dir: str, res, res_vars: set[str], pfcalls,
+                    num_partitions: int):
+    """Apply property-function calls over the solution stream. ``res`` is
+    None when the group has no base patterns (the unit solution)."""
+    import ray.data as rd
+
+    from jena_ray.pipelines import bgp
+
+    cache: dict = {}
+    row_wise = {APF_NS + x for x in ("assign", "str", "concat", "splitIRI")}
+    # graph-structure generators first (they can START the solution set),
+    # then row-wise extends/filters (they need inputs bound)
+    ordered = sorted(pfcalls, key=lambda c: c[1] in row_wise)
+    for call in ordered:
+        subj, iri, args = call
+        if iri in row_wise:
+            if res is None:
+                # unit solution: a 1-row table carrying no columns is not
+                # representable — seed with a constant then drop it
+                res = rd.from_arrow(
+                    pa.table({"__unit": pa.array([0], type=pa.int8())})
+                )
+                res_vars = set()
+            res, res_vars = _apply_rowwise(res, res_vars, call)
+            continue
+        cols, nrows = _bindings_table(call, out_dir, num_partitions, cache)
+        if not cols:
+            # fully ground call → existence test
+            if nrows == 0:
+                res = rd.from_arrow(pa.table(
+                    {v: pa.array([], type=pa.string())
+                     for v in (sorted(res_vars) or ["__unit"])}
+                ))
+            continue
+        tbl = pa.table(
+            {v: pa.array(vals, type=pa.string()) for v, vals in cols.items()}
+        )
+        ds = rd.from_arrow(tbl)
+        pvars = set(cols)
+        if res is None:
+            res, res_vars = ds, pvars
+            continue
+        shared = sorted(res_vars & pvars)
+        if shared:
+            col_types = {c: pa.string() for c in res_vars | pvars}
+            res = bgp.binding_join(res, res_vars, ds, pvars, shared,
+                                   num_buckets=num_partitions,
+                                   col_types=col_types)
+        else:
+            res = bgp._cross_join(res, res_vars, ds, pvars)
+        res_vars |= pvars
+    return res, res_vars

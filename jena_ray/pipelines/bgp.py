@@ -342,7 +342,33 @@ def _is_id_filter(f: tuple) -> bool:
     return False
 
 
+def _bind_expr_vars(e) -> set[str]:
+    """Variables of a BIND-expression AST (('var', name) nodes, plus '?v'
+    strings inside embedded FILTER condition subtrees of IF(...))."""
+    out: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, tuple):
+            if len(x) == 2 and x[0] == "var" and isinstance(x[1], str):
+                out.add(x[1])
+                return
+            for a in x[1:]:
+                walk(a)
+        elif isinstance(x, list):
+            for a in x:
+                walk(a)
+        elif isinstance(x, str) and x.startswith("?"):
+            out.add(x[1:])
+
+    walk(e)
+    return out
+
+
 def _filter_vars(f: tuple) -> set[str]:
+    if f and f[0] == "fexpr":
+        return _bind_expr_vars(f[1])
+    if f and f[0] == "cmpexpr":
+        return _bind_expr_vars(f[2]) | _bind_expr_vars(f[3])
     out: set[str] = set()
     for a in f[1:]:
         if isinstance(a, tuple):
@@ -397,6 +423,19 @@ def _validate_filter(f: tuple) -> None:
         # expression ASTs are validated at evaluation time
         if f[1] not in ("<", "<=", ">", ">=", "=", "!="):
             raise ValueError(f"malformed cmp filter: {f}")
+        return
+    if op == "fexpr":
+        # ("fexpr", bind-expr) — EBV of a function-call/cast expression
+        if not isinstance(f[1], tuple):
+            raise ValueError(f"malformed fexpr filter: {f}")
+        return
+    if op == "cmpexpr":
+        # ("cmpexpr", cmp, bind-expr, bind-expr) — value comparison of
+        # two general expression columns
+        if (f[1] not in ("<", "<=", ">", ">=", "=", "!=")
+                or not isinstance(f[2], tuple)
+                or not isinstance(f[3], tuple)):
+            raise ValueError(f"malformed cmpexpr filter: {f}")
         return
     if op == "scmp":
         # ("scmp", cmp, "?v", lexical) — simple-string codepoint ordering
@@ -1044,6 +1083,21 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
         # and !error is still an error → the row drops on both polarities,
         # so the inverted mask is ANDed with every referenced var's
         # validity
+        if f[1][0] == "fexpr":
+            # !fn(...): evaluate once, require a DEFINED (non-error)
+            # result — !error is still an error, so the row drops on
+            # both polarities (Function/Lang 2: the bnode/IRI rows)
+            from jena_ray.sparql import _eval_bind
+
+            needed = sorted(_bind_expr_vars(f[1][1]))
+            sub = pa.table(
+                {v: pc.cast(tb.column(col_for(v)), pa.string())
+                 for v in needed}
+            ) if needed else pa.table(
+                {"__r": pa.nulls(tb.num_rows, type=pa.string())}
+            )
+            truth, defined = _ebv_masks(_eval_bind(sub, f[1][1]))
+            return pc.fill_null(pc.and_(pc.invert(truth), defined), False)
         inner = pc.fill_null(_value_filter_mask(tb, f[1], col_for), False)
         m = pc.invert(inner)
         for v in sorted(_filter_vars(f[1])):
@@ -1063,6 +1117,51 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
         return pc.and_(pc.invert(truth), defined)
     if op == "dtof":
         return _dtof_mask(tb, f, col_for)
+    if op in ("fexpr", "cmpexpr"):
+        # general expression filters: evaluate the bind-expression AST(s)
+        # to term columns with the SPARQL layer's vectorized evaluator
+        # (import at call time — sparql.py imports this module at load)
+        from jena_ray.sparql import _eval_bind
+
+        exprs = [f[1]] if op == "fexpr" else [f[2], f[3]]
+        needed = sorted(set().union(*(_bind_expr_vars(e) for e in exprs)))
+        if needed:
+            sub = pa.table(
+                {v: pc.cast(tb.column(col_for(v)), pa.string())
+                 for v in needed}
+            )
+        else:
+            sub = pa.table({"__r": pa.nulls(tb.num_rows, type=pa.string())})
+        cols = [_eval_bind(sub, e) for e in exprs]
+        if op == "fexpr":
+            truth, defined = _ebv_masks(cols[0])
+            return pc.fill_null(pc.and_(truth, defined), False)
+        a, b = (pc.cast(c, pa.string()) for c in cols)
+        if f[1] in ("=", "!="):
+            tb2 = pa.table({"__cmpa": a, "__cmpb": b})
+            return _term_eq_mask(tb2, f[1], "?__cmpa", "?__cmpb",
+                                 lambda v: v)
+        # ordering comparisons: numeric value space when both sides are
+        # numeric, else simple-string codepoint order (XSDFuncOp
+        # compareString); mixed/other value spaces are type errors
+        kern = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+                ">=": pc.greater_equal}[f[1]]
+        an, bn = _num_value(a), _num_value(b)
+        both_num = pc.and_(pc.is_valid(an), pc.is_valid(bn))
+        simple_re = (r'^"(?:[^"\\]|\\.)*"'
+                     r"(?:\^\^<http://www\.w3\.org/2001/XMLSchema#string>)?$")
+        both_str = pc.and_(
+            pc.fill_null(pc.match_substring_regex(a, simple_re), False),
+            pc.fill_null(pc.match_substring_regex(b, simple_re), False),
+        )
+        mask = pc.if_else(
+            both_num, kern(an, bn),
+            pc.if_else(both_str,
+                       kern(pc.fill_null(_str_value(a), ""),
+                            pc.fill_null(_str_value(b), "")),
+                       pa.scalar(None, pa.bool_())),
+        )
+        return pc.fill_null(mask, False)
     if op == "termeq":
         return _term_eq_mask(tb, f[1], f[2], f[3], col_for)
     if op == "nottype":

@@ -79,6 +79,8 @@ import os
 import re
 from dataclasses import dataclass, field
 
+from jena_ray.functions.property_arq import VALUE_PFS as _VALUE_PFS
+
 import pyarrow as pa
 
 from jena_ray.term import (
@@ -119,6 +121,8 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][^\W\d][\w]*)
   | (?P<BNODE>_:[^\W\d][\w.\-]*)
   | (?P<ANON>\[[ \t]*\])
+  | (?P<LONGSTRING>'''(?:(?:''|')?(?:[^'\\]|\\.))*'''
+                  |\"\"\"(?:(?:\"\"|\")?(?:[^"\\]|\\.))*\"\"\")
   | (?P<STRING>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
@@ -146,7 +150,16 @@ def tokenize(src: str) -> list[Tok]:
         if m is None:
             raise SparqlSyntaxError(f"cannot tokenize at offset {i}: {src[i:i+20]!r}")
         kind = m.lastgroup
-        if kind != "WS":
+        if kind == "LONGSTRING":
+            # normalize STRING_LITERAL_LONG1/2 to a canonical single-line
+            # double-quoted token so every downstream [1:-1]+unescape site
+            # works unchanged (grammar main.jj long-string productions)
+            from jena_ray.term import string_esc, unescape_string as _un
+
+            toks.append(
+                Tok("STRING", '"' + string_esc(_un(m.group()[3:-3])) + '"', i)
+            )
+        elif kind != "WS":
             toks.append(Tok(kind, m.group(), i))
         i = m.end()
     toks.append(Tok("EOF", "", n))
@@ -175,6 +188,10 @@ class Group:
     # placeholder stands in the triple pattern; components are '?var' or
     # ground terms, decomposed post-BGP (_execute_star_where)
     star: list[tuple] = field(default_factory=list)
+    # ARQ property-function calls (PropertyFunctionRegistry analog):
+    # (subject term-or-var, pf IRI, syntactic arg tuple) — evaluated in
+    # value space by functions/property_arq.apply_value_pfs
+    pfcalls: list[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -226,6 +243,11 @@ class Query:
     group_exprs: list[tuple] = field(default_factory=list)
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (op, var, n)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    # ORDER BY expression conditions (OrderCondition = Constraint |
+    # BrackettedExpression — main.jj; ARQ SortCondition holds an Expr):
+    # (alias, bind-expr AST) pairs; order_by references the alias, the
+    # column is computed per batch inside _value_order then dropped
+    order_exprs: list[tuple[str, tuple]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
     # dataset description (FROM / FROM NAMED — DatasetDescription +
@@ -850,6 +872,17 @@ class Parser:
         self._parse_modifiers(q)
         return q
 
+    @staticmethod
+    def _add_order(q: Query, expr: tuple, desc: bool) -> None:
+        """Register one ORDER BY condition: plain variables sort directly,
+        anything else becomes an internal computed key column."""
+        if expr[0] == "var":
+            q.order_by.append((expr[1], desc))
+            return
+        alias = f"__ord{len(q.order_exprs)}"
+        q.order_exprs.append((alias, expr))
+        q.order_by.append((alias, desc))
+
     def _parse_modifiers(self, q: Query) -> None:
         if self.take_kw("GROUP"):
             self.expect_kw("BY")
@@ -906,23 +939,39 @@ class Parser:
         if self.take_kw("ORDER"):
             self.expect_kw("BY")
             while True:
-                desc = False
+                desc = None
                 if self.take_kw("DESC"):
                     desc = True
-                    self.expect_op("(")
-                    v = self.next()
-                    self.expect_op(")")
                 elif self.take_kw("ASC"):
+                    desc = False
+                if desc is not None:
                     self.expect_op("(")
-                    v = self.next()
+                    e = self._parse_bind_expr()
                     self.expect_op(")")
-                elif self.peek().kind == "VAR":
-                    v = self.next()
-                else:
-                    break
-                if v.kind != "VAR":
-                    raise SparqlSyntaxError("ORDER BY needs variables")
-                q.order_by.append((v.text[1:], desc))
+                    self._add_order(q, e, desc)
+                    continue
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    q.order_by.append((t.text[1:], False))
+                    continue
+                if self.at_op("("):
+                    # BrackettedExpression condition: ORDER BY (?a + ?b)
+                    self.next()
+                    e = self._parse_bind_expr()
+                    self.expect_op(")")
+                    self._add_order(q, e, False)
+                    continue
+                if (self.peek(1).kind == "OP" and self.peek(1).text == "("
+                        and (t.kind in ("IRIREF", "PNAME")
+                             or (t.kind == "NAME"
+                                 and (t.text.upper() in self._BIND_FNS
+                                      or t.text.upper() in ("IF",
+                                                            "COALESCE"))))):
+                    # Constraint condition: built-in / cast / function call
+                    self._add_order(q, self._parse_bind_atom(), False)
+                    continue
+                break
             if not q.order_by:
                 raise SparqlSyntaxError("empty ORDER BY")
         if self.take_kw("LIMIT"):
@@ -970,7 +1019,7 @@ class Parser:
                 ):
                     neg = self.take_kw("NOT")
                     self.expect_kw("EXISTS")
-                    g.exists.append((self._parse_group(), neg))
+                    g.exists.append((self._no_pf(self._parse_group(), 'EXISTS'), neg))
                     if paren:
                         self.expect_op(")")
                 else:
@@ -1022,12 +1071,12 @@ class Parser:
                 neg = self.take_kw("NOT")
                 self.expect_kw("EXISTS")
                 epoch = self._bgp_epoch
-                g.exists.append((self._parse_group(), neg))
+                g.exists.append((self._no_pf(self._parse_group(), 'EXISTS'), neg))
                 self._bgp_epoch = epoch
             elif self.take_kw("OPTIONAL"):
-                g.optionals.append(self._parse_group())
+                g.optionals.append(self._no_pf(self._parse_group(), 'OPTIONAL'))
             elif self.take_kw("MINUS"):
-                g.minuses.append(self._parse_group())
+                g.minuses.append(self._no_pf(self._parse_group(), 'MINUS'))
             elif self.take_kw("GRAPH"):
                 # GRAPH term-or-var { BGP [FILTER...] } lowers to 4-slot
                 # quad patterns IN PLACE — they join the enclosing group's
@@ -1047,7 +1096,7 @@ class Parser:
                                             "not in the supported subset")
                 if (inner.minuses or inner.binds or inner.values
                         or inner.exists or inner.subqueries or inner.paths
-                        or inner.star):
+                        or inner.star or inner.pfcalls):
                     # only inner patterns/filters compile to quads —
                     # anything else would be silently dropped, so raise
                     raise SparqlSyntaxError(
@@ -1101,7 +1150,9 @@ class Parser:
                 first = self._parse_group()
                 branches = [first]
                 while self.take_kw("UNION"):
-                    branches.append(self._parse_group())
+                    branches.append(self._no_pf(self._parse_group(), 'UNION'))
+                if len(branches) > 1:
+                    self._no_pf(first, 'UNION')
                 if len(branches) == 1:
                     # plain nested group — merge (no scoping subtleties in
                     # the supported subset)
@@ -1187,12 +1238,26 @@ class Parser:
         g.exists.extend(h.exists)
         g.binds.extend(h.binds)
         g.subqueries.extend(h.subqueries)
+        g.pfcalls.extend(h.pfcalls)
         if h.union:
             if g.union is not None:
                 raise SparqlSyntaxError("only one UNION block per group")
             g.union = h.union
         if h.values:
             g.values = (g.values or []) + h.values
+
+    @staticmethod
+    def _no_pf(sub: Group, where: str) -> Group:
+        """Property-function calls execute only in the main solution chain;
+        inside OPTIONAL/MINUS/EXISTS/UNION branches they would be silently
+        dropped — raise instead (the module contract: unsupported shapes
+        raise, never mis-answer)."""
+        if sub.pfcalls:
+            raise SparqlSyntaxError(
+                f"property functions inside {where} are not in the "
+                "supported subset"
+            )
+        return sub
 
     def _path_iri(self) -> str:
         t = self.peek()
@@ -1311,12 +1376,7 @@ class Parser:
             else:
                 pred = self._iri(self.next())
             while True:
-                if self.at_op("["):
-                    obj = self._parse_bnode_plist(g, template_out)
-                else:
-                    obj = self.parse_term()
-                    if isinstance(obj, tuple):
-                        obj = self._qt_placeholder(g, obj, template_out)
+                obj = self._parse_object_node(g, template_out)
                 trip = (node, pred, obj)
                 if template_out is not None:
                     template_out.append(trip)
@@ -1335,11 +1395,55 @@ class Parser:
         self.expect_op("]")
         return node
 
+    def _parse_collection(self, g: Group, template_out: list | None) -> str:
+        """Collection '( e1 ... en )' (main.jj Collection production →
+        ElementTriplesBlock via TripleCollectorMark): desugars to an
+        rdf:first/rdf:rest chain on fresh nodes ('()' is rdf:nil). In a
+        WHERE pattern the fresh nodes are internal variables (pattern
+        blank nodes act as variables); in a template they are fresh
+        per-solution blank nodes."""
+        self.expect_op("(")
+        items = []
+        while not self.at_op(")"):
+            items.append(self._parse_object_node(g, template_out))
+        self.expect_op(")")
+        nil = fmt_iri(RDF_NS + "nil")
+        if not items:
+            return nil
+        nodes = []
+        for _ in items:
+            self._seq += 1
+            nodes.append(f"_:__tpl{self._seq}" if self._in_template
+                         else f"?__bn{self._seq}")
+        first, rest = fmt_iri(RDF_NS + "first"), fmt_iri(RDF_NS + "rest")
+        sink = g.patterns if template_out is None else template_out
+        for i, (n, item) in enumerate(zip(nodes, items)):
+            sink.append((n, first, item))
+            sink.append((n, rest, nodes[i + 1] if i + 1 < len(nodes)
+                         else nil))
+        return nodes[0]
+
+    def _parse_object_node(self, g: Group, template_out: list | None) -> str:
+        """One node in subject/object position: bnode property list,
+        collection, or a plain term (quoted triples via placeholder)."""
+        if self.at_op("["):
+            return self._parse_bnode_plist(g, template_out)
+        if self.at_op("("):
+            return self._parse_collection(g, template_out)
+        obj = self.parse_term()
+        if isinstance(obj, tuple):
+            obj = self._qt_placeholder(g, obj, template_out)
+        return obj
+
     def _parse_triples_into(self, g: Group, template_out: list | None = None) -> None:
         if self.at_op("["):
             subj = self._parse_bnode_plist(g, template_out)
             if self.at_op(".") or self.at_op("}"):
                 return  # bare TriplesNode: [ ... ] with no predicate list
+        elif self.at_op("("):
+            subj = self._parse_collection(g, template_out)
+            if self.at_op(".") or self.at_op("}"):
+                return  # bare collection TriplesNode
         else:
             subj = self.parse_term()
             if isinstance(subj, tuple):
@@ -1405,13 +1509,52 @@ class Parser:
                             "variables / property sets not allowed in '/' "
                             "sequences"
                         )
-            while True:
-                if self.at_op("["):
-                    obj = self._parse_bnode_plist(g, template_out)
+            if (template_out is None and len(steps) == 1
+                    and steps[0][1] is False and steps[0][2] is None
+                    and isinstance(steps[0][0], str)
+                    and steps[0][0].startswith("<")
+                    and steps[0][0][1:-1] in _VALUE_PFS):
+                # ARQ property-function call (list:member, apf:assign, …):
+                # the argument list is SYNTACTIC (PropFuncArg in the
+                # reference) — it is NOT desugared to rdf:first/rest
+                # patterns like a data collection would be
+                if self.at_op("("):
+                    self.next()
+                    pf_args = []
+                    while not self.at_op(")"):
+                        t = self._no_qtpat(
+                            self.parse_term(), "property-function arguments"
+                        )
+                        if t.startswith("_:"):
+                            # '[]' argument — a don't-care slot (ARQ binds
+                            # a fresh bnode nothing else can join on); a
+                            # fresh internal variable has the same effect
+                            self._pf_anon = getattr(self, "_pf_anon", 0) + 1
+                            t = f"?__pfa{self._pf_anon}"
+                        pf_args.append(t)
+                    self.expect_op(")")
+                    if not pf_args:
+                        # '()' is the empty collection — the rdf:nil term
+                        # (ARQ parses it as a plain node, not an arg list)
+                        pf_args = [
+                            "<http://www.w3.org/1999/02/22-rdf-syntax-ns"
+                            "#nil>"
+                        ]
                 else:
-                    obj = self.parse_term()
-                    if isinstance(obj, tuple):
-                        obj = self._qt_placeholder(g, obj, template_out)
+                    pf_args = [self._no_qtpat(
+                        self.parse_term(), "property-function arguments"
+                    )]
+                g.pfcalls.append((subj, steps[0][0][1:-1], tuple(pf_args)))
+                if self.at_op(";"):
+                    self.next()
+                    while self.at_op(";"):
+                        self.next()
+                    if self.at_op(".") or self.at_op("}"):
+                        break
+                    continue
+                break
+            while True:
+                obj = self._parse_object_node(g, template_out)
                 if len(steps) == 1 and steps[0][2] is not None:
                     pred, inv, mod = steps[0]
                     if template_out is not None:
@@ -1503,10 +1646,12 @@ class Parser:
     #    than '||'; a top-level conjunction splits into separate filters)
     def _parse_filter(self) -> list[tuple]:
         # grammar: FILTER Constraint, Constraint = BrackettedExpression |
-        # BuiltInCall — a bare builtin (FILTER regex(...)) needs no parens
+        # BuiltInCall | FunctionCall — a bare builtin (FILTER regex(...))
+        # or function call (FILTER fn:f(?x)) needs no parens
         if not self.at_op("("):
             t = self.peek()
-            if t.kind == "NAME" or (t.kind == "OP" and t.text == "!"):
+            if (t.kind in ("NAME", "PNAME", "IRIREF")
+                    or (t.kind == "OP" and t.text == "!")):
                 return [self._parse_filter_atom()]
         self.expect_op("(")
         expr = self._parse_filter_or()
@@ -1745,6 +1890,24 @@ class Parser:
                     raise SparqlSyntaxError("LANG(...) compares to a string")
                 return ("lang", var, unescape_string(s.text[1:-1]),
                         op_t.text == "!=")
+        t0 = self.peek()
+        if (t0.kind in ("PNAME", "IRIREF") and self.peek(1).kind == "OP"
+                and self.peek(1).text == "("):
+            # iriOrFunction as a FILTER atom: a custom/XPath function call
+            # or an XSD constructor cast (E_Function / E_Cast under
+            # FILTER). Bare call → effective boolean value of the result;
+            # followed by a comparison → value compare of the two
+            # expression columns (cmpexpr).
+            lhs = self._parse_bind_atom()
+            if (self.peek().kind == "OP"
+                    and self.peek().text in ("=", "!=", "<", "<=",
+                                             ">", ">=")):
+                cmp_op = self.next().text
+                node: tuple = ("cmpexpr", cmp_op, lhs,
+                               self._parse_bind_expr())
+            else:
+                node = ("fexpr", lhs)
+            return ("not", node) if neg else node
         if neg:
             raise SparqlSyntaxError("'!' only supported before BOUND")
         # comparison: additive-expr (OP additive-expr | IN (...) | NOT IN (...))
@@ -2139,6 +2302,28 @@ class Parser:
                 raise SparqlSyntaxError(f"{fn} takes one argument")
             return (fn.lower(), args)
         if t.kind in ("IRIREF", "PNAME"):
+            if self.peek(1).kind == "OP" and self.peek(1).text == "(":
+                # iriOrFunction: an IRI applied to arguments — either an
+                # XSD constructor cast (xsd:integer(?v), XPath 17.5 table)
+                # or a custom function resolved against the URI registry
+                # (E_Function → FunctionRegistry; ARQ/XPath libraries in
+                # functions/scalar.py URI_FUNCTIONS)
+                iri = self._iri(self.next())[1:-1]
+                self.expect_op("(")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self._parse_bind_expr())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self._parse_bind_expr())
+                self.expect_op(")")
+                if iri.startswith(XSD):
+                    if len(args) != 1:
+                        raise SparqlSyntaxError(
+                            f"cast {iri} takes one argument"
+                        )
+                    return ("xcast", iri, args[0])
+                return ("funcall", iri, args)
             # IRI constant (canonical term) — e.g. TRIPLE(?s, <p>, ?o)
             return ("termconst", self._iri(self.next()))
         raise SparqlSyntaxError(f"unsupported BIND expression at {t.text!r}")
@@ -2220,6 +2405,9 @@ def _group_vars(g: Group) -> set[str]:
         out |= {k.lstrip("?") for k in r}
     for sub in g.subqueries:
         out |= set(_sub_vars(sub))
+    for subj, _iri, args in g.pfcalls:
+        out |= {t[1:] for t in (subj, *args)
+                if isinstance(t, str) and t.startswith("?")}
     return out
 
 
@@ -2593,6 +2781,125 @@ def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
     return res
 
 
+def _execute_pf_group(out_dir: str, g: Group, select: list[str], *,
+                      distinct: bool, num_partitions: int, pf_context,
+                      stats):
+    """A group containing ARQ property-function calls (list:member,
+    apf:assign, rdfs:member, …): evaluate the plain patterns first
+    (per connected component — a PF argument list can bridge otherwise
+    disjoint patterns, e.g. apf:concat over two independent scans), then
+    lower the PF calls over the solution stream in value space
+    (functions/property_arq.apply_value_pfs — the reference runs each
+    PropertyFunction per incoming binding, PropFuncArg.java:34; result
+    sets are order-independent, so pattern-first evaluation matches the
+    suite's expected rows). FILTERs wholly inside one pattern component
+    push into its scan; the rest apply post-PF."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.functions.property_arq import apply_value_pfs
+    from jena_ray.pipelines import bgp
+    from jena_ray.stages.dedup import dedup_exact
+
+    if (g.union or g.optionals or g.minuses or g.graph or g.paths
+            or g.exists or g.values or g.subqueries or g.star or g.binds
+            or g.graph_enum):
+        raise SparqlSyntaxError(
+            "property functions combine only with plain patterns + FILTER"
+        )
+
+    def tvars(p) -> set[str]:
+        return {t[1:] for t in p
+                if isinstance(t, str) and t.startswith("?")}
+
+    pat_vars = set().union(*(tvars(p) for p in g.patterns)) \
+        if g.patterns else set()
+    pf_vars = {t[1:] for subj, _iri, args in g.pfcalls
+               for t in (subj, *args)
+               if isinstance(t, str) and t.startswith("?")}
+
+    # connected components of the pattern block (vars as edges)
+    comps: list[list] = []
+    cvars: list[set[str]] = []
+    for p in g.patterns:
+        pv = tvars(p)
+        hit = [i for i, cv in enumerate(cvars) if cv & pv]
+        if not hit:
+            comps.append([p])
+            cvars.append(pv)
+        else:
+            first, *rest = hit
+            comps[first].append(p)
+            cvars[first] |= pv
+            for i in reversed(rest):
+                comps[first].extend(comps.pop(i))
+                cvars[first] |= cvars.pop(i)
+
+    base_filters: list[list[tuple]] = [[] for _ in comps]
+    post_filters: list[tuple] = []
+    for f in g.filters:
+        fv = bgp._filter_vars(f)
+        tgt = next((i for i, cv in enumerate(cvars) if fv <= cv), None)
+        if tgt is None:
+            post_filters.append(f)
+        else:
+            base_filters[tgt].append(f)
+
+    need = (set(select) | pf_vars) & pat_vars
+    for f in post_filters:
+        need |= bgp._filter_vars(f) & pat_vars
+
+    res, res_vars = None, set()
+    for comp, cv, cfs in zip(comps, cvars, base_filters):
+        cneed = sorted(need & cv) or sorted(cv)[:1]
+        part = bgp.bgp_execute(
+            out_dir, comp, cneed, num_partitions=num_partitions,
+            distinct=False, stats=stats, filters=cfs or None,
+            pf_context=pf_context,
+        )
+        if res is None:
+            res, res_vars = part, set(cneed)
+        else:
+            res = bgp._cross_join(res, res_vars, part, set(cneed))
+            res_vars |= set(cneed)
+
+    res, res_vars = apply_value_pfs(out_dir, res, res_vars, g.pfcalls,
+                                    num_partitions)
+
+    if post_filters:
+        fs = tuple(post_filters)
+
+        def fmask(tb: pa.Table, _fs=fs) -> pa.Table:
+            m = None
+            for f in _fs:
+                mm = bgp._value_filter_mask(tb, f, lambda v: v)
+                m = mm if m is None else pc.and_(m, mm)
+            return tb.filter(pc.fill_null(m, False))
+
+        res = res.map_batches(fmask, batch_format="pyarrow")
+
+    if res is None:
+        # all calls were ground existence tests that held: one unit row
+        res = rd.from_arrow(pa.table(
+            {v: pa.array([None], type=pa.string()) for v in select}
+            if select else {"__unit": pa.array([0], type=pa.int8())}
+        ))
+        res_vars = set(select)
+
+    def proj(tb: pa.Table, _s=tuple(select), _have=tuple(sorted(res_vars))
+             ) -> pa.Table:
+        # vars mentioned only in unsatisfiable slots stay unbound (null)
+        cols = {v: (pc.cast(tb.column(v), pa.string()) if v in _have
+                    else pa.nulls(tb.num_rows, type=pa.string()))
+                for v in _s}
+        return pa.table(cols) if cols else tb
+
+    res = res.map_batches(proj, batch_format="pyarrow")
+    if distinct:
+        res = dedup_exact(res, cols=tuple(select), coalesce=True)
+    return res
+
+
 def _execute_where(out_dir: str, q: Query, select: list[str], *,
                    distinct: bool, num_partitions: int, pf_context, stats):
     """Lower the WHERE group onto the pipelines/bgp.py algebra entry points
@@ -2601,6 +2908,11 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
 
     g = q.where
     kw = dict(num_partitions=num_partitions, distinct=distinct)
+
+    if g.pfcalls:
+        return _execute_pf_group(out_dir, g, select, distinct=distinct,
+                                 num_partitions=num_partitions,
+                                 pf_context=pf_context, stats=stats)
 
     if g.graph_enum:
         # GRAPH x { } elements (empty BGP per named graph): sole-element
@@ -2948,6 +3260,10 @@ def _bind_vars(expr: tuple) -> set[str]:
         return _bind_vars(expr[2]) | _bind_vars(expr[3])
     if k == "neg":
         return _bind_vars(expr[1])
+    if k == "xcast":
+        return _bind_vars(expr[2])
+    if k == "funcall":
+        return set().union(*(_bind_vars(a) for a in expr[2])) if expr[2] else set()
     return set().union(*(_bind_vars(a) for a in expr[1])) if expr[1] else set()
 
 
@@ -3084,6 +3400,103 @@ def _num_to_term(v):
     return pc.if_else(pc.is_valid(v), term, pa.scalar(None, pa.string()))
 
 
+#: value ranges of the XSD derived integer types (XSD 1.1 §3.4); None =
+#: unbounded on that side. unsignedLong's bound exceeds float64 precision
+#: but casts that large arrive via xsd:integer anyway.
+_XSD_INT_RANGES: dict[str, tuple[int | None, int | None]] = {
+    "long": (-(2 ** 63), 2 ** 63 - 1),
+    "int": (-(2 ** 31), 2 ** 31 - 1),
+    "short": (-32768, 32767),
+    "byte": (-128, 127),
+    "unsignedLong": (0, 2 ** 64 - 1),
+    "unsignedInt": (0, 2 ** 32 - 1),
+    "unsignedShort": (0, 65535),
+    "unsignedByte": (0, 255),
+    "nonNegativeInteger": (0, None),
+    "positiveInteger": (1, None),
+    "nonPositiveInteger": (None, 0),
+    "negativeInteger": (None, -1),
+}
+
+
+def _xcast_col(col, target_iri: str):
+    """XSD constructor cast producing TERM strings (XSDFuncOp cast
+    dispatch / the XPath 17.5 casting table): rows outside the table are
+    evaluation errors (null). Used by ('xcast', iri, expr) bind nodes —
+    ORDER BY xsd:integer(?o), BIND(xsd:boolean(?v) AS ?b), …"""
+    import pyarrow.compute as pc
+
+    from jena_ray.pipelines.bgp import (_castable_mask, _num_value,
+                                        _str_value)
+
+    local = target_iri.rsplit("#", 1)[-1]
+    # derived integer types (XSD 1.1 §3.4 hierarchy): cast like
+    # xsd:integer, then range-check the value and keep the derived
+    # datatype IRI (XSDFuncOp casts via the primitive, XSDDatatype
+    # validates the derived range)
+    lo, hi = _XSD_INT_RANGES.get(local, (None, None))
+    derived = lo is not None or hi is not None
+    if not derived and local not in ("string", "boolean", "integer",
+                                     "decimal", "float", "double",
+                                     "dateTime"):
+        return pa.nulls(len(col), type=pa.string())
+    ok = pc.fill_null(
+        _castable_mask("integer" if derived else local, col), False)
+    sv = _str_value(col)
+    if local == "string":
+        out = pc.binary_join_element_wise(
+            '"', _escape_lex(sv), f'"^^<{XSD}string>', "")
+    elif local == "dateTime":
+        out = pc.binary_join_element_wise(
+            '"', sv, f'"^^<{XSD}dateTime>', "")
+    elif local == "boolean":
+        num = _num_value(col)
+        truth = pc.if_else(
+            pc.is_valid(num),
+            pc.and_(pc.not_equal(num, 0.0), pc.equal(num, num)),
+            pc.is_in(sv, value_set=pa.array(["true", "1"])),
+        )
+        out = pc.if_else(
+            truth,
+            pa.scalar(f'"true"^^<{XSD}boolean>', pa.string()),
+            pa.scalar(f'"false"^^<{XSD}boolean>', pa.string()),
+        )
+    else:  # numeric targets
+        num = _num_value(col)
+        # boolean sources: true→1, false→0
+        b_t = pc.fill_null(pc.equal(sv, "true"), False)
+        b_f = pc.fill_null(pc.equal(sv, "false"), False)
+        num = pc.coalesce(
+            num,
+            pc.if_else(b_t, 1.0,
+                       pc.if_else(b_f, 0.0, pa.scalar(None, pa.float64()))),
+        )
+        # string-lexical sources pass _castable_mask's per-target regex —
+        # mask first so the cast below never sees a non-numeric string
+        lexnum = pc.if_else(pc.and_(ok, pc.is_null(num)), sv,
+                            pa.scalar(None, pa.string()))
+        num = pc.coalesce(num, pc.cast(lexnum, pa.float64(), safe=False))
+        if local == "integer" or derived:
+            num = pc.trunc(num)
+            lex = pc.cast(pc.cast(pc.fill_null(num, 0.0), pa.int64()),
+                          pa.string())
+            if lo is not None:
+                ok = pc.and_(ok, pc.fill_null(
+                    pc.greater_equal(num, float(lo)), False))
+            if hi is not None:
+                ok = pc.and_(ok, pc.fill_null(
+                    pc.less_equal(num, float(hi)), False))
+        else:
+            lex = pc.cast(num, pa.string())
+        out = pc.if_else(
+            pc.is_valid(num),
+            pc.binary_join_element_wise(
+                '"', lex, f'"^^<{XSD}{local}>', ""),
+            pa.scalar(None, pa.string()),
+        )
+    return pc.if_else(ok, out, pa.scalar(None, pa.string()))
+
+
 def _eval_bind(tb: pa.Table, expr: tuple):
     """Evaluate a BIND expression to a column of canonical TERM strings."""
     import pyarrow.compute as pc
@@ -3103,6 +3516,24 @@ def _eval_bind(tb: pa.Table, expr: tuple):
         return pc.coalesce(*[_eval_bind(tb, a) for a in expr[1]])
     if k == "termconst":
         return pa.array([expr[1]] * tb.num_rows, type=pa.string())
+    if k == "funcall":
+        # E_Function resolved against the URI registry
+        # (FunctionRegistry.java:32 analog). Unknown IRIs evaluate every
+        # row to an error (null → unbound / filter drop) — the observable
+        # semantics of ARQ's Function suite (func-01/02 expect empty sets)
+        from jena_ray.functions.scalar import URI_FUNCTIONS
+
+        fn = URI_FUNCTIONS.get(expr[1])
+        if fn is None:
+            return pa.nulls(tb.num_rows, type=pa.string())
+        args = [pc.cast(_eval_bind(tb, a), pa.string()) for a in expr[2]]
+        try:
+            return pc.cast(fn(*args), pa.string())
+        except TypeError:  # arity mismatch → per-row eval error
+            return pa.nulls(tb.num_rows, type=pa.string())
+    if k == "xcast":
+        return _xcast_col(pc.cast(_eval_bind(tb, expr[2]), pa.string()),
+                          expr[1])
     if k == "var":
         return pc.cast(tb.column(expr[1]), pa.string())
     if k == "strlen":
@@ -3389,7 +3820,8 @@ def _describe(out_dir: str, q: Query, *, num_partitions: int, pf_context, stats)
     )
 
 
-def _value_order(res, order_by: list[tuple[str, bool]]):
+def _value_order(res, order_by: list[tuple[str, bool]],
+                 order_exprs: list[tuple[str, tuple]] = ()):
     """ORDER BY with ARQ's comparator (NodeValue.compareAlways → value
     compare, falling to NodeUtils.compareRDFTerms syntactic order): unbound
     < blank nodes (label) < IRIs (codepoint) < literals. Literals: typed
@@ -3411,7 +3843,13 @@ def _value_order(res, order_by: list[tuple[str, bool]]):
     _RE_LANG = r'^"(?:[^"\\]|\\.)*"@(?P<v>[A-Za-z0-9-]+)$'
     _RE_DT = r'^"(?:[^"\\]|\\.)*"\^\^<(?P<v>[^>]*)>$'
 
-    def add_keys(tb: pa.Table, _ov=tuple(order_by)) -> pa.Table:
+    def add_keys(tb: pa.Table, _ov=tuple(order_by),
+                 _oe=tuple(order_exprs)) -> pa.Table:
+        # expression conditions (ORDER BY str(?o) / (?a+?b) / DESC(expr)):
+        # compute the internal key column per batch, sort on it like a
+        # variable, drop it with the other key columns below
+        for alias, expr in _oe:
+            tb = tb.append_column(alias, _eval_bind(tb, expr))
         for i, (v, _d) in enumerate(_ov):
             col = tb.column(v)
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
@@ -3477,6 +3915,7 @@ def _value_order(res, order_by: list[tuple[str, bool]]):
         keys, descending=descs
     )
     drop = [f"__o{i}{c}" for i in range(n_keys) for c in "rnscde"]
+    drop += [alias for alias, _e in order_exprs]
 
     def strip(tb: pa.Table, _d=tuple(drop)) -> pa.Table:
         return tb.drop_columns(list(_d))
@@ -3594,6 +4033,7 @@ def _replace_order(q: Query) -> Query:
 
     q2 = copy.copy(q)
     q2.order_by = []
+    q2.order_exprs = []
     return q2
 
 
@@ -4090,8 +4530,13 @@ def sparql_query(
             # ORDER BY may reference non-projected pattern variables: carry
             # them through execution and drop them after the sort (illegal
             # under DISTINCT — the projection changes the multiset first)
-            extra_order = [v for v, _ in q.order_by
-                           if v not in sel and v in wvars]
+            ord_src = [v for v, _ in q.order_by]
+            for _a, _e in q.order_exprs:
+                ord_src += sorted(_bind_vars(_e))
+            extra_order = []
+            for v in ord_src:
+                if v not in sel and v in wvars and v not in extra_order:
+                    extra_order.append(v)
             if extra_order and q.distinct:
                 raise SparqlSyntaxError(
                     f"ORDER BY on non-projected vars with DISTINCT: {extra_order}"
@@ -4117,7 +4562,7 @@ def sparql_query(
                 res = res.map_batches(pad_missing, batch_format="pyarrow")
             if extra_order:
                 if q.order_by:
-                    res = _value_order(res, q.order_by)
+                    res = _value_order(res, q.order_by, q.order_exprs)
                     q = _replace_order(q)
 
                 def proj_sel(tb: pa.Table, _s=tuple(sel)) -> pa.Table:
@@ -4130,7 +4575,7 @@ def sparql_query(
             res = reduced(res, sel)
 
     if q.order_by:
-        res = _value_order(res, q.order_by)
+        res = _value_order(res, q.order_by, q.order_exprs)
     if q.offset:
         if q.limit is None:
             raise SparqlSyntaxError("OFFSET requires LIMIT in this engine")

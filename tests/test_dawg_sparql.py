@@ -415,6 +415,7 @@ ARQ_SUITES: dict[str, int] = {
     "ExprEquals": 9,
     "ExprRegex": 5,
     "Extra": 2,
+    "Function": 10,
     "GroupBy": 33,
     "Negation": 8,
     "OpenWorld": 16,
@@ -422,6 +423,7 @@ ARQ_SUITES: dict[str, int] = {
     "Optional": 10,
     "OrderBy": 10,
     "Paths": 11,
+    "PropertyFunctions": 44,
     "Select": 6,
     "SelectExpr": 5,
     "SolutionSeq": 11,

@@ -38,7 +38,8 @@ REPRESENTATIVE = [
     "bgp_cooccur_path",
     "text_search_docs",
     "sample_docs",
-    "orders_page2",
+    # orders_page2 rotated out of the 50-row registry (OpSlice stays
+    # covered by top10_orders above + the DAWG solution-seq suite)
     "shacl_report",
 ]
 
