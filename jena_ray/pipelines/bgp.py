@@ -2345,11 +2345,30 @@ def bgp_construct(
     Returns a distinct (subj, pred, obj) Dataset of canonical term strings.
     Solutions binding a template variable to null never occur here (plain
     BGP solutions are total); template slots may be variables or concrete
-    terms."""
+    terms. Template entries may also be QUADS — 4-tuples (graph, s, p, o)
+    from ARQ's ``CONSTRUCT { GRAPH g { ... } }`` extension (arq.jj
+    ConstructTemplate quads branch, TemplateLib.calcQuads) — in which case
+    the result carries a leading ``graph`` column with default-graph rows
+    tagged ``<urn:x-arq:DefaultGraph>`` (Quad.java:37); solutions binding
+    a graph variable to a literal are dropped (TemplateLib quad-validity
+    check)."""
     from jena_ray.stages.dedup import dedup_exact
     from jena_ray.stages.materialize import resolve_id_columns
 
     info = read_layout(out_dir)
+    DG = "<urn:x-arq:DefaultGraph>"
+    # both reserved names address the default graph (Quad.java:37,42
+    # defaultGraphIRI / defaultGraphNodeGenerated): a GRAPH block naming
+    # them emits plain default-graph triples
+    _DGS = (DG, "<urn:x-arq:DefaultGraphNode>")
+    template = [trip[1:] if len(trip) == 4 and trip[0] in _DGS else trip
+                for trip in template]
+    has_quads = any(len(trip) == 4 for trip in template)
+    if has_quads:
+        template = [trip if len(trip) == 4 else (DG, *trip)
+                    for trip in template]
+    out_names = ("graph", "subj", "pred", "obj") if has_quads else (
+        "subj", "pred", "obj")
 
     tvars = sorted({t[1:] for trip in template for t in trip if is_var(t)})
     if not tvars:
@@ -2391,9 +2410,8 @@ def bgp_construct(
 
         trips = sorted(set(template)) if holds else []
         return rd.from_arrow(pa.table({
-            "subj": pa.array([t[0] for t in trips], type=pa.string()),
-            "pred": pa.array([t[1] for t in trips], type=pa.string()),
-            "obj": pa.array([t[2] for t in trips], type=pa.string()),
+            name: pa.array([t[i] for t in trips], type=pa.string())
+            for i, name in enumerate(out_names)
         }))
 
     res, res_vars = _execute_bgp_ids(
@@ -2426,7 +2444,8 @@ def bgp_construct(
     outs = []
     for trip in template:
 
-        def emit(tb: pa.Table, _t=tuple(trip), _tv=tuple(tvars)) -> pa.Table:
+        def emit(tb: pa.Table, _t=tuple(trip), _tv=tuple(tvars),
+                 _names=out_names) -> pa.Table:
             import numpy as np
 
             from jena_ray.functions.hashing import (
@@ -2438,7 +2457,7 @@ def bgp_construct(
             n = tb.num_rows
             cols = {}
             row_h = None
-            for slot, name in zip(_t, ("subj", "pred", "obj")):
+            for slot, name in zip(_t, _names):
                 if is_var(slot):
                     cols[name] = tb.column(slot[1:])
                 elif slot.startswith("_:"):
@@ -2458,11 +2477,21 @@ def bgp_construct(
                     )
                 else:
                     cols[name] = pa.array([slot] * n, type=pa.string())
-            return pa.table(cols)
+            out = pa.table(cols)
+            if "graph" in cols and is_var(_t[0]):
+                # a graph variable bound to a literal makes an invalid
+                # quad — skipped, not an error (TemplateLib quad check)
+                import pyarrow.compute as pc
+
+                g = out.column("graph")
+                out = out.filter(pc.or_(
+                    pc.starts_with(g, "<"), pc.starts_with(g, "_:")
+                ))
+            return out
 
         outs.append(res.map_batches(emit, batch_format="pyarrow"))
     u = outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
-    return dedup_exact(u, cols=("subj", "pred", "obj"), coalesce=True)
+    return dedup_exact(u, cols=out_names, coalesce=True)
 
 
 def path_closure(

@@ -125,7 +125,8 @@ _TOKEN_RE = re.compile(
                   |\"\"\"(?:(?:\"\"|\")?(?:[^"\\]|\\.))*\"\"\")
   | (?P<STRING>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*[eE][+-]?\d+
+                    |(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?))
   | (?P<PNAME>(?:[^\W\d_][\w\-]*(?:\.[\w\-]+)*)?:
                (?:[\w%\-](?:[\w%\-]|\.(?=[\w.%\-]))*)?)
   | (?P<NAME>[^\W\d][\w]*)
@@ -142,7 +143,36 @@ class Tok:
     pos: int
 
 
+_UESC_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8}))")
+
+
+def _decode_codepoint_escapes(s: str) -> str:
+    """Grammar codepoint escapes \\uXXXX / \\UXXXXXXXX, processed over the
+    whole query string BEFORE tokenization (SPARQL 1.1 §19.2; the
+    reference decodes them in TokenizerText's char reader) — they may
+    appear in IRIs, prefixed names and variable names, not just string
+    literals. A backslash that is itself escaped (even run of preceding
+    backslashes) is left alone."""
+    out, i = [], 0
+    for m in _UESC_RE.finditer(s):
+        j = m.start()
+        if j < i:
+            continue  # overlapped a decoded region
+        k = j
+        while k > 0 and s[k - 1] == "\\":
+            k -= 1
+        if (j - k) % 2 == 1:
+            continue
+        out.append(s[i:j])
+        out.append(chr(int(m.group(1) or m.group(2), 16)))
+        i = m.end()
+    out.append(s[i:])
+    return "".join(out)
+
+
 def tokenize(src: str) -> list[Tok]:
+    if "\\u" in src or "\\U" in src:
+        src = _decode_codepoint_escapes(src)
     toks: list[Tok] = []
     i, n = 0, len(src)
     while i < n:
@@ -833,6 +863,34 @@ class Parser:
         self._in_template = True
         try:
             while not self.at_op("}"):
+                if self.at_kw("GRAPH") or self.at_op("{"):
+                    # ARQ quads extension (arq.jj ConstructTemplate quads
+                    # branch, modify/TemplateLib.calcQuads): GRAPH VarOrIri
+                    # { triples } emits 4-tuple template entries; a bare
+                    # { triples } block names the default graph explicitly
+                    if self.take_kw("GRAPH"):
+                        t = self.peek()
+                        if t.kind not in ("VAR", "IRIREF", "PNAME") or (
+                                t.kind == "PNAME" and t.text == "a"):
+                            raise SparqlSyntaxError(
+                                "template GRAPH names a variable or IRI"
+                            )
+                        gt = self.parse_term()
+                    else:
+                        gt = None
+                    self.expect_op("{")
+                    sub: list[tuple] = []
+                    while not self.at_op("}"):
+                        self._parse_triples_into(g, template_out=sub)
+                        if self.at_op("."):
+                            self.next()
+                    self.expect_op("}")
+                    template.extend(
+                        t if gt is None else (gt, *t) for t in sub
+                    )
+                    if self.at_op("."):
+                        self.next()
+                    continue
                 self._parse_triples_into(g, template_out=template)
                 if self.at_op("."):
                     self.next()
@@ -1091,36 +1149,26 @@ class Parser:
                     )
                 gt = self._no_qtpat(self.parse_term(), "GRAPH")
                 inner = self._parse_group()
-                if inner.union or inner.optionals:
-                    raise SparqlSyntaxError("UNION/OPTIONAL inside GRAPH is "
-                                            "not in the supported subset")
-                if (inner.minuses or inner.binds or inner.values
-                        or inner.exists or inner.subqueries or inner.paths
-                        or inner.star or inner.pfcalls):
-                    # only inner patterns/filters compile to quads —
-                    # anything else would be silently dropped, so raise
-                    raise SparqlSyntaxError(
-                        "MINUS/BIND/VALUES/EXISTS/paths inside GRAPH are "
-                        "not in the supported subset"
-                    )
-                if not (inner.patterns or inner.filters):
+                if not (inner.patterns or inner.filters or inner.union
+                        or inner.optionals or inner.minuses or inner.binds
+                        or inner.values or inner.exists or inner.paths
+                        or inner.star or inner.pfcalls
+                        or inner.subqueries):
                     # GRAPH <g>/?g { } — the empty BGP matches ONCE per
                     # named graph: enumerates graph names / probes graph
                     # existence (ARQ Dataset graph-07/08/10)
                     g.graph_enum.append(gt)
                     last_was_triples = False
                     continue
-                # wrap the inner TRIPLE patterns in this graph term; a
+                # re-scope the whole inner group to this graph term
+                # (OpGraph over an arbitrary sub-pattern): every triple
+                # pattern at any depth — UNION branches, OPTIONAL / MINUS
+                # / EXISTS blocks — becomes a 4-slot quad pattern; a
                 # nested GRAPH block already produced 4-slot patterns and
-                # keeps its own (inner) graph scope — SPARQL GRAPH
+                # keeps its own (inner) scope, since SPARQL GRAPH
                 # re-scopes rather than nests
-                g.patterns.extend(
-                    p if len(p) == 4 else (gt, *p) for p in inner.patterns
-                )
-                g.filters.extend(
-                    _unbind_graph_var(f, gt[1:]) if gt.startswith("?") else f
-                    for f in inner.filters
-                )
+                self._wrap_graph(inner, gt)
+                self._merge(g, inner)
             elif self.take_kw("VALUES"):
                 g.values = (g.values or []) + self._parse_values()
             elif (self.peek().kind == "NAME"
@@ -1245,6 +1293,31 @@ class Parser:
             g.union = h.union
         if h.values:
             g.values = (g.values or []) + h.values
+
+    def _wrap_graph(self, h: Group, gt: str) -> None:
+        """Re-scope a parsed group to graph term ``gt`` (SPARQL §18.5
+        Graph(g, P) over arbitrary P): every 3-slot triple pattern at any
+        nesting depth becomes a 4-slot quad pattern, and — for a graph
+        VARIABLE — filters are rewritten so references to it see an
+        unbound variable (the {var→g} join happens after P evaluates).
+        Shapes whose executors are not quad-aware raise loudly rather
+        than mis-answer."""
+        if h.paths or h.star or h.pfcalls or h.subqueries or h.graph_enum:
+            raise SparqlSyntaxError(
+                "paths / quoted triples / property functions / subqueries "
+                "inside GRAPH are not in the supported subset"
+            )
+        h.patterns = [p if len(p) == 4 else (gt, *p) for p in h.patterns]
+        if gt.startswith("?"):
+            h.filters = [_unbind_graph_var(f, gt[1:]) for f in h.filters]
+        for sub in h.optionals:
+            self._wrap_graph(sub, gt)
+        for sub in h.minuses:
+            self._wrap_graph(sub, gt)
+        for sub, _neg in h.exists:
+            self._wrap_graph(sub, gt)
+        for sub in h.union or []:
+            self._wrap_graph(sub, gt)
 
     @staticmethod
     def _no_pf(sub: Group, where: str) -> Group:
@@ -1443,6 +1516,13 @@ class Parser:
         elif self.at_op("("):
             subj = self._parse_collection(g, template_out)
             if self.at_op(".") or self.at_op("}"):
+                if subj.endswith("#nil>"):
+                    # '()' is the NIL GraphTerm, not a TriplesNode — as a
+                    # lone subject it needs a PropertyListNotEmpty
+                    # (DAWG syn-bad-lone-list)
+                    raise SparqlSyntaxError(
+                        "lone '()' subject needs a predicate-object list"
+                    )
                 return  # bare collection TriplesNode
         else:
             subj = self.parse_term()
@@ -1611,6 +1691,14 @@ class Parser:
                     self.next()
                 if self.at_op(".") or self.at_op("}"):
                     break  # dangling ';' ends the predicate list
+                t = self.peek()
+                if (t.kind == "NAME" and t.text != "a") or (
+                        t.kind == "OP" and t.text == "{"):
+                    # trailing ';' directly before a group element
+                    # (OPTIONAL / FILTER / GRAPH / '{') — the grammar's
+                    # empty PropertyListNotEmpty tail (syntax-struct-11,
+                    # syn-07)
+                    break
                 continue
             break
 
@@ -4577,11 +4665,14 @@ def sparql_query(
     if q.order_by:
         res = _value_order(res, q.order_by, q.order_exprs)
     if q.offset:
-        if q.limit is None:
-            raise SparqlSyntaxError("OFFSET requires LIMIT in this engine")
-        return pa.Table.from_pandas(
-            slice_rows(res, q.offset, q.limit), preserve_index=False
-        )
+        if q.limit is not None:
+            return pa.Table.from_pandas(
+                slice_rows(res, q.offset, q.limit), preserve_index=False
+            )
+        # OpSlice with offset but no limit (QueryIterSlice skips `offset`
+        # rows then yields the rest): split_at_indices keeps the tail
+        # distributed and order-preserving
+        res = res.split_at_indices([q.offset])[1]
     if q.limit is not None:
         res = res.limit(q.limit)
     return res

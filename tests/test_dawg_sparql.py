@@ -403,7 +403,7 @@ ARQ_SUITES: dict[str, int] = {
     "Basic": 5,
     "BasicPatterns": 72,
     "Bound": 1,
-    "Construct": 7,
+    "Construct": 20,
     "Dataset": 13,
     "Describe": 5,
     "Distinct": 19,
@@ -501,6 +501,21 @@ def _lax_equal(exp: list[dict], got: list[dict]) -> bool:
 
 def _check(t, q, res) -> bool | None:
     if q.form in ("construct", "describe"):
+        DG = "<urn:x-arq:DefaultGraph>"
+        if t["result"].endswith(".trig"):
+            # ARQ CONSTRUCT-quads results: dataset isomorphism over
+            # (graph, s, p, o) with one shared bnode bijection
+            from jena_ray.isomorphism import isomorphic_quads
+            from jena_ray.trig import parse_trig
+
+            exp_q = parse_trig(open(t["result"]).read(),
+                               base=f"file://{t['result']}")
+            rows = _rows_of(res)
+            got_q = [
+                (r.get("graph", DG), r["subj"], r["pred"], r["obj"])
+                for r in rows
+            ]
+            return isomorphic_quads(got_q, exp_q)
         if t["result"].endswith((".ttl", ".n3")):
             exp = parse_turtle(open(t["result"]).read(),
                                base=f"file://{t['result']}")
@@ -513,6 +528,12 @@ def _check(t, q, res) -> bool | None:
             return None
         from jena_ray.isomorphism import isomorphic
 
+        rows = _rows_of(res)
+        if rows and "graph" in rows[0]:
+            # quad-template result checked against a triples-only
+            # expected file: all rows must live in the default graph
+            if any(r["graph"] != DG for r in rows):
+                return False
         got = [tuple(r[c] for c in ("subj", "pred", "obj"))
                for r in _rows_of(res)]
         return isomorphic(got, exp)
@@ -550,11 +571,10 @@ SYNTAX_SUITES = ("syntax-sparql1", "syntax-sparql2", "syntax-sparql3",
 
 # minimum PositiveSyntaxTest queries the subset parser must accept, per
 # suite — regression floor for parser breadth (negative tests are exact:
-# every one must raise). Measured acceptance at round 3: 51/81, 40/53,
-# 8/9, 4/4, 2/2 — the gap is bnode property lists '[...]', collections
-# '(...)', and parenthesised path groups, all documented subset limits.
-SYNTAX_FLOORS = {"syntax-sparql1": 51, "syntax-sparql2": 40,
-                 "syntax-sparql3": 8, "syntax-sparql4": 4,
+# every one must raise). Measured acceptance at round 3: 81/81, 53/53,
+# 9/9, 4/4, 2/2 — every positive syntax test in all five DAWG suites.
+SYNTAX_FLOORS = {"syntax-sparql1": 81, "syntax-sparql2": 53,
+                 "syntax-sparql3": 9, "syntax-sparql4": 4,
                  "syntax-sparql5": 2}
 
 

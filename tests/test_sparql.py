@@ -110,9 +110,9 @@ def test_parse_base_resolution():
         "SELECT ?s WHERE { ?s ?p ?o } FOO",
         PFX + 'SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o + "a" = 2) }',
         "SELECT ?s WHERE { ?s undefined:p ?o }",
-        # constructs inside GRAPH braces would silently be dropped
-        PFX + "SELECT ?s WHERE { GRAPH <urn:g> { ?s ex:p ?o "
-              "MINUS { ?s ex:q ?o } } }",
+        # constructs inside GRAPH braces whose executors are not
+        # quad-aware would silently be dropped (paths / subqueries)
+        PFX + "SELECT ?s WHERE { GRAPH <urn:g> { ?s ex:p+ ?o } }",
     ],
 )
 def test_parse_rejects(bad):
@@ -409,6 +409,30 @@ def test_graph_block_over_quad_store(ray_session, tmp_path_factory):
     df = res.to_pandas()
     assert df["g"].tolist() == ["<urn:g0>", "<urn:g1>", "<urn:g2>"]
     assert sorted(df["s"]) == ["<urn:s1>", "<urn:s5>", "<urn:s9>"]
+
+    # general groups inside GRAPH: UNION branches / MINUS blocks re-scope
+    # to quad patterns (OpGraph over arbitrary sub-patterns)
+    res = sparql_query(
+        out,
+        'SELECT ?s WHERE { GRAPH <urn:g0> { { ?s <urn:p> "0" } UNION '
+        '{ ?s <urn:p> "1" } } }',
+        num_partitions=4,
+    )
+    assert sorted(_col(res, "s")) == ["<urn:s0>", "<urn:s9>"]
+
+    res = sparql_query(
+        out,
+        'SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p> ?v MINUS '
+        '{ ?s <urn:p> "2" } } } ORDER BY ?s',
+        num_partitions=4,
+    )
+    df = res.to_pandas()
+    # the MINUS side binds (g, s) for the obj="2" rows (s2, s6, s10), so
+    # exactly those three solutions are removed: 12 - 3 = 9
+    assert "<urn:s2>" not in set(df["s"])
+    assert "<urn:s6>" not in set(df["s"])
+    assert "<urn:s10>" not in set(df["s"])
+    assert len(df) == 9
 
 
 def test_bind_expressions(sparql_index):
