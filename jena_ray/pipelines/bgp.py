@@ -1154,12 +1154,29 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
             pc.fill_null(pc.match_substring_regex(a, simple_re), False),
             pc.fill_null(pc.match_substring_regex(b, simple_re), False),
         )
+        # temporal pairs: same-kind dateTime/dateTime or date/date compare
+        # by instant with the dtcmp tz-indeterminacy rule (same tz-ness →
+        # direct; mixed → determinate only outside the ±14h window)
+        adt, adtz = _dt_parts(a, "dateTime")
+        ad, adz = _dt_parts(a, "date")
+        bdt, bdtz = _dt_parts(b, "dateTime")
+        bd, bdz = _dt_parts(b, "date")
+        both_dt = pc.and_(pc.is_valid(adt), pc.is_valid(bdt))
+        both_d = pc.and_(pc.is_valid(ad), pc.is_valid(bd))
+        ta = pc.if_else(both_dt, adt, ad)
+        tb2 = pc.if_else(both_dt, bdt, bd)
+        tz_a = pc.if_else(both_dt, adtz, adz)
+        tz_b = pc.if_else(both_dt, bdtz, bdz)
+        d = pc.subtract(ta, tb2)
+        shift = -_TZ_WINDOW_NS if f[1] in ("<", "<=") else _TZ_WINDOW_NS
+        tmask = pc.if_else(pc.equal(tz_a, tz_b), kern(d, 0), kern(d, shift))
         mask = pc.if_else(
             both_num, kern(an, bn),
             pc.if_else(both_str,
                        kern(pc.fill_null(_str_value(a), ""),
                             pc.fill_null(_str_value(b), "")),
-                       pa.scalar(None, pa.bool_())),
+                       pc.if_else(pc.or_(both_dt, both_d), tmask,
+                                  pa.scalar(None, pa.bool_()))),
         )
         return pc.fill_null(mask, False)
     if op == "termeq":
@@ -2421,9 +2438,32 @@ def bgp_construct(
     if filters:
         res = _apply_filters(res, res_vars, filters, out_dir)
 
-    missing = [v for v in tvars if v not in res_vars]
+    missing = {v for v in tvars if v not in res_vars}
     if missing:
-        raise ValueError(f"template vars not bound by the BGP: {missing}")
+        # a template variable no WHERE solution can bind leaves its
+        # entries uninstantiated for EVERY solution (TemplateLib.subst
+        # null-skip — ARQ "Construct Quad: Syntax 2" expects the empty
+        # dataset), so those entries drop; ground entries survive
+        import ray.data as rd
+
+        template = [
+            trip for trip in template
+            if all(not is_var(t) or t[1:] not in missing for t in trip)
+        ]
+        tvars = [v for v in tvars if v not in missing]
+        if not template:
+            return rd.from_arrow(pa.table(
+                {n: pa.array([], type=pa.string()) for n in out_names}
+            ))
+        if not tvars:
+            # only ground entries remain: they apply once iff the WHERE
+            # has at least one solution
+            holds = len(res.limit(1).take(1)) > 0
+            trips = sorted(set(template)) if holds else []
+            return rd.from_arrow(pa.table({
+                name: pa.array([t[i] for t in trips], type=pa.string())
+                for i, name in enumerate(out_names)
+            }))
     has_bnodes = any(
         isinstance(t, str) and t.startswith("_:")
         for trip in template for t in trip
@@ -2440,6 +2480,43 @@ def bgp_construct(
     res = res.map_batches(proj, batch_format="pyarrow")
     res = dedup_exact(res, cols=tuple(tvars), coalesce=True)
     res = resolve_id_columns(res, out_dir, {v: v for v in tvars})
+    return construct_instantiate(res, template, tvars=tvars)
+
+
+def construct_instantiate(res, template, *, tvars: list[str] | None = None):
+    """Instantiate CONSTRUCT template entries over a TERM-space solution
+    table — a Dataset (or Arrow Table / pandas frame) whose columns are
+    canonical term strings named by variable. TemplateLib.subst semantics:
+    a solution leaving a template variable UNBOUND (null — OPTIONAL/UNION
+    WHERE shapes) skips just the template entries using it; an
+    instantiation whose subject is a literal, predicate a non-IRI, or
+    graph a literal is an invalid triple and is skipped. Template entries
+    may be 3-tuples or (graph, s, p, o) quads. Returns a distinct
+    Dataset."""
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import dedup_exact
+
+    if not isinstance(res, rd.Dataset):
+        if hasattr(res, "to_pandas") and not isinstance(res, pa.Table):
+            res = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+        elif not isinstance(res, pa.Table):
+            res = pa.Table.from_pandas(res, preserve_index=False)
+        res = rd.from_arrow(res)
+
+    DG = "<urn:x-arq:DefaultGraph>"
+    _DGS = (DG, "<urn:x-arq:DefaultGraphNode>")
+    template = [trip[1:] if len(trip) == 4 and trip[0] in _DGS else trip
+                for trip in template]
+    has_quads = any(len(trip) == 4 for trip in template)
+    if has_quads:
+        template = [trip if len(trip) == 4 else (DG, *trip)
+                    for trip in template]
+    out_names = ("graph", "subj", "pred", "obj") if has_quads else (
+        "subj", "pred", "obj")
+    if tvars is None:
+        tvars = sorted({t[1:] for trip in template for t in trip
+                        if is_var(t)})
 
     outs = []
     for trip in template:
@@ -2447,6 +2524,7 @@ def bgp_construct(
         def emit(tb: pa.Table, _t=tuple(trip), _tv=tuple(tvars),
                  _names=out_names) -> pa.Table:
             import numpy as np
+            import pyarrow.compute as pc
 
             from jena_ray.functions.hashing import (
                 hash_string_array,
@@ -2454,12 +2532,20 @@ def bgp_construct(
             )
             from jena_ray.stages.dedup import _key_hash
 
+            # null-skip: a solution that leaves any of THIS entry's
+            # variables unbound instantiates nothing for it
+            used = [s[1:] for s in _t if is_var(s)]
+            if used:
+                keep = pc.is_valid(tb.column(used[0]))
+                for v in used[1:]:
+                    keep = pc.and_(keep, pc.is_valid(tb.column(v)))
+                tb = tb.filter(keep)
             n = tb.num_rows
             cols = {}
             row_h = None
             for slot, name in zip(_t, _names):
                 if is_var(slot):
-                    cols[name] = tb.column(slot[1:])
+                    cols[name] = pc.cast(tb.column(slot[1:]), pa.string())
                 elif slot.startswith("_:"):
                     # fresh bnode PER SOLUTION (Template.java remaps
                     # template bnodes per binding): skolemize with the
@@ -2478,15 +2564,24 @@ def bgp_construct(
                 else:
                     cols[name] = pa.array([slot] * n, type=pa.string())
             out = pa.table(cols)
-            if "graph" in cols and is_var(_t[0]):
-                # a graph variable bound to a literal makes an invalid
-                # quad — skipped, not an error (TemplateLib quad check)
-                import pyarrow.compute as pc
-
-                g = out.column("graph")
-                out = out.filter(pc.or_(
-                    pc.starts_with(g, "<"), pc.starts_with(g, "_:")
-                ))
+            # invalid-instantiation skip (TemplateLib quad/triple checks):
+            # literal subject, non-IRI predicate, literal graph
+            mask = None
+            for slot, name in zip(_t, _names):
+                if not is_var(slot):
+                    continue
+                c = out.column(name)
+                if name in ("subj", "graph"):
+                    m = pc.or_(pc.starts_with(c, "<"),
+                               pc.starts_with(c, "_:"))
+                elif name == "pred":
+                    m = pc.and_(pc.starts_with(c, "<"),
+                                pc.invert(pc.starts_with(c, "<<")))
+                else:
+                    continue
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is not None:
+                out = out.filter(pc.fill_null(mask, False))
             return out
 
         outs.append(res.map_batches(emit, batch_format="pyarrow"))

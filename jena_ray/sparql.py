@@ -2120,6 +2120,13 @@ class Parser:
                         o2 = {"<": ">", "<=": ">=", ">": "<",
                               ">=": "<="}[op]
                     return ("scmp", o2, a, unescape_string(m.group(1)))
+        if (op in ("<", "<=", ">", ">=")
+                and isinstance(lhs, str) and lhs.startswith("?")
+                and isinstance(rhs, str) and rhs.startswith("?")):
+            # var-var ordering: NodeValue value-space comparison (numeric
+            # when both numeric, codepoint order when both simple strings,
+            # temporal when both dateTime/date — type error otherwise)
+            return ("cmpexpr", op, ("var", lhs[1:]), ("var", rhs[1:]))
         if isinstance(lhs, float) and isinstance(rhs, float):
             raise SparqlSyntaxError("constant-only FILTER comparison")
         if isinstance(lhs, float):  # flip to var-on-left
@@ -4287,15 +4294,77 @@ def sparql_query(
                 "solution modifiers on CONSTRUCT are not in the supported "
                 "subset (they would bound the WHERE solutions, not the graph)"
             )
-        res = bgp.bgp_construct(
-            out_dir, q.where.patterns, q.template,
-            num_partitions=num_partitions,
-            filters=q.where.filters or None, pf_context=pf_context, stats=stats,
+        g = q.where
+        general = (g.optionals or g.minuses or g.union or g.values
+                   or g.binds or g.paths or g.exists or g.subqueries
+                   or g.star or g.pfcalls or g.graph_enum)
+        if not general:
+            return bgp.bgp_construct(
+                out_dir, g.patterns, q.template,
+                num_partitions=num_partitions,
+                filters=g.filters or None, pf_context=pf_context,
+                stats=stats,
+            )
+        # general WHERE shapes (OPTIONAL/UNION/MINUS/BIND/VALUES/paths):
+        # evaluate the WHERE as a SELECT over the template variables —
+        # DISTINCT projection is sound because the output graph is a set —
+        # then instantiate the template per solution with TemplateLib's
+        # null-skip semantics (an unbound template var skips just the
+        # entries using it)
+        from dataclasses import replace as _dc_replace
+
+        from jena_ray.pipelines.bgp import is_var
+
+        tvars = sorted({t[1:] for trip in q.template for t in trip
+                        if is_var(t)})
+        if any(s.startswith("_:") for trip in q.template for s in trip
+               ) and not tvars:
+            raise SparqlSyntaxError(
+                "bnode template slots need at least one template variable"
+            )
+        wvars = _binding_vars(g)
+        missing = {v for v in tvars if v not in wvars}
+        if missing:
+            # never-bindable template vars null-skip their entries for
+            # every solution — drop the entries, keep ground ones
+            template = [
+                trip for trip in q.template
+                if all(not is_var(t) or t[1:] not in missing for t in trip)
+            ]
+            if not template:
+                import ray.data as rd
+
+                return rd.from_arrow(pa.table({
+                    n: pa.array([], type=pa.string())
+                    for n in (("graph", "subj", "pred", "obj")
+                              if any(len(t) == 4 for t in q.template)
+                              else ("subj", "pred", "obj"))
+                }))
+            q = _dc_replace(q, template=template)
+            tvars = sorted({t[1:] for trip in template for t in trip
+                            if is_var(t)})
+        if not tvars:
+            # fully-ground template over a general WHERE: it applies once
+            # iff the WHERE has at least one solution (ASK probe)
+            sub = _dc_replace(q, form="ask", template=None, select=[],
+                              star=False)
+            holds = sparql_query(
+                out_dir, sub, num_partitions=num_partitions,
+                pf_context=pf_context, stats=stats,
+            )
+            holds = bool(holds.column("ask")[0].as_py())
+            return bgp.construct_instantiate(
+                pa.table({"__u": pa.array([None] if holds else [],
+                                          type=pa.string())}),
+                q.template,
+            )
+        sub = _dc_replace(q, form="select", template=None, select=tvars,
+                          star=False, distinct=True)
+        sol = sparql_query(
+            out_dir, sub, num_partitions=num_partitions,
+            pf_context=pf_context, stats=stats,
         )
-        if (q.where.optionals or q.where.minuses or q.where.union
-                or q.where.values or q.where.paths or q.where.graph):
-            raise SparqlSyntaxError("CONSTRUCT WHERE must be a plain BGP")
-        return res
+        return bgp.construct_instantiate(sol, q.template, tvars=tvars)
 
     # MINUS-side variables never bind in the result, so they are excluded;
     # OPTIONAL blocks bind (possibly null) at ANY nesting depth, as do

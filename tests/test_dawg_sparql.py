@@ -403,7 +403,7 @@ ARQ_SUITES: dict[str, int] = {
     "Basic": 5,
     "BasicPatterns": 72,
     "Bound": 1,
-    "Construct": 20,
+    "Construct": 19,
     "Dataset": 13,
     "Describe": 5,
     "Distinct": 19,
