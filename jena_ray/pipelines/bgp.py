@@ -760,7 +760,8 @@ _RE_PLAIN_LIT = (
 )
 
 
-def _term_eq_mask(tb: pa.Table, op: str, a: str, b: str, col_for):
+def _term_eq_mask(tb: pa.Table, op: str, a: str, b: str, col_for,
+                  keep_null: bool = False):
     """Var-var '='/'!=' by VALUE (RDFterm-equal — the reference's E_Equals
     → NodeValue.sameAs), three-valued; the approved open-world and
     expr-equals DAWG results pin the table:
@@ -883,6 +884,10 @@ def _term_eq_mask(tb: pa.Table, op: str, a: str, b: str, col_for):
     )
     res = pc.if_else(pc.or_(ca["termlike"], cb["termlike"]), F, res)
     res = pc.if_else(pc.equal(A, B), T, res)  # null A/B stays null
+    if keep_null:
+        # three-valued result for E_LogicalNot: error stays null (the
+        # caller negates null-preservingly — !error is still an error)
+        return pc.invert(res) if op == "!=" else res
     if op == "!=":
         res = pc.and_(pc.is_valid(res), pc.invert(pc.fill_null(res, True)))
     return pc.fill_null(res, False)
@@ -1098,6 +1103,13 @@ def _value_filter_mask(tb: pa.Table, f: tuple, col_for):
             )
             truth, defined = _ebv_masks(_eval_bind(sub, f[1][1]))
             return pc.fill_null(pc.and_(pc.invert(truth), defined), False)
+        if f[1][0] == "termeq":
+            # !(?v = c) / !(?v != c): three-valued — value-space errors
+            # (unknown datatype, ill-formed lexical) stay errors under
+            # negation, so the row drops on both polarities
+            m = _term_eq_mask(tb, f[1][1], f[1][2], f[1][3], col_for,
+                              keep_null=True)
+            return pc.fill_null(pc.invert(m), False)
         inner = pc.fill_null(_value_filter_mask(tb, f[1], col_for), False)
         m = pc.invert(inner)
         for v in sorted(_filter_vars(f[1])):

@@ -98,14 +98,41 @@ from jena_ray.term import (
 RDF_TYPE_IRI = RDF_NS + "type"
 
 
+def _const_fold_bool(e: tuple) -> bool | None:
+    """Fold a filter subtree of constant-boolean leaves to its value;
+    None when any leaf is non-constant."""
+    op = e[0]
+    if op == "constb":
+        return bool(e[1])
+    if op in ("and", "or"):
+        vals = [_const_fold_bool(s) for s in e[1:]]
+        if any(v is None for v in vals):
+            return None
+        return all(vals) if op == "and" else any(vals)
+    if op == "not":
+        v = _const_fold_bool(e[1])
+        return None if v is None else not v
+    return None
+
+
 def _not_total(expr: tuple) -> bool:
-    """Is this filter subtree safe under '!(...)'? — every leaf's only
-    error source is an unbound variable (streq / constb), so E_LogicalNot
-    lowers to an inverted mask ANDed with operand validity."""
-    op = expr[0]
-    if op in ("and", "or", "not"):
-        return all(_not_total(s) for s in expr[1:])
-    return op in ("streq", "constb")
+    """Is this filter subtree safe under '!(...)'? — a direct termeq child
+    negates three-valued in the executor (errors preserved); inside
+    and/or compositions every leaf's only error source must be an unbound
+    variable (streq / constb / sameTerm), so E_LogicalNot lowers to an
+    inverted mask ANDed with operand validity."""
+    if expr and expr[0] == "termeq":
+        return True  # direct child: three-valued negation in the executor
+
+    def comp(e: tuple) -> bool:
+        op = e[0]
+        if op in ("and", "or", "not"):
+            return all(comp(s) for s in e[1:])
+        if op in ("=", "!=") and len(e) == 3 and isinstance(e[2], str):
+            return True  # sameTerm leaf: total when bound
+        return op in ("streq", "constb")
+
+    return comp(expr)
 
 
 class SparqlSyntaxError(ValueError):
@@ -250,6 +277,9 @@ class UpdateOp:
     graph_src: str | None = None
     graph_dst: str | None = None
     silent: bool = False
+    # UsingClause* operands: ('default'|'named', iri) — parsed for grammar
+    # completeness; execution over a remote dataset description raises
+    using: "list[tuple[str, str]] | None" = None
 
 
 @dataclass
@@ -295,9 +325,15 @@ _STR_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts", "STRENDS": "strends",
 
 
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, arq: bool = True):
         self.toks = tokenize(src)
         self.i = 0
+        # ARQ-extension syntax (LET, bare select expressions / COUNT(*),
+        # braceless sub-SELECT group elements — lang/arq/arq.jj). Jena
+        # dispatches strict SPARQL 1.1 vs ARQ by query language (file
+        # extension .rq vs .arq in its test runners); arq=False rejects
+        # the extensions like Syntax.syntaxSPARQL_11 does
+        self.arq = arq
         self.base: str | None = None
         self.prefixes: dict[str, str] = {}
         self._seq = 0  # fresh-variable counter for '/' path desugaring
@@ -426,6 +462,12 @@ class Parser:
                 # allocates a fresh (skolemized) label per solution row
                 # (Template.java / TemplateLib bnode remapping)
                 return t.text
+            if getattr(self, "_no_bnode_patterns", False):
+                # DELETE WHERE forbids blank nodes in its quad pattern
+                # (grammar QuadPatternNoBNodes — syntax-update-bad-10)
+                raise SparqlSyntaxError(
+                    "DELETE WHERE cannot contain blank nodes"
+                )
             seen = self._bnode_epoch.get(t.text)
             if seen is not None and seen != self._bgp_epoch:
                 raise SparqlSyntaxError(
@@ -499,42 +541,101 @@ class Parser:
         return self._iri(t)
 
     def parse_update(self) -> UpdateOp:
-        self._parse_prologue()
+        """Parse a request that must contain exactly ONE operation (the
+        single-op API most callers use)."""
+        ops = self.parse_update_request()
+        if len(ops) != 1:
+            raise SparqlSyntaxError(
+                f"expected exactly one update operation, got {len(ops)}"
+            )
+        return ops[0]
+
+    def parse_update_request(self) -> list[UpdateOp]:
+        """Update ::= Prologue (UpdateUnit (';' Update)?)? — a
+        ';'-separated, possibly EMPTY sequence of operations (grammar
+        main.jj Update / modify/request/UpdateRequest.java); each
+        operation may carry its own prologue."""
+        ops: list[UpdateOp] = []
+        while True:
+            self._parse_prologue()
+            if self.peek().kind == "EOF":
+                break
+            ops.append(self._parse_update_op())
+            if self.at_op(";"):
+                self.next()
+                continue
+            t = self.peek()
+            if t.kind != "EOF":
+                raise SparqlSyntaxError(
+                    f"unexpected trailing input at {t.text!r}"
+                )
+            break
+        return ops
+
+    def _parse_update_op(self) -> UpdateOp:
         # graph management (UpdateClear.java / UpdateDrop.java /
         # UpdateCreate.java / UpdateAdd/Copy/Move — update/ in jena-arq)
         for kw, kind in (("CLEAR", "clear"), ("DROP", "drop")):
             if self.take_kw(kw):
                 silent = self.take_kw("SILENT")
-                op = UpdateOp(kind, silent=silent,
-                              graph_src=self._graph_ref(allow_sets=True))
-                self._end_update()
-                return op
+                return UpdateOp(kind, silent=silent,
+                                graph_src=self._graph_ref(allow_sets=True))
         if self.take_kw("CREATE"):
             silent = self.take_kw("SILENT")
             self.expect_kw("GRAPH")
             t = self.next()
             if t.kind not in ("IRIREF", "PNAME"):
                 raise SparqlSyntaxError(f"expected a graph IRI at {t.text!r}")
-            op = UpdateOp("create", silent=silent, graph_src=self._iri(t))
-            self._end_update()
-            return op
+            return UpdateOp("create", silent=silent, graph_src=self._iri(t))
         for kw, kind in (("ADD", "add"), ("COPY", "copy"), ("MOVE", "move")):
             if self.take_kw(kw):
                 silent = self.take_kw("SILENT")
                 src = self._graph_ref(allow_sets=False)
                 self.expect_kw("TO")
                 dst = self._graph_ref(allow_sets=False)
-                op = UpdateOp(kind, silent=silent, graph_src=src,
-                              graph_dst=dst)
-                self._end_update()
-                return op
+                return UpdateOp(kind, silent=silent, graph_src=src,
+                                graph_dst=dst)
+        if self.take_kw("LOAD"):
+            # LOAD SILENT? iri (INTO GRAPH iri)? — update/UpdateLoad.java
+            silent = self.take_kw("SILENT")
+            t = self.next()
+            if t.kind not in ("IRIREF", "PNAME"):
+                raise SparqlSyntaxError(f"expected a document IRI at {t.text!r}")
+            doc = self._iri(t)
+            dst = None
+            if self.take_kw("INTO"):
+                self.expect_kw("GRAPH")
+                t = self.next()
+                if t.kind not in ("IRIREF", "PNAME"):
+                    raise SparqlSyntaxError(
+                        f"expected a graph IRI at {t.text!r}"
+                    )
+                dst = self._iri(t)
+            return UpdateOp("load", silent=silent, graph_src=doc,
+                            graph_dst=dst)
+        with_graph = None
+        if self.take_kw("WITH"):
+            # WITH iri (DeleteWhere|Modify) — update/UpdateModify.java
+            # .getWithIRI: un-GRAPH-ed template quads and WHERE patterns
+            # re-scope to this graph; lowered HERE so the executor only
+            # ever sees explicit graph slots
+            t = self.next()
+            if t.kind not in ("IRIREF", "PNAME"):
+                raise SparqlSyntaxError(f"expected a graph IRI at {t.text!r}")
+            with_graph = self._iri(t)
+            if not (self.at_kw("INSERT") or self.at_kw("DELETE")):
+                raise SparqlSyntaxError("WITH must precede INSERT/DELETE")
         if self.take_kw("INSERT"):
             if self.take_kw("DATA"):
+                if with_graph is not None:
+                    raise SparqlSyntaxError("WITH cannot precede DATA")
                 op = UpdateOp("insert_data", insert=self._parse_ground_block())
             else:
                 tmpl = self._parse_template_block()
+                using = self._parse_using()
                 self.expect_kw("WHERE")
-                op = UpdateOp("modify", insert=tmpl, where=self._parse_group())
+                op = UpdateOp("modify", insert=tmpl, using=using,
+                              where=self._parse_group())
         elif self.take_kw("DELETE"):
             if self.take_kw("DATA"):
                 block = self._parse_ground_block()
@@ -547,33 +648,63 @@ class Parser:
                 op = UpdateOp("delete_data", delete=block)
             elif self.at_kw("WHERE"):
                 self.expect_kw("WHERE")
-                where = self._parse_group()
+                self._no_bnode_patterns = True
+                try:
+                    where = self._parse_group()
+                finally:
+                    self._no_bnode_patterns = False
                 if not where.patterns:
                     raise SparqlSyntaxError("DELETE WHERE needs triple patterns")
+                self._no_bnodes(where.patterns, "DELETE WHERE")
                 op = UpdateOp("modify", delete=list(where.patterns), where=where)
             else:
                 dtmpl = self._parse_template_block()
+                self._no_bnodes(dtmpl, "a DELETE template")
                 itmpl = None
                 if self.take_kw("INSERT"):
                     itmpl = self._parse_template_block()
+                using = self._parse_using()
                 self.expect_kw("WHERE")
                 op = UpdateOp("modify", delete=dtmpl, insert=itmpl,
-                              where=self._parse_group())
+                              using=using, where=self._parse_group())
         else:
             raise SparqlSyntaxError(
                 f"expected INSERT or DELETE at {self.peek().text!r}"
             )
-        self._end_update()
+        if with_graph is not None:
+            if op.kind != "modify":
+                raise SparqlSyntaxError("WITH cannot precede DATA")
+            op.delete = ([t if len(t) == 4 else (with_graph, *t)
+                          for t in op.delete] if op.delete else None)
+            op.insert = ([t if len(t) == 4 else (with_graph, *t)
+                          for t in op.insert] if op.insert else None)
+            self._wrap_graph(op.where, with_graph)
         return op
 
-    def _end_update(self) -> None:
-        t = self.peek()
-        if t.kind == "OP" and t.text == ";":
-            raise SparqlSyntaxError(
-                "one update operation per request (';' chains unsupported)"
-            )
-        if t.kind != "EOF":
-            raise SparqlSyntaxError(f"unexpected trailing input at {t.text!r}")
+    def _parse_using(self) -> "list[tuple[str, str]] | None":
+        """UsingClause* — USING (NAMED)? iri (update grammar; the
+        reference's UpdateModify.getUsing/getUsingNamed)."""
+        out: list[tuple[str, str]] = []
+        while self.take_kw("USING"):
+            kind = "named" if self.take_kw("NAMED") else "default"
+            t = self.next()
+            if t.kind not in ("IRIREF", "PNAME"):
+                raise SparqlSyntaxError(
+                    f"expected a graph IRI at {t.text!r}"
+                )
+            out.append((kind, self._iri(t)))
+        return out or None
+
+    @staticmethod
+    def _no_bnodes(trips: list[tuple], where: str) -> None:
+        # UpdateModify grammar: blank nodes (incl. ANON / property lists)
+        # are forbidden in DELETE templates and DELETE WHERE patterns
+        # (syntax-update-bad-10/11)
+        for trip in trips:
+            if any(isinstance(t, str) and t.startswith("_:") for t in trip):
+                raise SparqlSyntaxError(
+                    f"{where} cannot contain blank nodes"
+                )
 
     def _parse_template_block(self) -> list[tuple]:
         self.expect_op("{")
@@ -581,10 +712,17 @@ class Parser:
         g = Group()
         self._in_template = True
         try:
+            last_was_triples = False
             while not self.at_op("}"):
+                if last_was_triples:
+                    raise SparqlSyntaxError(
+                        "expected '.' between template triples"
+                    )
                 self._parse_triples_into(g, template_out=template)
+                last_was_triples = True
                 if self.at_op("."):
                     self.next()
+                    last_was_triples = False
         finally:
             self._in_template = False
         self.expect_op("}")
@@ -688,6 +826,11 @@ class Parser:
                         alias = a.text[1:]
                     self.expect_op(")")
                     if alias is None:
+                        if not self.arq:
+                            raise SparqlSyntaxError(
+                                "a select expression needs AS (bare "
+                                "(expr) is ARQ-only syntax)"
+                            )
                         alias = f".{anon}"
                         anon += 1
                     q.select_exprs.append((expr, alias))
@@ -697,6 +840,10 @@ class Parser:
                     # bare aggregate (ARQ): SELECT count(*) — the agg
                     # binds an internal var, the select expr referencing
                     # it gets the NEXT ".N" slot (matches ARQ's .1)
+                    if not self.arq:
+                        raise SparqlSyntaxError(
+                            "a bare aggregate in SELECT is ARQ-only syntax"
+                        )
                     func, var, distinct, sep = self._parse_agg_core()
                     q.aggs.append(Agg(func, var, distinct, f".{anon + 1}",
                                       sep))
@@ -706,6 +853,21 @@ class Parser:
                     or t.text.upper() in ("IF", "COALESCE")
                 ):
                     # bare function expression (ARQ): SELECT str(?v)
+                    if not self.arq:
+                        raise SparqlSyntaxError(
+                            "a bare expression in SELECT is ARQ-only syntax"
+                        )
+                    expr = self._parse_bind_expr()
+                    q.select_exprs.append((expr, f".{anon}"))
+                    anon += 1
+                elif (t.kind in ("PNAME", "IRIREF")
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).text == "("):
+                    # bare URI function call (ARQ): SELECT :f(?x + ?y)
+                    if not self.arq:
+                        raise SparqlSyntaxError(
+                            "a bare expression in SELECT is ARQ-only syntax"
+                        )
                     expr = self._parse_bind_expr()
                     q.select_exprs.append((expr, f".{anon}"))
                     anon += 1
@@ -719,8 +881,58 @@ class Parser:
         self.take_kw("WHERE")
         q.where = self._parse_group()
         self._parse_modifiers(q)
+        self._check_select_scope(q)
         self._lower_select_exprs(q)
         return q
+
+    def _check_select_scope(self, q: Query) -> None:
+        """Projection scope rules (SPARQL 1.1 §18.2.4.2; ARQ
+        syntax-scope-bad-01/02, syn-bad-01..05): an AS alias must be
+        FRESH — not a previously projected variable or alias, and not a
+        variable read by any select expression or aggregate; under an
+        explicit GROUP BY, ``SELECT *`` is forbidden and every plain
+        projected variable must be a group key."""
+        from jena_ray.pipelines.bgp import _bind_expr_vars
+
+        seen: set[str] = set(q.select)
+        for a in q.aggs:
+            if a.alias.startswith("."):
+                continue  # internal ARQ ".N" slots are never user vars
+            if a.alias in seen:
+                raise SparqlSyntaxError(
+                    f"select alias ?{a.alias} is already in use"
+                )
+            seen.add(a.alias)
+        # a LATER expression may legally read an earlier alias; the alias
+        # itself must be fresh w.r.t. everything projected or read SO FAR
+        read_so_far: set[str] = set()
+        for e, alias in q.select_exprs:
+            read_so_far |= set(_bind_expr_vars(e))
+            if alias.startswith("."):
+                continue
+            if alias in seen or alias in read_so_far:
+                raise SparqlSyntaxError(
+                    f"select alias ?{alias} is already in use"
+                )
+            seen.add(alias)
+        if q.group_by or q.group_exprs:
+            if q.star:
+                # strict SPARQL 1.1 forbids it (syn-bad-01); ARQ's parser
+                # accepts and projects the group keys
+                if not self.arq:
+                    raise SparqlSyntaxError(
+                        "SELECT * cannot combine with GROUP BY"
+                    )
+                q.star = False
+                q.select = list(q.group_by) + [
+                    al for _, al, user in q.group_exprs if user
+                ]
+            keys = set(q.group_by) | {al for _, al, _u in q.group_exprs}
+            bad = [v for v in q.select if v not in keys]
+            if bad:
+                raise SparqlSyntaxError(
+                    f"non-group-key variable(s) in SELECT: {bad}"
+                )
 
     def _lower_select_exprs(self, q: Query) -> None:
         """Lower (expr AS ?alias) select expressions to BINDs over the
@@ -841,11 +1053,13 @@ class Parser:
 
     def _parse_construct(self) -> Query:
         self.expect_kw("CONSTRUCT")
-        if self.at_kw("WHERE"):
-            # SPARQL 1.1 shorthand: CONSTRUCT WHERE { patterns } — the
-            # pattern doubles as the template (plain BGP only)
-            self.next()
+        if self.at_kw("WHERE") or self.at_kw("FROM"):
+            # SPARQL 1.1 shorthand: CONSTRUCT DatasetClause* WHERE
+            # { patterns } — the pattern doubles as the template
+            # (plain BGP only; syntax-construct-where-02 carries FROM)
             q = Query(form="construct")
+            self._parse_dataset_clause(q)
+            self.expect_kw("WHERE")
             q.where = self._parse_group()
             g = q.where
             if (g.filters or g.optionals or g.minuses or g.union or g.values
@@ -862,6 +1076,7 @@ class Parser:
         g = Group()
         self._in_template = True
         try:
+            last_was_triples = False
             while not self.at_op("}"):
                 if self.at_kw("GRAPH") or self.at_op("{"):
                     # ARQ quads extension (arq.jj ConstructTemplate quads
@@ -880,20 +1095,36 @@ class Parser:
                         gt = None
                     self.expect_op("{")
                     sub: list[tuple] = []
+                    sub_last = False
                     while not self.at_op("}"):
+                        if sub_last:
+                            raise SparqlSyntaxError(
+                                "expected '.' between template triples"
+                            )
                         self._parse_triples_into(g, template_out=sub)
+                        sub_last = True
                         if self.at_op("."):
                             self.next()
+                            sub_last = False
                     self.expect_op("}")
                     template.extend(
                         t if gt is None else (gt, *t) for t in sub
                     )
+                    last_was_triples = False
                     if self.at_op("."):
                         self.next()
                     continue
+                if last_was_triples:
+                    # a second TriplesBlock needs the '.' separator
+                    # (ConstructTemplate grammar — syn-bad-16)
+                    raise SparqlSyntaxError(
+                        "expected '.' between template triples"
+                    )
                 self._parse_triples_into(g, template_out=template)
+                last_was_triples = True
                 if self.at_op("."):
                     self.next()
+                    last_was_triples = False
         finally:
             self._in_template = False
         self.expect_op("}")
@@ -1042,6 +1273,7 @@ class Parser:
     # -- group graph pattern
     def _parse_group(self) -> Group:
         self.expect_op("{")
+        group_start = self.i  # token index of the first group element
         g = Group()
         # entering a group starts a new basic graph pattern (blank-node
         # label scope); so does returning from any nested group
@@ -1055,20 +1287,9 @@ class Parser:
                 # epoch around it (EXISTS groups bump it internally)
                 epoch = self._bgp_epoch
                 nxt = self.peek()
-                # FILTER (NOT) EXISTS {…} — bare or once-parenthesized
-                # (E_Exists/E_NotExists as the whole FILTER expression;
-                # EXISTS inside a larger boolean expression is out of
-                # subset and falls through to the expression parser)
-                paren = 0
-                if (nxt.kind == "OP" and nxt.text == "("
-                        and self.peek(1).kind == "NAME"
-                        and (self.peek(1).text.upper() == "EXISTS"
-                             or (self.peek(1).text.upper() == "NOT"
-                                 and self.peek(2).kind == "NAME"
-                                 and self.peek(2).text.upper() == "EXISTS"))):
-                    paren = 1
-                    self.next()
-                    nxt = self.peek()
+                # FILTER (NOT) EXISTS {…} — bare keyword form; the
+                # parenthesized forms (alone or as && conjuncts) parse as
+                # existsmark atoms inside _parse_filter and hoist here
                 if nxt.kind == "NAME" and (
                     nxt.text.upper() == "EXISTS"
                     or (nxt.text.upper() == "NOT"
@@ -1078,10 +1299,12 @@ class Parser:
                     neg = self.take_kw("NOT")
                     self.expect_kw("EXISTS")
                     g.exists.append((self._no_pf(self._parse_group(), 'EXISTS'), neg))
-                    if paren:
-                        self.expect_op(")")
                 else:
-                    g.filters.extend(self._parse_filter())
+                    for f in self._parse_filter():
+                        if f[0] == "existsmark":
+                            g.exists.append((f[1], f[2]))
+                        else:
+                            g.filters.append(f)
                 self._bgp_epoch = epoch
                 if self.at_op("."):
                     self.next()
@@ -1095,10 +1318,20 @@ class Parser:
                 if v.kind != "VAR":
                     raise SparqlSyntaxError("BIND needs AS ?var")
                 self.expect_op(")")
+                if v.text[1:] in _scope_vars(g):
+                    # §18.2.1 in-scope rule: BIND may not re-assign a
+                    # variable used by the group so far (Update
+                    # syntax-update-bad-14/15)
+                    raise SparqlSyntaxError(
+                        f"BIND assigns {v.text!r}, already in scope of "
+                        "the group"
+                    )
                 g.binds.append((expr, v.text[1:]))
             elif self.take_kw("LET"):
                 # ARQ extension LET(?v := expr) (ElementAssign,
                 # lang/arq/arq.jj) — same lowering as BIND in this subset
+                if not self.arq:
+                    raise SparqlSyntaxError("LET is ARQ-only syntax")
                 self.expect_op("(")
                 v = self.next()
                 if v.kind != "VAR":
@@ -1173,11 +1406,19 @@ class Parser:
                 g.values = (g.values or []) + self._parse_values()
             elif (self.peek().kind == "NAME"
                     and self.peek().text.upper() == "SELECT"):
-                # ARQ extension: a bare sub-SELECT group element without
-                # the wrapping braces (arq.jj ElementSubQuery branch)
+                # '{' SubSelect '}' — the grammar allows a sub-SELECT as
+                # the WHOLE group (GroupGraphPattern ::= '{' (SubSelect |
+                # GroupGraphPatternSub) '}'); ARQ additionally allows it
+                # braceless AMID other elements (arq.jj ElementSubQuery)
+                sole = self.i == group_start
                 g.subqueries.append(self._finish_sub(self._parse_select()))
                 self._fresh_bgp_scope()
                 last_was_triples = False
+                if not self.arq and not (sole and self.at_op("}")):
+                    raise SparqlSyntaxError(
+                        "a sub-SELECT amid other group elements needs "
+                        "braces (braceless form is ARQ-only syntax)"
+                    )
                 if self.at_op("."):
                     self.next()
                 continue
@@ -1744,7 +1985,20 @@ class Parser:
         self.expect_op("(")
         expr = self._parse_filter_or()
         self.expect_op(")")
-        return list(expr[1:]) if expr[0] == "and" else [expr]
+        out = list(expr[1:]) if expr[0] == "and" else [expr]
+
+        def has_mark(e) -> bool:
+            return isinstance(e, tuple) and (
+                e[0] == "existsmark"
+                or any(has_mark(s) for s in e[1:])
+            )
+
+        for f in out:
+            if f[0] != "existsmark" and has_mark(f):
+                raise SparqlSyntaxError(
+                    "EXISTS may appear only as a top-level FILTER conjunct"
+                )
+        return out
 
     def _parse_filter_or(self) -> tuple:
         branches = [self._parse_filter_and()]
@@ -1773,8 +2027,24 @@ class Parser:
     _TRUE_TERM = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
     _FALSE_TERM = '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
 
+    def _at_exists_brace(self, k: int = 0) -> bool:
+        t, b = self.peek(k), self.peek(k + 1)
+        return (t.kind == "NAME" and t.text.upper() == "EXISTS"
+                and b.kind == "OP" and b.text == "{")
+
     def _parse_filter_atom(self) -> tuple:
         neg = False
+        # (NOT) EXISTS { ... } as a boolean atom — expressible only as a
+        # TOP-LEVEL conjunct (hoisted into the group's exists elements by
+        # the FILTER branch); any nested position raises in _parse_filter
+        if self._at_exists_brace() or (
+                self.peek().kind == "NAME"
+                and self.peek().text.upper() == "NOT"
+                and self._at_exists_brace(1)):
+            negx = self.take_kw("NOT")
+            self.expect_kw("EXISTS")
+            return ("existsmark",
+                    self._no_pf(self._parse_group(), "EXISTS"), bool(negx))
         # bare variable → effective boolean value (FILTER(?v), ?v && ...)
         if self.peek().kind == "VAR" and self._closes_atom(1):
             return ("ebv", "?" + self.next().text[1:])
@@ -1801,11 +2071,20 @@ class Parser:
             try:
                 a = self._parse_filter_or()
                 self.expect_op(")")
+                is_cmp = (self.peek().kind == "OP" and self.peek().text in
+                          ("=", "!=", "<", "<=", ">", ">="))
                 if not (self.at_op("+") or self.at_op("-") or self.at_op("*")
-                        or self.at_op("/")
-                        or (self.peek().kind == "OP" and self.peek().text in
-                            ("=", "!=", "<", "<=", ">", ">="))):
+                        or self.at_op("/") or is_cmp):
                     return a
+                if is_cmp:
+                    # a boolean subtree as a comparison OPERAND — constant
+                    # compositions fold to an xsd:boolean term and compare
+                    # by value ((TRUE || FALSE) = ?v — ValueTesting)
+                    cv = _const_fold_bool(a)
+                    if cv is not None:
+                        return self._parse_comparison_tail(
+                            self._TRUE_TERM if cv else self._FALSE_TERM
+                        )
             except SparqlSyntaxError:
                 pass
             self.i = save
@@ -1813,6 +2092,11 @@ class Parser:
         if self.at_op("!"):
             self.next()
             neg = True
+            # ! EXISTS { ... } — E_LogicalNot over E_Exists = NOT EXISTS
+            if self._at_exists_brace():
+                self.expect_kw("EXISTS")
+                return ("existsmark",
+                        self._no_pf(self._parse_group(), "EXISTS"), True)
             # negated EBV of a bare variable: FILTER(!?v)
             if self.peek().kind == "VAR" and self._closes_atom(1):
                 return ("notebv", "?" + self.next().text[1:])
@@ -2057,9 +2341,9 @@ class Parser:
                     items.append(self._parse_add_expr())
             self.expect_op(")")
             if not items:
-                # IN () is always false; NOT IN () always true — no mask
-                # machinery for constants, so reject the degenerate form
-                raise SparqlSyntaxError("empty IN () list is not supported")
+                # empty list: IN () is constant-false, NOT IN () constant-
+                # true (E_OneOf over zero branches — syntax-oneof-02)
+                return ("constb", negated)
             atoms = [self._lower_comparison("!=" if negated else "=", lhs, it)
                      for it in items]
             if len(atoms) == 1:
@@ -2129,7 +2413,11 @@ class Parser:
             return ("cmpexpr", op, ("var", lhs[1:]), ("var", rhs[1:]))
         if isinstance(lhs, float) and isinstance(rhs, float):
             raise SparqlSyntaxError("constant-only FILTER comparison")
-        if isinstance(lhs, float):  # flip to var-on-left
+        if isinstance(lhs, float) or (
+                isinstance(lhs, str) and not lhs.startswith("?")
+                and isinstance(rhs, str) and rhs.startswith("?")):
+            # flip to var-on-left (constants — numeric or term — on the
+            # left swap sides with the comparison direction inverted)
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
             lhs, rhs, op = rhs, lhs, flip[op]
         if not (isinstance(lhs, str) and lhs.startswith("?")):
@@ -2470,12 +2758,14 @@ def _datetime_const(operand) -> tuple[str, str] | None:
     return (m.group(2), m.group(1)) if m else None
 
 
-def parse_query(src: str, base: str | None = None) -> Query:
+def parse_query(src: str, base: str | None = None,
+                arq: bool = True) -> Query:
     """Parse one SPARQL query string. ``base`` seeds the IRI resolver
     (needed for relative FROM / FROM NAMED document IRIs — the reference
     resolves them against the query's syntax base); an in-query BASE
-    declaration overrides it."""
-    p = Parser(src)
+    declaration overrides it. ``arq=False`` parses strict SPARQL 1.1,
+    rejecting the ARQ syntax extensions."""
+    p = Parser(src, arq=arq)
     if base is not None:
         p.base = base
     return p.parse_query()
@@ -4322,7 +4612,9 @@ def sparql_query(
             raise SparqlSyntaxError(
                 "bnode template slots need at least one template variable"
             )
-        wvars = _binding_vars(g)
+        wvars = _binding_vars(g) | {v for _, v in g.binds}
+        for sq in g.subqueries:
+            wvars |= set(_sub_vars(sq))
         missing = {v for v in tvars if v not in wvars}
         if missing:
             # never-bindable template vars null-skip their entries for

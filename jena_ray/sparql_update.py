@@ -94,16 +94,132 @@ def _template_dataset(out_dir: str, op: UpdateOp, template: list[tuple],
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
-def _set_minus(cur, dele, num_partitions: int):
-    """Set difference on (subj, pred, obj) via the bucketed-groupby shuffle
-    (one hash shuffle, vectorized pandas anti-merge per bucket). Used
-    instead of the join-based relational.except_all because the delete side
-    comes out of a map_groups pipeline, whose empty hash partitions emit
-    zero-column blocks that Dataset.join rejects (ray 2.49) while groupby
-    shuffles tolerate them."""
+def _quad_modify(out_dir: str, op: UpdateOp, *, num_partitions: int):
+    """DELETE/INSERT WHERE with graph-scoped templates or WHERE patterns
+    (WITH <g> lowering / GRAPH blocks — UpdateModify over a dataset):
+    instantiate each template per WHERE solution as QUADS via
+    bgp_construct (default-graph rows tagged <urn:x-arq:DefaultGraph>),
+    then rebuild both store tables."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.pipelines.bgp import _scan_pattern, bgp_construct
+    from jena_ray.stages.materialize import read_layout, resolve_id_columns
+    from jena_ray.stages.quads import quad_pattern_scan
+
+    info = read_layout(out_dir)
+    if not info.get("quads"):
+        raise SparqlSyntaxError(
+            "graph-scoped updates need an RDF-dataset store "
+            "(materialize_rdf_dataset layout)"
+        )
+    g = op.where
+    if g is None or g.optionals or g.minuses or g.union or g.values or \
+            g.paths or g.binds or g.exists or g.subqueries:
+        raise SparqlSyntaxError(
+            "update WHERE must be a plain (quad) BGP + FILTER"
+        )
+
+    DG = "<urn:x-arq:DefaultGraph>"
+
+    def inst(template):
+        if template is None:
+            return None
+        # force the quad path so the output always carries a graph column
+        tq = [t if len(t) == 4 else (DG, *t) for t in template]
+        return bgp_construct(
+            out_dir, g.patterns, tq, num_partitions=num_partitions,
+            filters=g.filters or None, stats=False,
+        )
+
+    def split(qds_all):
+        tri = qds_all.map_batches(
+            lambda t: t.filter(pc.equal(t.column("graph"), DG)).select(
+                ["subj", "pred", "obj"]),
+            batch_format="pyarrow",
+        )
+        named = qds_all.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("graph"), DG))),
+            batch_format="pyarrow",
+        )
+        return tri, named
+
+    ids = _scan_pattern(out_dir, ("?s", "?p", "?o"), info)
+    cur_tri = resolve_id_columns(
+        ids, out_dir, {"s": "subj", "p": "pred", "o": "obj"}
+    ).map_batches(lambda t: t.select(["subj", "pred", "obj"]),
+                  batch_format="pyarrow")
+    cur_quads = quad_pattern_scan(out_dir)
+
+    new_tri, new_quads = cur_tri, cur_quads
+    dele = inst(op.delete)
+    if dele is not None:
+        # materialize the instantiated deletes BEFORE the rebuild path
+        # consumes the store they scan
+        d_tri, d_named = split(dele)
+        new_tri = _set_minus(new_tri, d_tri, num_partitions)
+        new_quads = _set_minus(new_quads, d_named, num_partitions,
+                               cols=["graph", "subj", "pred", "obj"])
+    ins = inst(op.insert)
+    if ins is not None:
+        i_tri, i_named = split(ins)
+        new_tri = new_tri.union(i_tri)
+        new_quads = new_quads.union(i_named)
+    return _rebuild_dataset(out_dir, info, new_tri, new_quads)
+
+
+def _load_document(out_dir: str, op: UpdateOp, *, num_partitions: int):
+    """LOAD <doc> [INTO GRAPH <g>] (update/UpdateLoad.java): parse the
+    document (format by extension, like RDFLanguages.filenameToLang) and
+    insert its triples into the default graph or the named graph."""
+    doc = op.graph_src[1:-1]
+    path = doc[len("file://"):] if doc.startswith("file://") else doc
+    if not os.path.isfile(path):
+        if op.silent:
+            return {"changed": False}
+        raise SparqlSyntaxError(f"LOAD: no such document: {doc}")
+    low = path.lower()
+    try:
+        text = open(path, encoding="utf-8").read()
+        if low.endswith((".ttl", ".n3")):
+            from jena_ray.turtle import parse_turtle
+
+            rows = parse_turtle(text, base=doc)
+        elif low.endswith(".nt"):
+            from jena_ray.term import parse_ntriples
+
+            rows = parse_ntriples(text, base=doc)
+        else:
+            raise SparqlSyntaxError(
+                f"LOAD: unsupported document format: {doc} "
+                "(.nt / .ttl / .n3)"
+            )
+    except SparqlSyntaxError:
+        raise
+    except Exception as e:
+        if op.silent:
+            return {"changed": False}
+        raise SparqlSyntaxError(f"LOAD: cannot parse {doc}: {e}") from e
+    rows = [r for r in rows if r is not None]
+    if op.graph_dst is None:
+        ground = UpdateOp("insert_data", insert=rows)
+    else:
+        ground = UpdateOp("insert_data",
+                          insert=[(op.graph_dst, *t) for t in rows])
+    return _apply_update_op(out_dir, ground, num_partitions=num_partitions)
+
+
+def _set_minus(cur, dele, num_partitions: int,
+               cols: list[str] | None = None):
+    """Set difference on term-string columns via the bucketed-groupby
+    shuffle (one hash shuffle, vectorized pandas anti-merge per bucket).
+    Used instead of the join-based relational.except_all because the
+    delete side comes out of a map_groups pipeline, whose empty hash
+    partitions emit zero-column blocks that Dataset.join rejects
+    (ray 2.49) while groupby shuffles tolerate them."""
     from jena_ray.stages.dedup import bucketed_group_apply
 
-    cols = ["subj", "pred", "obj"]
+    cols = cols or ["subj", "pred", "obj"]
 
     def mark(v: int):
         def f(tb: pa.Table) -> pa.Table:
@@ -275,6 +391,18 @@ def _dataset_update(out_dir: str, op: UpdateOp, *, num_partitions: int):
             f"unsupported update kind on a dataset store: {k}"
         )
 
+    return _rebuild_dataset(out_dir, info, new_tri, new_quads)
+
+
+def _rebuild_dataset(out_dir: str, info: dict, new_tri, new_quads):
+    """Common tail of every dataset-store update: dedup both tables,
+    snapshot to parquet (the inputs lazily read the dirs the rebuild
+    deletes), re-materialize the whole store, swap."""
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import dedup_exact
+    from jena_ray.stages.quads import materialize_rdf_dataset
+
     new_tri = dedup_exact(new_tri, cols=("subj", "pred", "obj"))
     new_quads = dedup_exact(new_quads,
                             cols=("graph", "subj", "pred", "obj"))
@@ -307,26 +435,59 @@ def _dataset_update(out_dir: str, op: UpdateOp, *, num_partitions: int):
     return {"changed": True}
 
 
-def sparql_update(out_dir: str, update: str | UpdateOp, *,
-                  num_partitions: int = 16):
-    """Parse + apply one SPARQL Update request to the index at ``out_dir``.
+def sparql_update(out_dir: str, update: "str | UpdateOp | list[UpdateOp]",
+                  *, num_partitions: int = 16):
+    """Parse + apply a SPARQL Update request to the index at ``out_dir``.
 
-    Returns ``{"triples_before": n, "triples_after": m}`` for triple-store
-    data updates; graph-management / quad-data requests over an
-    RDF-dataset store return ``{"changed": bool}``.
+    A request is a ';'-separated sequence of operations, applied in order
+    (UpdateRequest semantics — each operation's WHERE reads the store as
+    left by the previous one). Returns the LAST operation's result dict:
+    ``{"triples_before": n, "triples_after": m}`` for triple-store data
+    updates, ``{"changed": bool}`` for graph-management / quad updates —
+    or ``{"changed": False}`` for an empty request.
     """
+    if isinstance(update, str):
+        ops = Parser(update).parse_update_request()
+    elif isinstance(update, UpdateOp):
+        ops = [update]
+    else:
+        ops = list(update)
+    if not ops:
+        return {"changed": False}
+    out = None
+    for one in ops:
+        out = _apply_update_op(out_dir, one, num_partitions=num_partitions)
+    return out
+
+
+def _apply_update_op(out_dir: str, op: UpdateOp, *, num_partitions: int):
     import ray.data as rd
 
     from jena_ray.stages.dedup import dedup_exact
     from jena_ray.stages.materialize import materialize_indexes, read_layout
 
-    op = Parser(update).parse_update() if isinstance(update, str) else update
+    if op.kind == "load":
+        return _load_document(out_dir, op, num_partitions=num_partitions)
+
+    if getattr(op, "using", None):
+        # USING re-scopes the WHERE to a constructed dataset — parsed for
+        # grammar completeness, not executed (fail loudly, never
+        # mis-answer against the wrong graphs)
+        raise SparqlSyntaxError(
+            "USING clauses are not supported by this engine's executor"
+        )
 
     if op.kind in ("clear", "drop", "create", "add", "copy", "move") or (
         op.kind in ("insert_data", "delete_data")
         and any(len(t) == 4 for t in (op.insert or op.delete or []))
     ):
         return _dataset_update(out_dir, op, num_partitions=num_partitions)
+
+    if op.kind == "modify" and (
+        any(len(t) == 4 for t in (op.delete or []) + (op.insert or []))
+        or any(len(p) == 4 for p in (op.where.patterns if op.where else []))
+    ):
+        return _quad_modify(out_dir, op, num_partitions=num_partitions)
 
     if op.kind == "insert_data":
         inserts, deletes = _ground_dataset(op.insert), None

@@ -411,7 +411,7 @@ ARQ_SUITES: dict[str, int] = {
     "Expr1": 3,
     "Expr2": 6,
     "ExprBuiltIns": 18,
-    "ExprDatatypes": 3,
+    "ExprDatatypes": 5,
     "ExprEquals": 9,
     "ExprRegex": 5,
     "Extra": 2,
@@ -578,8 +578,16 @@ SYNTAX_FLOORS = {"syntax-sparql1": 81, "syntax-sparql2": 53,
                  "syntax-sparql5": 2}
 
 
-def _load_syntax_manifest(suite: str):
-    mdir = f"{DAWG}/{suite}"
+_POS_Q_TYPES = (f"<{MF}PositiveSyntaxTest>", f"<{MF}PositiveSyntaxTest11>",
+                f"<{MFX}PositiveSyntaxTestARQ>")
+_NEG_Q_TYPES = (f"<{MF}NegativeSyntaxTest>", f"<{MF}NegativeSyntaxTest11>",
+                f"<{MFX}NegativeSyntaxTestARQ>")
+_POS_U_TYPES = (f"<{MF}PositiveUpdateSyntaxTest11>",)
+_NEG_U_TYPES = (f"<{MF}NegativeUpdateSyntaxTest11>",)
+
+
+def _load_syntax_manifest(suite: str, root: str = DAWG):
+    mdir = f"{root}/{suite}"
     text = open(f"{mdir}/manifest.ttl").read()
     triples = parse_turtle(text, base=f"file://{mdir}/")
     spo: dict[str, dict[str, list[str]]] = defaultdict(lambda: defaultdict(list))
@@ -588,33 +596,45 @@ def _load_syntax_manifest(suite: str):
     tests = []
     for s, props in spo.items():
         types = props.get(RDF_TYPE, [])
-        pos = f"<{MF}PositiveSyntaxTest>" in types
-        neg = f"<{MF}NegativeSyntaxTest>" in types
-        if not (pos or neg):
+        pos = any(t in types for t in _POS_Q_TYPES)
+        neg = any(t in types for t in _NEG_Q_TYPES)
+        upos = any(t in types for t in _POS_U_TYPES)
+        uneg = any(t in types for t in _NEG_U_TYPES)
+        if not (pos or neg or upos or uneg):
             continue
         action = props.get(f"<{MF}action>", [None])[0]
         if action is None or not action.startswith("<file://"):
             continue
         tests.append({"name": s.split("#")[-1].rstrip(">"),
-                      "query": _path(action), "positive": pos})
+                      "query": _path(action), "positive": pos or upos,
+                      "update": upos or uneg})
     return tests
 
 
-@pytest.mark.parametrize("suite", SYNTAX_SUITES)
-def test_dawg_syntax_suite(suite):
-    """The reference's DAWG syntax suites (RunnerSPARQLSyntax): every
-    NegativeSyntaxTest must be REJECTED (the subset parser may reject more
-    than full SPARQL, never less than the grammar forbids); accepted
-    PositiveSyntaxTest counts are floored per suite so parser breadth
-    can't silently regress. A positive test may only fail with
-    SparqlSyntaxError (out of subset) — any other exception is a bug."""
-    tests = _load_syntax_manifest(suite)
+def _run_syntax_suite(suite: str, root: str, floor: int):
+    """Syntax conformance (RunnerSPARQLSyntax): every NegativeSyntaxTest
+    must be REJECTED (the subset parser may reject more than full SPARQL,
+    never less than the grammar forbids); accepted PositiveSyntaxTest
+    counts are floored per suite so parser breadth can't silently
+    regress. A positive test may only fail with SparqlSyntaxError (out of
+    subset) — any other exception is a bug."""
+    from jena_ray.sparql import Parser
+
+    tests = _load_syntax_manifest(suite, root)
     assert tests, f"no syntax tests found in {suite}"
     accepted, false_accepts = 0, []
     for t in tests:
         qtext = open(t["query"]).read()
+        # Jena picks the parser by file extension: .rq/.ru = strict
+        # SPARQL 1.1, .arq = ARQ-extension syntax
+        arq = t["query"].endswith(".arq")
         try:
-            parse_query(qtext, base=f"file://{t['query']}")
+            if t.get("update"):
+                p = Parser(qtext, arq=arq)
+                p.base = f"file://{t['query']}"
+                p.parse_update_request()
+            else:
+                parse_query(qtext, base=f"file://{t['query']}", arq=arq)
             ok = True
         except SparqlSyntaxError:
             ok = False
@@ -623,7 +643,32 @@ def test_dawg_syntax_suite(suite):
         elif not t["positive"] and ok:
             false_accepts.append(t["name"])
     assert not false_accepts, f"{suite}: accepted invalid SPARQL: {false_accepts}"
-    assert accepted >= SYNTAX_FLOORS[suite], (
+    assert accepted >= floor, (
         f"{suite}: only {accepted} positive syntax tests accepted "
-        f"(floor {SYNTAX_FLOORS[suite]})"
+        f"(floor {floor})"
     )
+
+
+@pytest.mark.parametrize("suite", SYNTAX_SUITES)
+def test_dawg_syntax_suite(suite):
+    _run_syntax_suite(suite, DAWG, SYNTAX_FLOORS[suite])
+
+
+# ARQ's own syntax manifests (testing/ARQ/Syntax): SPARQL 1.0 regression
+# copies, the SPARQL 1.1 suite, ARQ-extension syntax, and the SPARQL
+# Update syntax suites (driven through Parser.parse_update). Floors are
+# the measured round-3 acceptance; negative tests are exact.
+ARQ_SYNTAX_SUITES: dict[str, int] = {
+    "Syntax-SPARQL_10_1": 81,
+    "Syntax-SPARQL_10_2": 55,
+    "Syntax-SPARQL_10_3": 11,
+    "Syntax-SPARQL_11": 38,
+    "Syntax-ARQ": 32,
+    "Syntax-SPARQL-Update": 40,
+    "Syntax-SPARQL-Update-2": 1,
+}
+
+
+@pytest.mark.parametrize("suite", sorted(ARQ_SYNTAX_SUITES))
+def test_arq_syntax_suite(suite):
+    _run_syntax_suite(suite, f"{ARQ}/Syntax", ARQ_SYNTAX_SUITES[suite])

@@ -102,10 +102,80 @@ def test_modify_delete_insert_where(small_index):
 def test_update_rejects(small_index):
     with pytest.raises(SparqlSyntaxError):
         sparql_update(small_index, PFX + "INSERT DATA { ?s ex:p 1 }")
+
+
+def test_update_request_chain_and_empty(small_index):
+    """';'-separated requests apply in order (UpdateRequest semantics);
+    an empty request is a no-op."""
+    from jena_ray.sparql import sparql_query
+
+    before = sparql_query(
+        small_index, PFX + "SELECT ?s WHERE { ?s ex:status ?o }",
+        num_partitions=2,
+    ).count()
+    r = sparql_update(
+        small_index,
+        PFX + 'INSERT DATA { ex:c1 ex:status "tmp" } ; '
+              'DELETE DATA { ex:c1 ex:status "tmp" }',
+        num_partitions=2,
+    )
+    # the returned dict is the LAST operation's (the delete: one more
+    # triple before it than after)
+    assert r["triples_before"] == r["triples_after"] + 1
+    after = sparql_query(
+        small_index, PFX + "SELECT ?s WHERE { ?s ex:status ?o }",
+        num_partitions=2,
+    ).count()
+    assert after == before
+    assert sparql_update(small_index, "# nothing\n") == {"changed": False}
+
+
+def test_load_document(small_index, tmp_path):
+    doc = tmp_path / "doc.nt"
+    doc.write_text('<urn:ls> <urn:lp> "loaded" .\n')
+    sparql_update(small_index, f"LOAD <file://{doc}>", num_partitions=2)
+    from jena_ray.sparql import sparql_query
+
+    res = sparql_query(
+        small_index, "SELECT ?o WHERE { <urn:ls> <urn:lp> ?o }",
+        num_partitions=2,
+    )
+    assert res.count() == 1
+    # missing document: LOAD raises, LOAD SILENT is a no-op
+    with pytest.raises(SparqlSyntaxError):
+        sparql_update(small_index, "LOAD <file:///nonexistent.nt>")
+    assert sparql_update(
+        small_index, "LOAD SILENT <file:///nonexistent.nt>"
+    ) == {"changed": False}
+
+
+def test_with_graph_modify(dataset_index):
+    """WITH <g> re-scopes un-GRAPH-ed templates and WHERE to the graph
+    (UpdateModify.getWithIRI)."""
+    sparql_update(
+        dataset_index,
+        'WITH <http://ex.org/g1> INSERT { ?s <http://ex.org/r> "m" } '
+        "WHERE { ?s <http://ex.org/q> ?o }",
+        num_partitions=2,
+    )
+    _n, per = _store_state(dataset_index)
+    assert per["<http://ex.org/g1>"] == 4  # 2 quads + 2 marked
+    sparql_update(
+        dataset_index,
+        'WITH <http://ex.org/g1> DELETE WHERE '
+        '{ ?s <http://ex.org/r> "m" }',
+        num_partitions=2,
+    )
+    _n, per = _store_state(dataset_index)
+    assert per["<http://ex.org/g1>"] == 2
+
+
+def test_using_clause_parses_but_raises(dataset_index):
     with pytest.raises(SparqlSyntaxError):
         sparql_update(
-            small_index,
-            PFX + 'INSERT DATA { ex:a ex:b "c" } ; DELETE DATA { ex:a ex:b "c" }',
+            dataset_index,
+            "DELETE { <urn:s> ?p ?o } USING <urn:g1> WHERE { <urn:s> ?p ?o }",
+            num_partitions=2,
         )
 
 
