@@ -249,6 +249,10 @@ class Group:
     # (subject term-or-var, pf IRI, syntactic arg tuple) — evaluated in
     # value space by functions/property_arq.apply_value_pfs
     pfcalls: list[tuple] = field(default_factory=list)
+    # SERVICE elements (ElementService): (endpoint var-or-IRI, Group,
+    # silent) — parsed for grammar completeness; execution raises (a
+    # batch engine has no federation endpoint to call)
+    services: list[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -983,22 +987,40 @@ class Parser:
             iri = self._iri(self.next())
             (q.from_named if named else q.from_graphs).append(iri[1:-1])
 
-    def _having_operand(self, q: Query) -> Tok:
-        """One HAVING comparison side: a ?var / number token, or an inline
-        aggregate call hoisted to an Agg (reusing a SELECT aggregate with
-        identical (func, var, distinct, sep)) and returned as its alias."""
-        t = self.peek()
-        if (t.kind == "NAME" and t.text.upper() in _AGG_FUNCS
-                and self.peek(1).kind == "OP" and self.peek(1).text == "("):
-            func, var, distinct, sep = self._parse_agg_core()
-            for a in q.aggs:
-                if (a.func, a.var, a.distinct, a.sep) == (func, var,
-                                                          distinct, sep):
-                    return Tok("VAR", "?" + a.alias, t.pos)
-            alias = f"__aggh{len(q.aggs)}"
-            q.aggs.append(Agg(func, var, distinct, alias, sep))
-            return Tok("VAR", "?" + alias, t.pos)
-        return self.next()
+    def _having_side(self, q: Query) -> tuple:
+        """One HAVING comparison side as a numeric bind-expr AST: a full
+        bind expression whose inline aggregate calls are hoisted to Aggs
+        (reusing a SELECT aggregate with identical (func, var, distinct,
+        sep); fresh ones get collision-free ``__agghN`` aliases)."""
+        outer = self._pending_aggs
+        self._pending_aggs = pending = []
+        try:
+            e = self._parse_bind_expr()
+        finally:
+            self._pending_aggs = outer
+
+        def sub(x, old: str, new: str):
+            if isinstance(x, tuple):
+                if x == ("var", old):
+                    return ("var", new)
+                return tuple(sub(i, old, new) for i in x)
+            return x
+
+        for a in pending:
+            m = next(
+                (x for x in q.aggs
+                 if (x.func, x.var, x.distinct, x.sep)
+                 == (a.func, a.var, a.distinct, a.sep)),
+                None,
+            )
+            if m is None:
+                m = Agg(a.func, a.var, a.distinct,
+                        f"__aggh{len(q.aggs)}", a.sep)
+                q.aggs.append(m)
+            e = sub(e, a.alias, m.alias)
+        if isinstance(e, (int, float)):
+            return ("numconst", float(e))
+        return e
 
     def _parse_agg_core(self) -> tuple:
         """``AGG(... )`` through its own closing paren; returns
@@ -1195,31 +1217,46 @@ class Parser:
                         alias, named = f"__gexpr{len(q.group_exprs)}", False
                     self.expect_op(")")
                     q.group_exprs.append((expr, alias, named))
+                elif (self.peek().kind == "NAME"
+                        and (self.peek().text.upper() in self._BIND_FNS
+                             or self.peek().text.upper() in ("IF",
+                                                             "COALESCE"))
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).text == "("):
+                    # bare BuiltInCall group key — GroupCondition's
+                    # unparenthesized branch (GROUP BY str(?p); ARQ
+                    # syntax-group-04)
+                    expr = self._parse_bind_expr()
+                    q.group_exprs.append(
+                        (expr, f"__gexpr{len(q.group_exprs)}", False)
+                    )
                 else:
                     break
             if not q.group_by and not q.group_exprs:
                 raise SparqlSyntaxError("GROUP BY needs at least one variable")
         if self.take_kw("HAVING"):
-            # numeric comparisons on aggregate aliases or inline aggregate
+            # numeric comparisons over aggregate aliases, inline aggregate
             # calls (HAVING (count(*) = 1) — hoisted to an internal Agg,
-            # reusing a SELECT aggregate when one matches), && conjunctions
+            # reusing a SELECT aggregate when one matches) and arithmetic
+            # expressions over group keys (HAVING (?p*?q > 1) — ARQ
+            # syntax-group-02); && conjunctions
             self.expect_op("(")
             while True:
-                a = self._having_operand(q)
+                a = self._having_side(q)
                 op_t = self.next()
-                b = self._having_operand(q)
                 if op_t.kind != "OP" or op_t.text not in (
                     "=", "!=", "<", "<=", ">", ">="
                 ):
                     raise SparqlSyntaxError("HAVING supports numeric comparisons")
-                if a.kind == "VAR" and b.kind == "NUMBER":
-                    q.having.append((op_t.text, a.text[1:], float(b.text)))
-                elif a.kind == "NUMBER" and b.kind == "VAR":
-                    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
-                            "=": "=", "!=": "!="}
-                    q.having.append((flip[op_t.text], b.text[1:], float(a.text)))
+                b = self._having_side(q)
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                        "=": "=", "!=": "!="}
+                if a[0] == "var" and b[0] == "numconst":
+                    q.having.append((op_t.text, a[1], float(b[1])))
+                elif a[0] == "numconst" and b[0] == "var":
+                    q.having.append((flip[op_t.text], b[1], float(a[1])))
                 else:
-                    raise SparqlSyntaxError("HAVING compares a ?var to a number")
+                    q.having.append(("hx", op_t.text, a, b))
                 if self.at_op("&&"):
                     self.next()
                     continue
@@ -1364,6 +1401,20 @@ class Parser:
                 epoch = self._bgp_epoch
                 g.exists.append((self._no_pf(self._parse_group(), 'EXISTS'), neg))
                 self._bgp_epoch = epoch
+            elif self.take_kw("SERVICE"):
+                # ElementService — SERVICE (SILENT)? VarOrIri GGP; parsed
+                # so strict-grammar queries round-trip, raises at exec
+                silent = self.take_kw("SILENT")
+                t = self.peek()
+                if t.kind == "VAR":
+                    ep = "?" + self.next().text[1:]
+                elif t.kind in ("IRIREF", "PNAME"):
+                    ep = self._iri(self.next())
+                else:
+                    raise SparqlSyntaxError(
+                        "SERVICE names a variable or IRI"
+                    )
+                g.services.append((ep, self._parse_group(), silent))
             elif self.take_kw("OPTIONAL"):
                 g.optionals.append(self._no_pf(self._parse_group(), 'OPTIONAL'))
             elif self.take_kw("MINUS"):
@@ -1528,6 +1579,7 @@ class Parser:
         g.binds.extend(h.binds)
         g.subqueries.extend(h.subqueries)
         g.pfcalls.extend(h.pfcalls)
+        g.services.extend(h.services)
         if h.union:
             if g.union is not None:
                 raise SparqlSyntaxError("only one UNION block per group")
@@ -1543,10 +1595,11 @@ class Parser:
         unbound variable (the {var→g} join happens after P evaluates).
         Shapes whose executors are not quad-aware raise loudly rather
         than mis-answer."""
-        if h.paths or h.star or h.pfcalls or h.subqueries or h.graph_enum:
+        if (h.paths or h.star or h.pfcalls or h.subqueries
+                or h.graph_enum or h.services):
             raise SparqlSyntaxError(
                 "paths / quoted triples / property functions / subqueries "
-                "inside GRAPH are not in the supported subset"
+                "/ SERVICE inside GRAPH are not in the supported subset"
             )
         h.patterns = [p if len(p) == 4 else (gt, *p) for p in h.patterns]
         if gt.startswith("?"):
@@ -4381,8 +4434,10 @@ def explain(query: str | Query, *, stats: dict | None = None) -> str:
         gb = " ".join("?" + v for v in q.group_by)
         lines = [f"(group ({gb}) ({aggs})"] + \
             ["  " + ln for ln in lines] + [")"]
-        for op, v, n in q.having:
-            lines = [f"(filter ({op} ?{v} {n})"] + \
+        for h in q.having:
+            cond = (f"({h[1]} {h[2]} {h[3]})" if h[0] == "hx"
+                    else f"({h[0]} ?{h[1]} {h[2]})")
+            lines = [f"(filter {cond}"] + \
                 ["  " + ln for ln in lines] + [")"]
     if q.form == "select":
         sel = "*" if q.star else " ".join(
@@ -4550,6 +4605,53 @@ def ground_pattern_holds(out_dir: str, pattern: tuple,
     return len(res.limit(1).take(1)) > 0
 
 
+def reject_services(g: "Group | None") -> None:
+    """SERVICE parses (grammar completeness) but cannot execute — a batch
+    engine has no federation endpoint; raise rather than silently drop."""
+    if g is None:
+        return
+    if g.services:
+        raise SparqlSyntaxError(
+            "SERVICE execution is not supported (no federation endpoint "
+            "in a batch engine)"
+        )
+    for sub in (list(g.optionals) + list(g.minuses) + list(g.union or [])
+                + [e for e, _ in g.exists]):
+        reject_services(sub)
+    for sq in g.subqueries:
+        reject_services(sq.where)
+
+
+def _hoist_optional_binds(q: Query) -> None:
+    """Rewrite ``OPTIONAL { P BIND(e AS v) }`` to the guarded post-join
+    extend ``BIND(IF(bound(?marker), e, <null>) AS v)`` on the enclosing
+    group — equivalent to ARQ's LeftJoin(outer, Extend(P, v, e)) because a
+    BGP solution of P binds every P variable, so any P-only variable
+    marks "P matched" (ARQ Assign assign-02/03 pin the semantics).
+    Raises when no P-only marker variable exists (the rewrite could not
+    distinguish matched from unmatched rows)."""
+    g = q.where
+    if g is None:
+        return
+    outer = _group_vars(g)
+    for o in g.optionals:
+        if not o.binds:
+            continue
+        ovars = _group_vars(o)
+        markers = sorted(ovars - outer - {v for _, v in o.binds})
+        if not markers:
+            raise SparqlSyntaxError(
+                "BIND inside OPTIONAL needs a variable private to the "
+                "optional block (to mark whether the block matched)"
+            )
+        m = markers[0]
+        for e, v in o.binds:
+            g.binds.append(
+                (("if", ("bound", "?" + m), e, ("termconst", None)), v)
+            )
+        o.binds = []
+
+
 def sparql_query(
     out_dir: str,
     query: str | Query,
@@ -4568,6 +4670,8 @@ def sparql_query(
     from jena_ray.pipelines.relational import slice_rows
 
     q = parse_query(query) if isinstance(query, str) else query
+    reject_services(q.where)
+    _hoist_optional_binds(q)
 
     if q.from_graphs or q.from_named:
         # FROM / FROM NAMED override the store: build (and cache) the
@@ -4776,8 +4880,17 @@ def sparql_query(
             sols = sols.map_batches(add_group_keys, batch_format="pyarrow")
         res = _aggregate(sols, q, num_buckets=num_partitions)
         if q.having:
-            known = set(q.group_by) | {a.alias for a in q.aggs}
-            bad = [v for _, v, _n in q.having if v not in known]
+            from jena_ray.pipelines.bgp import _bind_expr_vars
+
+            known = (set(q.group_by) | {a.alias for a in q.aggs}
+                     | {al for _e, al, _u in q.group_exprs})
+            bad = sorted(
+                {v for h in q.having
+                 for v in (set(_bind_expr_vars(h[2]))
+                           | set(_bind_expr_vars(h[3]))
+                           if h[0] == "hx" else {h[1]})}
+                - known
+            )
             if bad:
                 raise SparqlSyntaxError(f"HAVING references unknown vars: {bad}")
 
@@ -4787,8 +4900,16 @@ def sparql_query(
                 kerns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
                          ">=": pc.greater_equal, "=": pc.equal,
                          "!=": pc.not_equal}
-                for op, v, n in _h:
-                    mask = kerns[op](pc.cast(tb.column(v), pa.float64()), n)
+                for h in _h:
+                    if h[0] == "hx":
+                        _tag, op, ea, eb = h
+                        mask = kerns[op](_eval_bind_num(tb, ea),
+                                         _eval_bind_num(tb, eb))
+                    else:
+                        op, v, n = h
+                        mask = kerns[op](
+                            pc.cast(tb.column(v), pa.float64()), n
+                        )
                     tb = tb.filter(pc.fill_null(mask, False))
                 return tb
 

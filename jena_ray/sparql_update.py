@@ -469,6 +469,10 @@ def _apply_update_op(out_dir: str, op: UpdateOp, *, num_partitions: int):
     if op.kind == "load":
         return _load_document(out_dir, op, num_partitions=num_partitions)
 
+    if op.where is not None:
+        from jena_ray.sparql import reject_services
+
+        reject_services(op.where)
     if getattr(op, "using", None):
         # USING re-scopes the WHERE to a constructed dataset — parsed for
         # grammar completeness, not executed (fail loudly, never

@@ -399,7 +399,7 @@ def test_dawg_suite(suite, ray_session, tmp_path_factory):
 ARQ_SUITES: dict[str, int] = {
     "Algebra": 12,
     "Ask": 8,
-    "Assign": 3,
+    "Assign": 6,
     "Basic": 5,
     "BasicPatterns": 72,
     "Bound": 1,
@@ -663,7 +663,8 @@ ARQ_SYNTAX_SUITES: dict[str, int] = {
     "Syntax-SPARQL_10_2": 55,
     "Syntax-SPARQL_10_3": 11,
     "Syntax-SPARQL_11": 38,
-    "Syntax-ARQ": 32,
+    "Syntax-ARQ": 35,
+    "Syntax-SPARQL-Fed": 3,
     "Syntax-SPARQL-Update": 40,
     "Syntax-SPARQL-Update-2": 1,
 }
