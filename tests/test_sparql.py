@@ -991,3 +991,67 @@ def test_ungrouped_aggregates(sparql_index):
     assert res2["n"].tolist() == [0]
     assert int(res2["t"].iloc[0]) == 0
     assert res2["lo"].isna().all()
+
+
+def test_var_var_value_ordering_filter(sparql_index):
+    """FILTER(?a < ?b) over two variables compares by VALUE per space:
+    numeric pairs numerically, dateTime pairs by instant, simple-string
+    pairs by codepoint; mixed-space pairs are type errors (dropped)."""
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?x ?y WHERE { ?x ex:charCount ?a . ?y ex:charCount "
+        "?b . FILTER(?a < ?b) }",
+    )
+    assert res.count() == 45  # 10 choose 2 ordered pairs
+    res2 = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?x ?y WHERE { ?x ex:created ?a . ?y ex:created ?b . "
+        "FILTER(?a < ?b) }",
+    )
+    assert res2.count() == 6  # d6..d9: 4 choose 2
+
+
+def test_offset_without_limit(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d ?c WHERE { ?d ex:charCount ?c } ORDER BY ?c "
+        "OFFSET 7",
+    )
+    df = res.to_pandas() if not hasattr(res, "to_pandas") or not callable(
+        getattr(res, "to_pandas", None)) else res.to_pandas()
+    vals = sorted(float(v.split('"')[1]) for v in df["c"])
+    assert vals == [700.0, 800.0, 900.0]
+
+
+def test_construct_over_optional_where(sparql_index):
+    """CONSTRUCT with an OPTIONAL WHERE: unbound template vars skip just
+    their entries (TemplateLib.subst null-skip)."""
+    res = sparql_query(
+        sparql_index,
+        PFX + "CONSTRUCT { ?d ex:hasDate ?t . ?d ex:seen true } "
+        "WHERE { ?d ex:charCount ?c OPTIONAL { ?d ex:created ?t } }",
+    )
+    df = res.to_pandas()
+    dated = df[df["pred"] == "<http://ex.org/hasDate>"]
+    seen = df[df["pred"] == "<http://ex.org/seen>"]
+    assert len(dated) == 4  # only d6..d9 carry ex:created
+    assert len(seen) == 10
+
+
+def test_exists_conjunct_filter(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?d WHERE { ?d ex:charCount ?c . "
+        "FILTER(?c >= 0 && NOT EXISTS { ?d ex:mentions ex:e1 }) }",
+    )
+    # d0..d3 mention e1 -> excluded
+    assert res.count() == 6
+
+
+def test_having_expression(sparql_index):
+    res = sparql_query(
+        sparql_index,
+        PFX + "SELECT ?e (COUNT(*) AS ?n) WHERE { ?d ex:mentions ?e } "
+        "GROUP BY ?e HAVING (COUNT(*)*10 >= 40)",
+    ).to_pandas()
+    assert sorted(res["e"]) == ["<http://ex.org/e1>", "<http://ex.org/e2>"]
