@@ -682,7 +682,10 @@ class Parser:
                           for t in op.delete] if op.delete else None)
             op.insert = ([t if len(t) == 4 else (with_graph, *t)
                           for t in op.insert] if op.insert else None)
-            self._wrap_graph(op.where, with_graph)
+            if not op.using:
+                # a USING clause overrides WITH for the query pattern
+                # (UpdateModify semantics) — templates keep the WITH graph
+                self._wrap_graph(op.where, with_graph)
         return op
 
     def _parse_using(self) -> "list[tuple[str, str]] | None":

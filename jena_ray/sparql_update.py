@@ -133,16 +133,22 @@ def _quad_modify(out_dir: str, op: UpdateOp, *, num_partitions: int):
         )
 
     def split(qds_all):
-        tri = qds_all.map_batches(
-            lambda t: t.filter(pc.equal(t.column("graph"), DG)).select(
-                ["subj", "pred", "obj"]),
-            batch_format="pyarrow",
-        )
-        named = qds_all.map_batches(
-            lambda t: t.filter(pc.invert(pc.equal(t.column("graph"), DG))),
-            batch_format="pyarrow",
-        )
-        return tri, named
+        # bgp_construct collapses an all-default-graph template back to
+        # 3 columns — treat a missing graph column as "all default"
+        def tri_b(t: pa.Table) -> pa.Table:
+            if "graph" not in t.column_names:
+                return t.select(["subj", "pred", "obj"])
+            return t.filter(pc.equal(t.column("graph"), DG)).select(
+                ["subj", "pred", "obj"])
+
+        def named_b(t: pa.Table) -> pa.Table:
+            if "graph" not in t.column_names:
+                return pa.table({c: pa.array([], type=pa.string())
+                                 for c in ("graph", "subj", "pred", "obj")})
+            return t.filter(pc.invert(pc.equal(t.column("graph"), DG)))
+
+        return (qds_all.map_batches(tri_b, batch_format="pyarrow"),
+                qds_all.map_batches(named_b, batch_format="pyarrow"))
 
     ids = _scan_pattern(out_dir, ("?s", "?p", "?o"), info)
     cur_tri = resolve_id_columns(
@@ -474,12 +480,38 @@ def _apply_update_op(out_dir: str, op: UpdateOp, *, num_partitions: int):
 
         reject_services(op.where)
     if getattr(op, "using", None):
-        # USING re-scopes the WHERE to a constructed dataset — parsed for
-        # grammar completeness, not executed (fail loudly, never
-        # mis-answer against the wrong graphs)
-        raise SparqlSyntaxError(
-            "USING clauses are not supported by this engine's executor"
-        )
+        # USING g1 [USING g2 ...]: the WHERE evaluates against a dataset
+        # whose DEFAULT graph is the merge of the named store graphs
+        # (UpdateModify.getUsing; templates are unaffected). Lowered by
+        # rewriting every WHERE triple pattern to a quad pattern with its
+        # own fresh graph variable constrained to the USING set — the
+        # merge is a set union, and the modify path's template dedup
+        # absorbs the duplicate solutions a triple present in two graphs
+        # produces. USING NAMED (re-scoping GRAPH blocks) is not
+        # executable here and fails loudly.
+        defaults = [iri for kind, iri in op.using if kind == "default"]
+        named = [iri for kind, iri in op.using if kind == "named"]
+        g = op.where
+        if named or g is None:
+            raise SparqlSyntaxError(
+                "USING NAMED is not supported by this engine's executor"
+            )
+        if any(len(p) == 4 for p in g.patterns) or g.graph_enum:
+            raise SparqlSyntaxError(
+                "GRAPH blocks inside a USING WHERE need USING NAMED "
+                "(unsupported)"
+            )
+        new_pats, extra_f = [], []
+        for i, p in enumerate(g.patterns):
+            gv = f"?__ug{i}"
+            new_pats.append((gv, *p))
+            if len(defaults) == 1:
+                extra_f.append(("=", gv, defaults[0]))
+            else:
+                extra_f.append(("or", *[("=", gv, d) for d in defaults]))
+        g.patterns = new_pats
+        g.filters = list(g.filters) + extra_f
+        op.using = None
 
     if op.kind in ("clear", "drop", "create", "add", "copy", "move") or (
         op.kind in ("insert_data", "delete_data")

@@ -170,11 +170,30 @@ def test_with_graph_modify(dataset_index):
     assert per["<http://ex.org/g1>"] == 2
 
 
-def test_using_clause_parses_but_raises(dataset_index):
+def test_using_clause(dataset_index):
+    """USING g: the WHERE evaluates against the named store graph(s) as
+    the default graph; templates still target the real default graph.
+    USING NAMED is not executable and fails loudly."""
+    from jena_ray.sparql import sparql_query
+
+    sparql_update(
+        dataset_index,
+        'INSERT { ?s <http://ex.org/seen> "u" } USING <http://ex.org/g1> '
+        "WHERE { ?s <http://ex.org/q> ?o }",
+        num_partitions=2,
+    )
+    res = sparql_query(
+        dataset_index,
+        'SELECT ?s WHERE { ?s <http://ex.org/seen> "u" }',
+        num_partitions=2,
+    )
+    assert sorted(res.to_pandas()["s"]) == ["<http://ex.org/x>",
+                                            "<http://ex.org/y>"]
     with pytest.raises(SparqlSyntaxError):
         sparql_update(
             dataset_index,
-            "DELETE { <urn:s> ?p ?o } USING <urn:g1> WHERE { <urn:s> ?p ?o }",
+            "DELETE { <urn:s> ?p ?o } USING NAMED <urn:g1> "
+            "WHERE { GRAPH ?g { <urn:s> ?p ?o } }",
             num_partitions=2,
         )
 
