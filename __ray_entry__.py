@@ -428,6 +428,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ORDER BY ?lb""",
         )
 
+    def sparql_construct_quads(sf_dir):
+        """ARQ CONSTRUCT-quads templates (arq.jj ConstructTemplate quads
+        branch / TemplateLib.calcQuads — round-3 surface): GRAPH ?src
+        blocks emit named-graph quads keyed by the doc's source, plain
+        entries emit default-graph rows tagged <urn:x-arq:DefaultGraph>
+        (Quad.java:37). Output columns (graph, subj, pred, obj)."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        res = sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                CONSTRUCT {{
+                  GRAPH ?src {{ ?d rel:language ?l }}
+                  ?d rel:fromSource ?src .
+                }}
+                WHERE {{ ?d rel:source ?src ; rel:language ?l }}""",
+        )
+        return res.sort(["graph", "subj", "pred", "obj"])
+
+    def sparql_varvar_offset(sf_dir):
+        """Var-var VALUE-ordering FILTER (?ca < ?cb — NodeValue numeric
+        comparison of two solution columns) plus OFFSET without LIMIT
+        (OpSlice tail via split_at_indices) — both round-3 surfaces."""
+        from jena_ray.pipelines.bgp import kg_index_dir
+        from jena_ray.sparql import sparql_query
+
+        idx = kg_index_dir(sf_dir)
+        return sparql_query(
+            idx,
+            f"""PREFIX rel: <{V.REL}>
+                PREFIX ent: <{V.ENT}>
+                SELECT ?a ?b WHERE {{
+                  ?a rel:mentions ent:spark ; rel:charCount ?ca .
+                  ?b rel:mentions ent:spark ; rel:charCount ?cb .
+                  FILTER(?ca < ?cb)
+                }} ORDER BY ?a ?b OFFSET 5""",
+        )
+
     def sparql_path_join(sf_dir):
         """Property path JOINED with triple patterns (_execute_bound_paths:
         multi-root BFS pair closure + vectorized per-batch semi-join —
@@ -576,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_subquery_max": sparql_subquery_max,
         "sparql_select_expr": sparql_select_expr,
         "sparql_group_expr": sparql_group_expr,
+        "sparql_construct_quads": sparql_construct_quads,
+        "sparql_varvar_offset": sparql_varvar_offset,
         "sparql_path_join": sparql_path_join,
         "path_cooccur_closure": path_cooccur_closure,
         "quad_bgp_source": quad_bgp_source,
@@ -591,17 +633,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,
         "lineitem_order_join": R.lineitem_order_join,
         "customers_without_orders": R.customers_without_orders,
-        "customers_with_orders_semi": R.customers_with_orders_semi,
-        "customer_order_totals": R.customer_order_totals,
         "order_priority_aggs": R.order_priority_aggs,
         "top10_orders": R.top10_orders,
         # (union_parties / distinct_segments / filter_project_lineitem /
-        # orders_page2 rotated out to stay within the 50-row driver cap:
-        # OpUnion keeps oracle coverage via bgp_union_mentions, OpDistinct
-        # via exact_dedup_docs + kg_triples, positional filters via
+        # orders_page2 / customers_with_orders_semi / customer_order_totals
+        # rotated out to stay within the 50-row driver cap: OpUnion keeps
+        # oracle coverage via bgp_union_mentions, OpDistinct via
+        # exact_dedup_docs + kg_triples, positional filters via
         # q1_pricing_summary + pattern-scan pytest, OpSlice via
-        # top10_orders + the DAWG solution-seq suite; the round-3 SPARQL
-        # surfaces below are the stronger new rows)
+        # top10_orders + sparql_varvar_offset, semi join via
+        # sparql_not_exists_docs + bgp_exists pytest, left join via
+        # bgp_optional_mentions; the round-3 SPARQL surfaces below are the
+        # stronger new rows)
         "rules_order_chain": rules_order_chain,
         "events_tumbling_window": R.events_tumbling_window,
         "events_sessionize": R.events_sessionize,
@@ -935,13 +978,6 @@ def oracle_sql() -> dict[str, str]:
               WHERE n_chars > {V.SHACL_OR_LO} AND n_chars < {V.SHACL_OR_HI}
             ) ORDER BY focus, component
         """,
-        "customer_order_totals": """
-            SELECT c.c_custkey, c.c_name,
-                   count(o.o_custkey) AS n_orders,
-                   CAST(round(coalesce(sum(o.o_totalprice), 0) * 100) AS BIGINT) AS total_cents
-            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-            GROUP BY 1, 2 ORDER BY c.c_custkey
-        """,
         "order_priority_aggs": """
             WITH mode_t AS (
               SELECT o_orderpriority, o_orderstatus AS mode_status,
@@ -988,11 +1024,6 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
-            ORDER BY c_custkey
-        """,
-        "customers_with_orders_semi": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey IN (SELECT o_custkey FROM orders)
             ORDER BY c_custkey
         """,
         "top10_orders": """
@@ -1151,6 +1182,46 @@ def oracle_sql() -> dict[str, str]:
             FROM triples WHERE pred = '<{V.P_LANG}>'
             GROUP BY obj HAVING COUNT(*) >= 3
             ORDER BY lb
+        """,
+        "sparql_construct_quads": f"""
+            WITH {_TRIPLES_CTE},
+            cq_src AS (
+              SELECT subj AS d, obj AS src FROM triples
+              WHERE pred = '<{V.P_SOURCE}>'
+            ),
+            cq_lang AS (
+              SELECT subj AS d, obj AS l FROM triples
+              WHERE pred = '<{V.P_LANG}>'
+            )
+            SELECT * FROM (
+              SELECT s.src AS graph, s.d AS subj,
+                     '<{V.P_LANG}>' AS pred, g.l AS obj
+              FROM cq_src s JOIN cq_lang g USING (d)
+              UNION
+              SELECT '<urn:x-arq:DefaultGraph>', s.d,
+                     '<{V.REL}fromSource>', s.src
+              FROM cq_src s JOIN cq_lang g USING (d)
+            )
+            ORDER BY graph, subj, pred, obj
+        """,
+        "sparql_varvar_offset": f"""
+            WITH {_TRIPLES_CTE},
+            vv_m AS (
+              SELECT subj AS d FROM triples
+              WHERE pred = '<{V.P_MENTIONS}>' AND obj = '<{V.ENT}spark>'
+            ),
+            vv_c AS (
+              SELECT subj AS d,
+                     CAST(regexp_extract(obj, '"([0-9]+)"', 1) AS DOUBLE) AS c
+              FROM triples WHERE pred = '<{V.P_CHARS}>'
+            )
+            SELECT a.d AS a, b.d AS b
+            FROM vv_m a JOIN vv_c ca ON ca.d = a.d
+            CROSS JOIN vv_m b JOIN vv_c cb ON cb.d = b.d
+            WHERE ca.c < cb.c
+            -- NodeValue IRI ordering compares the IRI STRING (no angle
+            -- brackets): strip them so the OFFSET cuts the same rows
+            ORDER BY trim(a.d, '<>'), trim(b.d, '<>') OFFSET 5
         """,
         # ?m coOccursWith+ ent:batching — backward reachability as a
         # recursive CTE (set semantics, matching the path's distinct pairs);

@@ -28,8 +28,9 @@ REPRESENTATIVE = [
     "ann_topk",
     "verified_near_dups",
     "embedding_near_dups",
-    "customer_order_totals",
     "order_priority_aggs",
+    "sparql_construct_quads",
+    "sparql_varvar_offset",
     "rdfs_materialize",
     "media_features",
     "sparql_star_docs",
@@ -63,6 +64,33 @@ def test_query_matches_oracle(ray_session, sf_dir, oracle_con, name):
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp), f"rows {len(got)} vs {len(exp)}"
     assert got.equals(exp)
+
+
+def test_rotated_relational_ops(ray_session, sf_dir, oracle_con):
+    """Relational operators rotated out of the 50-row registry
+    (customers_with_orders_semi / customer_order_totals) keep direct
+    oracle coverage here — same compare discipline as the registry."""
+    from jena_ray.pipelines import relational as R
+    from tools.check_correctness import canon, to_pandas
+
+    got = canon(to_pandas(R.customers_with_orders_semi(sf_dir)))
+    exp = canon(oracle_con.execute(
+        """SELECT c_custkey, c_name FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)
+           ORDER BY c_custkey"""
+    ).fetchdf())
+    assert list(got.columns) == list(exp.columns) and got.equals(exp)
+
+    got = canon(to_pandas(R.customer_order_totals(sf_dir)))
+    exp = canon(oracle_con.execute(
+        """SELECT c.c_custkey, c.c_name,
+                  count(o.o_custkey) AS n_orders,
+                  CAST(round(coalesce(sum(o.o_totalprice), 0) * 100)
+                       AS BIGINT) AS total_cents
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2 ORDER BY c.c_custkey"""
+    ).fetchdf())
+    assert list(got.columns) == list(exp.columns) and got.equals(exp)
 
 
 def test_entry_smoke(ray_session):
