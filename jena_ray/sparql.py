@@ -12,9 +12,16 @@ path_closure and the Dataset-level solution modifiers).
 
 Supported subset (documented; anything else raises ``SparqlSyntaxError``):
 
-- Prologue: ``BASE`` / ``PREFIX``.
+- Prologue: ``BASE`` / ``PREFIX``. Two grammar modes (Parser(arq=...)):
+  the default accepts the ARQ syntax extensions (LET, bare select
+  expressions / aggregates, braceless sub-SELECT amid group elements);
+  ``arq=False`` parses strict SPARQL 1.1 and rejects them.
 - ``SELECT [DISTINCT|REDUCED] (?v ... | * | (AGG(...) AS ?alias))``,
-  ``ASK``, ``CONSTRUCT { template } WHERE { ... }``, and
+  ``ASK``, ``CONSTRUCT { template } WHERE { ... }`` — templates may hold
+  ARQ quads blocks ``GRAPH g { ... }`` / bare ``{ ... }`` producing a
+  (graph, subj, pred, obj) result, the WHERE may use OPTIONAL / UNION /
+  MINUS / BIND / VALUES / paths (evaluated as a DISTINCT SELECT over the
+  template variables with TemplateLib null-skip instantiation) — and
   ``DESCRIBE term-or-var ... [WHERE { ... }]`` (forward triples + bnode
   closure, DescribeBNodeClosure semantics).
 - Dataset clause: ``FROM <doc>`` / ``FROM NAMED <doc>`` construct the
@@ -24,12 +31,17 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   prefixed names, typed/lang literals, numeric/boolean shorthand; the
   ``.`` separator between blocks and per-BGP blank-node label scoping
   are enforced per the grammar),
-  ``FILTER`` (incl. ``EXISTS`` / ``NOT EXISTS`` sub-groups), ``BIND``,
+  ``FILTER`` (incl. ``EXISTS`` / ``NOT EXISTS`` sub-groups, bare or as
+  top-level ``&&`` conjuncts, and ``!EXISTS``), ``BIND`` (also inside
+  OPTIONAL via the guarded post-join rewrite),
   one ``OPTIONAL`` block, one ``MINUS`` block,
   ``{A} UNION {B} [UNION ...]``, ``VALUES``,
   ``GRAPH term-or-var { ... }`` blocks (lowered to 4-slot quad patterns
   that JOIN the group's default-graph patterns — mixed groups, GRAPH in
-  UNION branches, multiple GRAPH blocks), disconnected pattern
+  UNION branches, multiple GRAPH blocks, and arbitrary sub-patterns
+  inside GRAPH: UNION / OPTIONAL / MINUS / EXISTS / BIND / VALUES
+  re-scope recursively), ``SERVICE`` (parses; raises at execution — no
+  federation endpoint), disconnected pattern
   components (cartesian OpJoin), ``{ SELECT ... }`` subqueries, and
   property paths: ``^p`` inverse and ``p1/p2`` sequences desugar into the
   BGP (PathCompiler reduction); ``p1|p2`` alternation and ``!(p1|...)``
@@ -42,8 +54,10 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   tighter; parenthesised sub-expressions allowed) of comparisons
   (``= != < <= > >=`` over numbers or terms, with arithmetic
   ``+ - * /`` operand expressions, XSD-numeric typed constants compared
-  by value, and xsd:date/dateTime constants compared in the temporal
-  value space with XSD ±14h timezone-indeterminacy semantics);
+  by value, xsd:date/dateTime constants compared in the temporal
+  value space with XSD ±14h timezone-indeterminacy semantics, VAR-VAR
+  ordering comparisons per value space — numeric / simple-string /
+  same-kind temporal — and constant-boolean compositions as operands);
   ``?a = ?b`` / ``= "literal"`` compare by VALUE (RDFterm-equal /
   E_Equals three-valued semantics: numeric promotion, string/lang/bool/
   temporal spaces, type errors on unknown value spaces);
@@ -69,8 +83,15 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   templates and VALUES (variables inside quoted triples are rejected).
 - Solution modifiers: ``GROUP BY`` with ``COUNT`` (incl. ``DISTINCT`` and
   ``*``), ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` / ``MEDIAN`` / ``MODE`` /
-  ``SAMPLE`` / ``GROUP_CONCAT(...; SEPARATOR "..")``; ``HAVING`` (numeric
-  comparisons on aliases); ``ORDER BY [ASC|DESC]``, ``LIMIT`` / ``OFFSET``.
+  ``SAMPLE`` / ``GROUP_CONCAT(...; SEPARATOR "..")``, with expression
+  keys ``GROUP BY (expr [AS ?v])`` and bare BuiltInCall keys; ``HAVING``
+  (numeric comparisons whose sides are full expressions with inline
+  aggregate hoisting); ``ORDER BY [ASC|DESC]``, ``LIMIT`` / ``OFFSET``
+  (together or either alone — the offset-only tail splits the Dataset).
+- SPARQL Update (see sparql_update.py): ``;``-separated request
+  sequences, INSERT/DELETE DATA, DELETE/INSERT WHERE (incl. quad
+  templates, ``WITH``, executable ``USING``), ``LOAD [INTO GRAPH]``,
+  and graph management (CREATE/CLEAR/DROP/ADD/COPY/MOVE).
 """
 
 from __future__ import annotations
