@@ -3107,11 +3107,24 @@ def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
     from jena_ray.pipelines import bgp
     from jena_ray.stages.dedup import dedup_exact
 
-    if (g.optionals or g.minuses or g.union or g.values or g.graph
+    if (g.minuses or g.union or g.values or g.graph
             or g.exists or g.subqueries or g.star or g.binds):
         raise SparqlSyntaxError(
             "property paths combine only with triple patterns + FILTER"
         )
+    for o in g.optionals:
+        # OPTIONAL over a path block (ARQ Paths path-22): the block —
+        # itself plain patterns + paths — evaluates independently and
+        # LEFT-joins the accumulated solutions on its shared variables
+        # (LeftJoin(base, PathBlock); the block's closure tables are
+        # driver-sized per the PathEngine visited-set contract)
+        if (o.optionals or o.minuses or o.union or o.values or o.exists
+                or o.subqueries or o.star or o.binds or o.pfcalls
+                or o.graph_enum or o.filters or o.services):
+            raise SparqlSyntaxError(
+                "an OPTIONAL combining with paths must be a plain "
+                "pattern+path block"
+            )
     base_vars = {t[1:] for p in g.patterns for t in p
                  if isinstance(t, str) and t.startswith("?")}
     # endpoint vars the base must provide; paths evaluate in order, each
@@ -3138,6 +3151,12 @@ def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
         plan.append((src, pred, obj, mod, inv, s_var, o_var))
         if o_var is not None:
             bound.add(o_var)
+    for o in g.optionals:
+        bound |= {t[1:] for p in o.patterns for t in p
+                  if isinstance(t, str) and t.startswith("?")}
+        bound |= {t[1:] for s, _p, t2, _m, _i in o.paths
+                  for t in (s, t2)
+                  if isinstance(t, str) and t.startswith("?")}
     missing = [v for v in select if v not in bound]
     if missing:
         raise SparqlSyntaxError(f"select vars not bound: {missing}")
@@ -3232,6 +3251,39 @@ def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
                 )
 
             res = res.map_batches(keep, batch_format="pyarrow")
+
+    for o in g.optionals:
+        ovars = sorted(
+            ({t[1:] for p in o.patterns for t in p
+              if isinstance(t, str) and t.startswith("?")}
+             | {t[1:] for s, _p, t2, _m, _i in o.paths
+                for t in (s, t2)
+                if isinstance(t, str) and t.startswith("?")})
+        )
+        user_ovars = [v for v in ovars if not v.startswith("__")]
+        shared = [v for v in user_ovars if v in res_cols]
+        if not shared:
+            raise SparqlSyntaxError(
+                "the OPTIONAL path block shares no variable with the base"
+            )
+        inner = _execute_bound_paths(
+            out_dir, o, user_ovars, distinct=False,
+            num_partitions=num_partitions, stats=stats,
+        )
+        idf = pd.concat(
+            [b.to_pandas()
+             for b in inner.iter_batches(batch_format="pyarrow")]
+            or [pd.DataFrame(columns=user_ovars)],
+            ignore_index=True,
+        )
+
+        def left_extend(tb: pa.Table, _p=idf, _on=tuple(shared)) -> pa.Table:
+            df = tb.to_pandas()
+            out = df.merge(_p, on=list(_on), how="left")
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        res = res.map_batches(left_extend, batch_format="pyarrow")
+        res_cols.extend(v for v in user_ovars if v not in res_cols)
 
     if set(res_cols) != set(select):
         def proj(tb: pa.Table, _s=tuple(select)) -> pa.Table:

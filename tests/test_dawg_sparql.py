@@ -422,7 +422,7 @@ ARQ_SUITES: dict[str, int] = {
     "OptFilterEquality": 13,
     "Optional": 10,
     "OrderBy": 10,
-    "Paths": 11,
+    "Paths": 12,
     "PropertyFunctions": 44,
     "Select": 6,
     "SelectExpr": 6,
