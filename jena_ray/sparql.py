@@ -1359,7 +1359,7 @@ class Parser:
                 ):
                     neg = self.take_kw("NOT")
                     self.expect_kw("EXISTS")
-                    g.exists.append((self._no_pf(self._parse_group(), 'EXISTS'), neg))
+                    g.exists.append((self._parse_group(), neg))
                 else:
                     for f in self._parse_filter():
                         if f[0] == "existsmark":
@@ -1423,7 +1423,7 @@ class Parser:
                 neg = self.take_kw("NOT")
                 self.expect_kw("EXISTS")
                 epoch = self._bgp_epoch
-                g.exists.append((self._no_pf(self._parse_group(), 'EXISTS'), neg))
+                g.exists.append((self._parse_group(), neg))
                 self._bgp_epoch = epoch
             elif self.take_kw("SERVICE"):
                 # ElementService — SERVICE (SILENT)? VarOrIri GGP; parsed
@@ -2120,8 +2120,7 @@ class Parser:
                 and self._at_exists_brace(1)):
             negx = self.take_kw("NOT")
             self.expect_kw("EXISTS")
-            return ("existsmark",
-                    self._no_pf(self._parse_group(), "EXISTS"), bool(negx))
+            return ("existsmark", self._parse_group(), bool(negx))
         # bare variable → effective boolean value (FILTER(?v), ?v && ...)
         if self.peek().kind == "VAR" and self._closes_atom(1):
             return ("ebv", "?" + self.next().text[1:])
@@ -2172,8 +2171,7 @@ class Parser:
             # ! EXISTS { ... } — E_LogicalNot over E_Exists = NOT EXISTS
             if self._at_exists_brace():
                 self.expect_kw("EXISTS")
-                return ("existsmark",
-                        self._no_pf(self._parse_group(), "EXISTS"), True)
+                return ("existsmark", self._parse_group(), True)
             # negated EBV of a bare variable: FILTER(!?v)
             if self.peek().kind == "VAR" and self._closes_atom(1):
                 return ("notebv", "?" + self.next().text[1:])
@@ -3550,17 +3548,95 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
             raise SparqlSyntaxError(
                 "FILTER EXISTS combines only with plain patterns + FILTER"
             )
-        ex = []
+        ex, pf_ex = [], []
         for eg, neg in g.exists:
             if (eg.optionals or eg.minuses or eg.union or eg.values
                     or eg.paths or eg.graph or eg.exists or eg.binds
-                    or eg.subqueries or eg.star):
+                    or eg.subqueries or eg.star or eg.services):
                 raise SparqlSyntaxError(
                     "EXISTS block must be a BGP (+ FILTER)"
                 )
-            ex.append((eg.patterns, eg.filters or None, neg))
-        return bgp.bgp_exists(out_dir, g.patterns, ex, select,
-                              filters=g.filters or None, stats=stats, **kw)
+            if eg.pfcalls:
+                pf_ex.append((eg, neg))
+            else:
+                ex.append((eg.patterns, eg.filters or None, neg))
+        if not pf_ex:
+            return bgp.bgp_exists(out_dir, g.patterns, ex, select,
+                                  filters=g.filters or None, stats=stats,
+                                  **kw)
+        # EXISTS blocks holding ARQ property-function calls (list:member
+        # etc. — PropertyFunctions list-8/9): evaluate each block ONCE as
+        # its own solution table through the value-space pf executor,
+        # then gate the outer solutions by a vectorized semi-/anti-join
+        # on the correlated variables (E_Exists's inner execution with
+        # the pf solutions precomputed; the pf solution table is
+        # driver-sized like every value-pf evaluation here)
+        import pyarrow.compute as pc
+
+        gvars = _binding_vars(g)
+
+        def _eg_vars(eg: Group) -> set[str]:
+            out = {t[1:] for p in eg.patterns for t in p
+                   if isinstance(t, str) and t.startswith("?")}
+            for subj, _iri, args in eg.pfcalls:
+                for t in (subj, *args):
+                    if isinstance(t, str) and t.startswith("?"):
+                        out.add(t[1:])
+            return out
+
+        shared_all: list[list[str]] = [
+            sorted(_eg_vars(eg) & gvars) for eg, _neg in pf_ex
+        ]
+        sel2 = list(select) + sorted(
+            {v for sh in shared_all for v in sh} - set(select)
+        )
+        kw2 = dict(kw)
+        kw2["distinct"] = kw["distinct"] and sel2 == list(select)
+        res = bgp.bgp_exists(out_dir, g.patterns, ex, sel2,
+                             filters=g.filters or None, stats=stats, **kw2)
+        for (eg, neg), shared in zip(pf_ex, shared_all):
+            probe_sel = shared or sorted(_eg_vars(eg))[:1]
+            E = _execute_pf_group(
+                out_dir, eg, probe_sel, distinct=True,
+                num_partitions=num_partitions, pf_context=pf_context,
+                stats=stats,
+            )
+            if not shared:
+                # uncorrelated: one probe decides the whole stream
+                hit = len(E.limit(1).take(1)) > 0
+                if hit == neg:
+                    res = res.limit(0)
+                continue
+            keys: set[tuple] = set()
+            for b in E.iter_batches(batch_format="pyarrow"):
+                keys.update(zip(*[
+                    pc.cast(b.column(v), pa.string()).to_pylist()
+                    for v in shared
+                ]))
+            karr = pa.array(
+                ["\n".join(t) for t in keys if None not in t],
+                type=pa.string(),
+            )
+
+            def gate(tb: pa.Table, _k=karr, _sv=tuple(shared),
+                     _neg=neg) -> pa.Table:
+                arrs = [pc.cast(tb.column(v), pa.string()) for v in _sv]
+                key = (arrs[0] if len(arrs) == 1
+                       else pc.binary_join_element_wise(*arrs, "\n"))
+                m = pc.fill_null(pc.is_in(key, value_set=_k), False)
+                return tb.filter(pc.invert(m) if _neg else m)
+
+            res = res.map_batches(gate, batch_format="pyarrow")
+        if sel2 != list(select):
+            def proj(tb: pa.Table, _s=tuple(select)) -> pa.Table:
+                return tb.select(list(_s))
+
+            res = res.map_batches(proj, batch_format="pyarrow")
+            if kw["distinct"]:
+                from jena_ray.stages.dedup import dedup_exact
+
+                res = dedup_exact(res, cols=tuple(select), coalesce=True)
+        return res
 
     if g.union is not None:
         if g.minuses or g.values:

@@ -423,7 +423,7 @@ ARQ_SUITES: dict[str, int] = {
     "Optional": 10,
     "OrderBy": 10,
     "Paths": 12,
-    "PropertyFunctions": 44,
+    "PropertyFunctions": 46,
     "Select": 6,
     "SelectExpr": 6,
     "SolutionSeq": 12,
