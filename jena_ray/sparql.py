@@ -1405,15 +1405,19 @@ class Parser:
                     raise SparqlSyntaxError("LET needs ':='")
                 expr = self._parse_bind_expr()
                 self.expect_op(")")
-                if any(bv == v.text[1:] for _, bv in g.binds):
-                    # ARQ LET re-assignment has compatibility semantics
-                    # (bind-if-unbound, else same-value check) — outside
-                    # the subset; fail loudly rather than overwrite
-                    raise SparqlSyntaxError(
-                        f"LET re-assigns {v.text!r} (ARQ compatibility "
-                        "semantics unsupported)"
+                if (any(bv == v.text[1:] for _, bv in g.binds)
+                        or v.text[1:] in _scope_vars(g)):
+                    # ARQ LET compatibility semantics (ElementAssign /
+                    # OpAssign): assigning an ALREADY-BOUND variable keeps
+                    # the row iff the existing binding equals the
+                    # expression VALUE — lowered to a value-equality
+                    # FILTER over the binding and the expression
+                    # (Assign assign-08/09 pin: 6-?v = ?v keeps only 3)
+                    g.filters.append(
+                        ("cmpexpr", "=", ("var", v.text[1:]), expr)
                     )
-                g.binds.append((expr, v.text[1:]))
+                else:
+                    g.binds.append((expr, v.text[1:]))
             elif (self.at_kw("EXISTS") and self.peek(1).kind == "OP"
                     and self.peek(1).text == "{") or (
                     self.at_kw("NOT") and self.peek(1).kind == "NAME"

@@ -399,7 +399,7 @@ def test_dawg_suite(suite, ray_session, tmp_path_factory):
 ARQ_SUITES: dict[str, int] = {
     "Algebra": 12,
     "Ask": 8,
-    "Assign": 6,
+    "Assign": 8,
     "Basic": 5,
     "BasicPatterns": 72,
     "Bound": 1,
