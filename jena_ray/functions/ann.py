@@ -25,8 +25,25 @@ def _read_emb(sf_dir: str):
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id, float32 matrix) from an Arrow batch — zero-copy reshape of
+    the list values buffer when widths are uniform (the common case:
+    fixed_size_list or a uniform-width list), Python fallback otherwise."""
     ids = batch.column("vec_id").to_numpy()
     emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    n = len(emb)
+    if n and emb.null_count == 0:
+        if pa.types.is_fixed_size_list(emb.type):
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            return ids, flat.reshape(n, emb.type.list_size).astype(np.float32, copy=False)
+        if pa.types.is_list(emb.type) or pa.types.is_large_list(emb.type):
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) % n == 0:
+                dim = len(flat) // n
+                offs = emb.offsets.to_numpy()
+                if ((offs[1:] - offs[:-1]) == dim).all():
+                    return ids, flat.reshape(n, dim).astype(np.float32, copy=False)
     mat = np.vstack([np.asarray(v, dtype=np.float32) for v in emb.to_pylist()])
     return ids, mat
 
@@ -159,24 +176,47 @@ def _augmented_emb(sf_dir: str):
     """embeddings ∪ perturbed copies of every SEED_STRIDE-th vector."""
 
     def aug(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["vec_id", "embedding"])
         ids = batch.column("vec_id").to_numpy()
         mask = ids % SEED_STRIDE == 0
         if not mask.any():
             return batch
-        ids2 = ids[mask] + SEED_ID_OFFSET
-        emb2 = [
-            [v[0] + SEED_PERTURB] + v[1:]
-            for v in (e.as_py() for e in batch.column("embedding").filter(pa.array(mask)))
-        ]
-        extra = pa.table(
-            {"vec_id": pa.array(ids2), "embedding": pa.array(emb2, type=batch.column("embedding").type)}
-        )
-        return pa.concat_tables([batch.select(["vec_id", "embedding"]), extra])
+        sub = batch.filter(pa.array(mask))
+        col = sub.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // n
+        # perturb in float64 (matches the SQL oracle's double arithmetic),
+        # then cast back to the storage value type
+        mat = flat.reshape(n, dim).astype(np.float64)
+        mat[:, 0] += SEED_PERTURB
+        emb_type = batch.column("embedding").type
+        values = pa.array(mat.reshape(-1)).cast(emb_type.value_type)
+        if pa.types.is_fixed_size_list(emb_type):
+            emb2 = pa.FixedSizeListArray.from_arrays(values, dim)
+        else:
+            off_ty = np.int64 if pa.types.is_large_list(emb_type) else np.int32
+            offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=off_ty))
+            cls = pa.LargeListArray if pa.types.is_large_list(emb_type) else pa.ListArray
+            emb2 = cls.from_arrays(offsets, values)
+        extra = pa.table({"vec_id": pa.array(ids[mask] + SEED_ID_OFFSET), "embedding": emb2})
+        return pa.concat_tables([batch, extra.cast(batch.schema)])
 
     return _read_emb(sf_dir).map_batches(aug, batch_format="pyarrow")
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.9):
+# all C(n,2) pairs per band bucket up to this many members; larger buckets
+# emit the star n-1 pairs to the smallest id (connectivity preserved for
+# clustering; dropped pairwise links are counted + logged). Same policy as
+# the MinHash side's LSH_BUCKET_CAP (dedup_ops.py) — a degenerate bucket
+# (e.g. a zero-vector pile-up) would otherwise be O(n²).
+EMB_BUCKET_CAP = 256
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.9,
+                        bucket_cap: int = EMB_BUCKET_CAP):
     """Embedding-cosine near-duplicate pairs: multi-band hyperplane LSH for
     candidate generation (vectors sharing any band bucket), then EXACT
     cosine verification of the candidates via hash-partitioned joins back to
@@ -216,32 +256,54 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9):
     )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         out_a, out_b = [], []
+        dropped = 0
         for _, grp in df.groupby(["band", "bucket"], sort=False):
             ids = np.sort(grp["vec_id"].unique())
-            if len(ids) > 1:
-                ia, ib = np.triu_indices(len(ids), k=1)
+            n = len(ids)
+            if n <= 1:
+                continue
+            if n <= bucket_cap:
+                ia, ib = np.triu_indices(n, k=1)
                 out_a.append(ids[ia])
                 out_b.append(ids[ib])
+            else:
+                # star link to the smallest id: n-1 pairs instead of C(n,2)
+                out_a.append(np.repeat(ids[0], n - 1))
+                out_b.append(ids[1:])
+                dropped += n * (n - 1) // 2 - (n - 1)
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket cap %d: dropped %d pairwise candidates "
+                "(star-linked instead)", bucket_cap, dropped
+            )
         if not out_a:
             return pd.DataFrame(
                 {"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)}
             )
         return pd.DataFrame({"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)})
 
+    from jena_ray.stages.dedup import with_empty_schema
+
     cand = bucketed_group_apply(bands, ["band", "bucket"], pairs_in_bucket)
-    cand = dedup_exact(cand, cols=("vec_a", "vec_b"))
+    cand = with_empty_schema(
+        dedup_exact(cand, cols=("vec_a", "vec_b")),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
+    )
 
     # vectors packed as float32-le blobs: Ray's hash join rejects list
     # payload columns; the verify stage decodes with np.frombuffer
     def pack(batch: pa.Table) -> pa.Table:
-        blobs = [
-            np.asarray(v, dtype=np.float32).tobytes()
-            for v in batch.column("embedding").to_pylist()
-        ]
-        return pa.table(
-            {"vec_id": batch.column("vec_id"), "emb": pa.array(blobs, type=pa.binary())}
+        _, mat = _batch_matrix(batch)
+        mat = np.ascontiguousarray(mat, dtype=np.float32)
+        n, dim = mat.shape
+        offsets = pa.array(np.arange(0, (n + 1) * dim * 4, dim * 4, dtype=np.int32))
+        blobs = pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(mat.tobytes())]
         )
+        return pa.table({"vec_id": batch.column("vec_id"), "emb": blobs})
 
     def _tidy(ds, rename):
         # the join may or may not surface the right key column depending on
@@ -261,6 +323,12 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9):
     j1 = _tidy(
         safe_join(cand, packed, num_partitions=8, on=("vec_a",), right_on=("vec_id",)),
         {"emb": "emb_a"},
+    )
+    # empty join partitions emit 0-column blocks that would poison the next
+    # join's left side — drop them between joins (see with_empty_schema)
+    j1 = with_empty_schema(
+        j1,
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("emb_a", pa.binary())]),
     )
     j2 = _tidy(
         safe_join(j1, packed, num_partitions=8, on=("vec_b",), right_on=("vec_id",)),

@@ -293,23 +293,26 @@ LSH_BUCKET_CAP = 256
 
 
 def minhash_candidate_pairs(sf_dir: str, *, collapse_exact: bool = False,
-                            bucket_cap: int = LSH_BUCKET_CAP):
+                            bucket_cap: int = LSH_BUCKET_CAP, ds=None):
     """Near-dup candidate pairs via MinHash LSH: shingle → minhash → band →
     bucket groupby → pairs within a bucket. Returns distinct (doc_a, doc_b)
     with doc_a < doc_b.
 
     ``collapse_exact`` chains the exact-dedup collapse first (the 100 TB
     default — see collapse_exact_docs); ``bucket_cap`` bounds per-bucket
-    pair emission (star fallback, dropped-pair counts logged)."""
+    pair emission (star fallback, dropped-pair counts logged); ``ds``
+    overrides the (doc_id, text) input (callers sharing a pre-collapsed
+    Dataset pass it here — collapse_exact is then ignored)."""
     import logging
 
     import ray.data as rd
 
     from jena_ray.stages.dedup import dedup_exact
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if collapse_exact:
-        ds = collapse_exact_docs(ds)
+    if ds is None:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        if collapse_exact:
+            ds = collapse_exact_docs(ds)
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -408,11 +411,12 @@ def simhash_docs(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def _shingle_table(sf_dir: str):
+def _shingle_table(sf_dir: str, ds=None):
     """(doc_id, shingles: binary) Dataset — the verify side's join input.
     Shingle sets are packed as uint64-le blobs because Ray's hash join
     rejects list-typed payload columns; the verify stage decodes with
-    np.frombuffer (zero-copy)."""
+    np.frombuffer (zero-copy). ``ds`` overrides the (doc_id, text) input —
+    used to shingle only exact-dedup representatives."""
     import ray.data as rd
 
     def f(batch: pa.Table) -> pa.Table:
@@ -422,11 +426,39 @@ def _shingle_table(sf_dir: str):
             {"doc_id": batch.column("doc_id"), "shingles": pa.array(blobs, type=pa.binary())}
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if ds is None:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def verified_near_dups(sf_dir: str, threshold: float = 0.8):
+def exact_dup_groups(sf_dir: str):
+    """(doc_id, rep_id) Dataset: every doc mapped to the minimum doc_id
+    among docs with byte-identical text (rep_id == doc_id for uniques and
+    representatives). Same hash-partitioned shape as collapse_exact_docs;
+    the join side of the exact-group re-expansion in verified_near_dups."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+        ]
+        return batch[["doc_id", "text_md5"]]
+
+    def assign_rep(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("text_md5", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": df["doc_id"], "rep_id": rep})
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    return bucketed_group_apply(hashed, ["text_md5"], assign_rep)
+
+
+def verified_near_dups(sf_dir: str, threshold: float = 0.8,
+                       collapse_exact: bool = True):
     """MinHash-LSH candidates verified by true 3-gram Jaccard ≥ threshold.
 
     Scale shape: the candidate pairs are JOINED (hash-partitioned
@@ -436,9 +468,37 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8):
     candidates). Shingle hashes are 61-bit, so hashed-set Jaccard equals
     string-3-gram Jaccard (collisions negligible), which is what the SQL
     oracle computes.
+
+    ``collapse_exact`` (the default — the 100 TB path) first collapses
+    byte-identical docs to one representative so a boilerplate-heavy crawl
+    never floods the LSH buckets, then re-expands EXACTLY at the end:
+    intra-group pairs are emitted with jaccard 1.0 and verified
+    representative pairs are expanded to all member cross pairs (identical
+    text ⇒ identical shingle set ⇒ identical Jaccard), so the result is
+    bit-for-bit the same as the uncollapsed run.
     """
-    pairs = minhash_candidate_pairs(sf_dir)
-    sh = _shingle_table(sf_dir)
+    from jena_ray.stages.dedup import with_empty_schema
+
+    _pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    if collapse_exact:
+        import ray.data as rd
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        # materialize once: both the LSH pipeline and the shingle table
+        # consume the representative set (bounded by the deduped corpus;
+        # object-store backed, spills rather than holding driver memory)
+        reps_ds = collapse_exact_docs(docs).materialize()
+        groups = with_empty_schema(
+            exact_dup_groups(sf_dir),
+            pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())]),
+        )
+        pairs = minhash_candidate_pairs(sf_dir, ds=reps_ds)
+        sh = _shingle_table(sf_dir, ds=reps_ds)
+    else:
+        groups = None
+        pairs = minhash_candidate_pairs(sf_dir)
+        sh = _shingle_table(sf_dir)
+    pairs = with_empty_schema(pairs, _pair_schema)
 
     def _tidy(ds, rename):
         # the join may or may not surface the right key column depending on
@@ -455,6 +515,11 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8):
     j1 = _tidy(
         safe_join(pairs, sh, on=("doc_a",), right_on=("doc_id",), num_partitions=8),
         {"shingles": "sh_a"},
+    )
+    # empty join partitions emit 0-column blocks that would poison the next
+    # join's left side — drop them between joins (see with_empty_schema)
+    j1 = with_empty_schema(
+        j1, _pair_schema.append(pa.field("sh_a", pa.binary()))
     )
     j2 = _tidy(
         safe_join(j1, sh, on=("doc_b",), right_on=("doc_id",), num_partitions=8),
@@ -498,4 +563,81 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8):
         )
         return out.filter(pa.array(jac >= threshold))
 
-    return j2.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    verified = j2.map_batches(verify, batch_format="pyarrow")
+    if groups is None:
+        return verified.sort(["doc_a", "doc_b"])
+    verified = with_empty_schema(
+        verified, _pair_schema.append(pa.field("jaccard", pa.float64()))
+    )
+
+    # Exact re-expansion (byte-identical text ⇒ identical shingle set ⇒
+    # identical Jaccard, so this is bit-exact vs the uncollapsed run):
+    # (a) every verified representative pair expands to all cross pairs
+    #     between the two exact groups (joins against the doc→rep map);
+    # (b) every exact group of n>1 emits its C(n,2) intra pairs at 1.0
+    #     (that IS the required output cardinality — the oracle reports
+    #     every identical pair).
+    def _expand_tidy(ds, new_name):
+        def f(t: pa.Table) -> pa.Table:
+            if "rep_id" in t.schema.names:
+                t = t.drop_columns(["rep_id"])
+            return t.rename_columns(
+                [new_name if c == "doc_id" else c for c in t.schema.names]
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    e1 = _expand_tidy(
+        safe_join(verified, groups, on=("doc_a",), right_on=("rep_id",), num_partitions=8),
+        "m_a",
+    )
+    e1 = with_empty_schema(
+        e1,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("jaccard", pa.float64()), ("m_a", pa.int64())]
+        ),
+    )
+    e2 = _expand_tidy(
+        safe_join(e1, groups, on=("doc_b",), right_on=("rep_id",), num_partitions=8),
+        "m_b",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("m_a").to_numpy()
+        b = t.column("m_b").to_numpy()
+        return pa.table(
+            {
+                "doc_a": np.minimum(a, b),
+                "doc_b": np.maximum(a, b),
+                "jaccard": t.column("jaccard"),
+            }
+        )
+
+    expanded = e2.map_batches(orient, batch_format="pyarrow")
+
+    def intra(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("rep_id", sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                    "jaccard": np.array([], dtype=np.float64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": np.ones(len(a))})
+
+    intra_pairs = with_empty_schema(
+        bucketed_group_apply(groups, ["rep_id"], intra),
+        _pair_schema.append(pa.field("jaccard", pa.float64())),
+    )
+    return expanded.union(intra_pairs).sort(["doc_a", "doc_b"])

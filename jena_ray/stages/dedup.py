@@ -273,6 +273,34 @@ def bucketed_group_apply(
     return pre.groupby("_bucket").map_groups(apply, batch_format=batch_format)
 
 
+def with_empty_schema(ds, schema: pa.Schema):
+    """Drop degenerate 0-column empty blocks so downstream ``Dataset.join``
+    sees a stable schema.
+
+    ``groupby(...).map_groups`` / sort emit a column-less empty block for an
+    empty partition; Ray's hash-shuffle join then builds that partition's
+    side as a 0-column table and pyarrow rejects the key ("No match ... for
+    key field reference"). ``map_batches`` can't repair it — empty blocks
+    bypass the UDF — so this rebuilds the dataset from the non-empty block
+    refs (metadata only; no block bytes cross the driver). Executes the
+    upstream pipeline at call time; use on bounded post-shuffle datasets
+    (candidate pairs, group maps), not on the corpus stream."""
+    import ray.data as rd
+
+    # normalize non-empty blocks to Arrow (pandas-format map_groups output
+    # would otherwise mix block types in from_arrow_refs); empty blocks
+    # bypass the UDF and are dropped below via metadata
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 def pre_aggregated_count(ds, key_cols: Sequence[str], alias: str = "count"):
     """count() per key with map-side partial aggregation.
 

@@ -207,16 +207,17 @@ def _build_terms_table(ds, path: str, num_buckets: int, min_rows_per_file: int,
         g = dedup_batch(g, ["id", "term"])
         n_ids = pc.count_distinct(g.column("id")).as_py()
         if n_ids != g.num_rows:
-            # two distinct terms hashed to one 64-bit id: the dictionary
-            # would silently conflate them — refuse (the 10^12-term scale
-            # path widens ids to 128 bits; see module docstring)
+            # two distinct terms hashed to one 128-bit id: the dictionary
+            # would silently conflate them — refuse loudly (at 2^-128 per
+            # pair this indicates corrupt input or a broken hash kernel,
+            # not id-space exhaustion)
             import pandas as pd
 
             df = g.to_pandas()
             dup = df[df.duplicated("id", keep=False)].sort_values("id").head(4)
             raise RuntimeError(
-                "term-id collision in NodeTable build (64-bit id space "
-                f"exhausted?): {dup.to_dict('records')}"
+                f"term-id collision in NodeTable build (128-bit ids): "
+                f"{dup.to_dict('records')}"
             )
         idx = pc.sort_indices(g, sort_keys=[("id", "ascending")])
         return g.take(idx)
@@ -380,7 +381,7 @@ def _term_bucket_ids(ids: list, num_buckets: int) -> int:
     return int(h[0]) % num_buckets
 
 
-def lookup_terms(out_dir: str, ids: list[int]) -> dict[int, str]:
+def lookup_terms(out_dir: str, ids: list[bytes]) -> dict[bytes, str]:
     """Resolve term ids → canonical term strings from the bucketed terms
     table (NodeTable lookup). Driver-side per-bucket filtered parquet reads —
     fine for small result sets; the scale path is a bucket-aligned map-side
@@ -406,7 +407,7 @@ def lookup_terms(out_dir: str, ids: list[int]) -> dict[int, str]:
     return out
 
 
-def _id_bucket(i: int, num_buckets: int) -> int:
+def _id_bucket(i: bytes, num_buckets: int) -> int:
     return _term_bucket_ids([i], num_buckets)
 
 

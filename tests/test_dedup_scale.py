@@ -97,3 +97,94 @@ def test_bucket_cap_star_links(ray_session, monkeypatch, tmp_path):
     assert set(pairs["doc_a"]).issubset({0} | set(range(300)))
     touched = set(pairs["doc_a"]) | set(pairs["doc_b"])
     assert len(touched) >= 299
+
+
+@pytest.fixture()
+def mixed_dir(ray_session, tmp_path):
+    """Small mixed corpus: a 40-doc identical flood, two near-dup pairs,
+    one near-dup pair where one side is ALSO exactly duplicated, and
+    unrelated uniques — exercises every branch of the collapse+expand."""
+    import pyarrow.parquet as pq
+
+    texts = (
+        ["identical boilerplate body shared by the flood docs here"] * 40
+        + [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+            "one two three four five six seven eight nine ten eleven",
+            "one two three four five six seven eight nine ten eleven",  # exact dup of 42
+            "one two three four five six seven eight nine ten twelve",  # near-dup of 42/43
+            "totally unrelated content words apples oranges pears kiwi",
+        ]
+    )
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_verified_near_dups_collapse_bit_exact(mixed_dir):
+    """collapse_exact=True (the default) must produce BIT-identical output
+    to the uncollapsed run: intra-group pairs at 1.0 plus cross-group
+    expansion of representative pairs."""
+    from jena_ray.functions.dedup_ops import verified_near_dups
+
+    collapsed = verified_near_dups(mixed_dir).to_pandas()
+    plain = verified_near_dups(mixed_dir, collapse_exact=False).to_pandas()
+    key = ["doc_a", "doc_b"]
+    collapsed = collapsed.sort_values(key).reset_index(drop=True)
+    plain = plain.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(collapsed, plain)
+    got = set(zip(collapsed["doc_a"], collapsed["doc_b"]))
+    # flood intra pairs all present at exactly 1.0
+    assert (0, 1) in got and (0, 39) in got and (38, 39) in got
+    flood = collapsed[collapsed["doc_b"] < 40]
+    assert (flood["jaccard"] == 1.0).all()
+    # cross-group expansion: near-dup of a doc that is itself duplicated
+    assert (42, 44) in got and (43, 44) in got
+    assert (42, 43) in got  # the exact pair at 1.0
+
+
+def test_verified_flood_bounded(adversarial_dir, monkeypatch):
+    """The 10k-identical flood through verified_near_dups: LSH work is
+    bounded by the collapse (1 representative); only the final intra-pair
+    expansion is O(n²) — and that IS the required output. Keep the flood
+    output small by capping via a trimmed fixture read instead: here we
+    assert the seeded pairs survive and the run completes."""
+    from jena_ray.functions.dedup_ops import verified_near_dups
+
+    t0 = time.perf_counter()
+    out = verified_near_dups(adversarial_dir)
+    # count + targeted membership without driver-materializing 50M rows
+    n = out.count()
+    took = time.perf_counter() - t0
+    # flood intra pairs + (10002,10003) at jaccard exactly 0.8 (8 shared
+    # grams / 10 union); the kappa/lambda pair is 7/9 ≈ 0.78 < 0.8
+    assert n == 10_000 * 9_999 // 2 + 1
+    assert took < 300, f"flood verified run took {took:.1f}s"
+
+
+def test_embedding_bucket_cap(ray_session, tmp_path):
+    """100 identical embeddings: every band bucket degenerates; the cap
+    star-links so candidate volume is O(n), not C(n,2)."""
+    import pyarrow.parquet as pq
+
+    from jena_ray.functions import ann
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=8).astype(np.float64)
+    emb = [list(base) for _ in range(100)] + [list(rng.normal(size=8)) for _ in range(5)]
+    t = pa.table({
+        "vec_id": pa.array(range(105), type=pa.int64()),
+        "embedding": pa.array(emb, type=pa.list_(pa.float64())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = ann.embedding_near_dups(str(tmp_path), bucket_cap=8).to_pandas()
+    # star fallback: pairs only to the bucket representative (vec 0),
+    # plus the seeded-augmentation copies — far below C(100,2)=4950
+    assert len(out) < 400
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 1) in got and (0, 99) in got
+    assert (out["cosine"] >= 0.9).all()
