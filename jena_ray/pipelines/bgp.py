@@ -1488,7 +1488,8 @@ def binding_join(
         right.map_batches(prep(1, tuple(rcols)), batch_format="pyarrow")
     )
 
-    arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
+    arrow_how = {"inner": "inner", "left_outer": "left outer",
+                 "left_semi": "left semi", "left_anti": "left anti"}[how]
 
     def per_bucket(g: pa.Table, _l=tuple(lcols), _r=tuple(rcols)) -> pa.Table:
         side = g.column("_side")
@@ -2672,6 +2673,13 @@ def path_closure(
     return resolve_id_columns(ids, out_dir, {"y": var})
 
 
+# driver-held (root, node) pair budget for path_closure_pairs: below this
+# the frontier is pandas on the driver (fast path, same contract as the
+# reference PathEngine's in-engine visited set); beyond it the BFS moves to
+# Dataset semi-join hops so no driver structure scales with the closure
+PATH_PAIR_SPILL = 2_000_000
+
+
 def path_closure_pairs(
     out_dir: str,
     pred,
@@ -2680,31 +2688,81 @@ def path_closure_pairs(
     max_iters: int = 25,
     inverse: bool = False,
     one_step: bool = False,
-) -> "pa.Table":
-    """(src, y) TERM pairs — y reachable from src via ≥1 ``pred`` step
+    pair_spill: int | None = None,
+):
+    """(src, y) TERM pairs — y reachable from src via >=1 ``pred`` step
     (multi-root P_OneOrMore: PathEngine's per-binding BFS batched over all
-    roots at once). One distributed edge scan reused per hop with a
-    broadcast frontier ``is_in`` probe; the (root, node) pair frontier
-    lives on the DRIVER (pandas merges — vectorized, closure-sized like
-    path_closure's visited set). ``one_step=True`` stops after one hop
-    (P_ZeroOrOne's non-zero leg). Zero-length pairs are the CALLER's to
-    add (they depend on the modifier). Partitioning assumption: the
-    union of the roots' closures fits on the driver — same contract as
-    the reference's PathEngine visited set."""
+    roots at once). Returns a ray Dataset with string columns (src, y).
+
+    Adaptive frontier (round-4): one distributed edge scan reused per hop.
+    While the discovered pair set is under ``pair_spill`` it lives on the
+    DRIVER (vectorized pandas merges — closure-sized, the common case);
+    the moment a hop would exceed the budget the BFS switches to
+    Dataset-resident hops (bucketed join + anti-join per hop,
+    _path_pairs_ds_loop), so a hub predicate x many roots cannot blow the
+    driver. ``one_step=True`` stops after one hop (P_ZeroOrOne's non-zero
+    leg). Zero-length pairs are the CALLER's to add."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray.data as rd
 
     from jena_ray.stages.materialize import resolve_id_columns
 
+    if pair_spill is None:
+        pair_spill = PATH_PAIR_SPILL  # read at call time (testable)
     info = read_layout(out_dir)
     edges = _scan_pattern(out_dir, ("?x", pred, "?y"), info).materialize()
     probe_col, out_col = ("y", "x") if inverse else ("x", "y")
 
+    def _resolve(ids_ds):
+        res = resolve_id_columns(ids_ds, out_dir, {"root": "src", "node": "y"})
+
+        def proj(tb: pa.Table) -> pa.Table:
+            return tb.select(["src", "y"])
+
+        return res.map_batches(proj, batch_format="pyarrow")
+
+    if not isinstance(sources, (list, tuple)):
+        # sources as a Dataset (one string column "src"): huge root sets
+        # (hub predicates) never materialize on the driver — the BFS runs
+        # in Dataset mode from hop zero. Small root sets fall through to
+        # the driver fast path.
+        roots_ds = sources.materialize()
+        if roots_ds.count() > pair_spill // 4:
+            from jena_ray.stages.dedup import dedup_exact as _dedup
+            from jena_ray.stages.materialize import term_id_array
+
+            def to_pairs(tb: pa.Table) -> pa.Table:
+                ids = term_id_array(tb.column("src"))
+                return pa.table({"root": ids, "node": ids})
+
+            f0 = _dedup(
+                roots_ds.map_batches(to_pairs, batch_format="pyarrow"),
+                cols=("root", "node"),
+            )
+            # visited starts EMPTY (discovered pairs only — the zero-hop
+            # self pairs are frontier bootstrap, and a genuine cycle back
+            # to a root must still be discoverable as a result pair)
+            empty = rd.from_arrow(pa.table({
+                "root": pa.array([], type=ID_TYPE),
+                "node": pa.array([], type=ID_TYPE),
+            }))
+            ids_ds = _path_pairs_ds_loop(
+                edges, probe_col, out_col, empty, f0, max_iters,
+                one_step=one_step,
+            )
+            return _resolve(ids_ds)
+        sources = [
+            v
+            for b in roots_ds.iter_batches(batch_format="pyarrow")
+            for v in b.column("src").to_pylist()
+            if v is not None
+        ]
+
     src_ids = pd.Series([term_id(s) for s in sources]).drop_duplicates()
     frontier = pd.DataFrame({"root": src_ids, "node": src_ids})
     pairs = pd.DataFrame({"root": [], "node": []})
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nodes = pa.array(frontier["node"].unique().tolist(), type=ID_TYPE)
 
         def hop(tb: pa.Table, _n=nodes) -> pa.Table:
@@ -2732,6 +2790,22 @@ def path_closure_pairs(
             new = new[new["_merge"] == "left_only"][["root", "node"]]
         if not len(new):
             break
+        if len(pairs) + len(new) > pair_spill and not one_step:
+            import ray.data as rd2
+
+            def pairs_tbl(df) -> pa.Table:
+                return pa.table({
+                    "root": pa.array(df["root"].tolist(), type=ID_TYPE),
+                    "node": pa.array(df["node"].tolist(), type=ID_TYPE),
+                })
+
+            vis0 = rd2.from_arrow(pairs_tbl(
+                pd.concat([pairs, new], ignore_index=True)))
+            ids_ds = _path_pairs_ds_loop(
+                edges, probe_col, out_col, vis0,
+                rd2.from_arrow(pairs_tbl(new)), max_iters - it,
+            )
+            return _resolve(ids_ds)
         pairs = pd.concat([pairs, new], ignore_index=True)
         frontier = new
         if one_step:
@@ -2741,17 +2815,61 @@ def path_closure_pairs(
 
     if not len(pairs):
         e = pa.array([], type=pa.string())
-        return pa.table({"src": e, "y": e})
+        return rd.from_arrow(pa.table({"src": e, "y": e}))
     ids = rd.from_arrow(pa.table({
         "root": pa.array(pairs["root"].tolist(), type=ID_TYPE),
         "node": pa.array(pairs["node"].tolist(), type=ID_TYPE),
     }))
-    res = resolve_id_columns(ids, out_dir, {"root": "src", "node": "y"})
-    return pa.concat_tables(
-        list(res.iter_batches(batch_format="pyarrow"))
-        or [pa.table({"src": pa.array([], type=pa.string()),
-                      "y": pa.array([], type=pa.string())})]
-    ).select(["src", "y"])
+    return _resolve(ids)
+
+
+def _path_pairs_ds_loop(edges, probe_col: str, out_col: str,
+                        visited, frontier, iters_left: int,
+                        one_step: bool = False):
+    """Dataset-resident BFS hops for path_closure_pairs past the driver
+    budget: per hop, frontier joins edges (bucketed binding_join), shift
+    to (root, next), global dedup, anti-join against the visited pair set
+    — everything object-store resident; the driver tracks COUNTS only.
+    ``visited``/``frontier`` are (root, node) id-pair Datasets with
+    frontier a subset of visited. Returns the visited Dataset."""
+    from jena_ray.stages.dedup import dedup_exact
+
+    visited = visited.materialize()
+    frontier = frontier.materialize()
+
+    def eview(tb: pa.Table) -> pa.Table:
+        return pa.table({"node": tb.column(probe_col),
+                         "nxt": tb.column(out_col)})
+
+    edges_ds = edges.map_batches(eview, batch_format="pyarrow").materialize()
+
+    for _ in range(iters_left):
+        stepped = binding_join(
+            frontier, {"root", "node"}, edges_ds, {"node", "nxt"},
+            ["node"], num_buckets=16,
+        )
+
+        def shift(tb: pa.Table) -> pa.Table:
+            return pa.table({"root": tb.column("root"),
+                             "node": tb.column("nxt")})
+
+        new = dedup_exact(
+            stepped.map_batches(shift, batch_format="pyarrow"),
+            cols=("root", "node"),
+        )
+        new = binding_join(
+            new, {"root", "node"}, visited, {"root", "node"},
+            ["root", "node"], how="left_anti", num_buckets=16,
+        ).materialize()
+        if new.count() == 0:
+            return visited
+        visited = visited.union(new).materialize()
+        frontier = new
+        if one_step:
+            return visited
+    raise RuntimeError(
+        f"path closure did not converge in {iters_left} dataset hops"
+    )
 
 
 def kg_text_index_dir(sf_dir: str) -> str:

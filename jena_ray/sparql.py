@@ -274,6 +274,16 @@ class Group:
     # silent) — parsed for grammar completeness; execution raises (a
     # batch engine has no federation endpoint to call)
     services: list[tuple] = field(default_factory=list)
+    # plain nested ``{ ... }`` sub-groups, held unmerged until the
+    # enclosing group closes: _resolve_nested then either flattens them
+    # (the well-designed case) or compiles them as independent join units
+    # (AlgebraGenerator preserves group nesting — DAWG algebra
+    # join-scope-1). Always [] after parsing completes.
+    nested: list["Group"] = field(default_factory=list)
+    # set when this group arrived via GRAPH <g>/{?g} — unsafe-to-flatten
+    # graph-scoped groups raise instead of becoming units (the quad
+    # executors are not unit-aware)
+    from_graph: str | None = None
 
 
 @dataclass
@@ -1405,8 +1415,9 @@ class Parser:
                     raise SparqlSyntaxError("LET needs ':='")
                 expr = self._parse_bind_expr()
                 self.expect_op(")")
-                if (any(bv == v.text[1:] for _, bv in g.binds)
-                        or v.text[1:] in _scope_vars(g)):
+                vname = v.text[1:]
+                certain = _group_vars(g) | {bv for _, bv in g.binds}
+                if vname in certain:
                     # ARQ LET compatibility semantics (ElementAssign /
                     # OpAssign): assigning an ALREADY-BOUND variable keeps
                     # the row iff the existing binding equals the
@@ -1414,10 +1425,20 @@ class Parser:
                     # FILTER over the binding and the expression
                     # (Assign assign-08/09 pin: 6-?v = ?v keeps only 3)
                     g.filters.append(
-                        ("cmpexpr", "=", ("var", v.text[1:]), expr)
+                        ("cmpexpr", "=", ("var", vname), expr)
+                    )
+                elif vname in _scope_vars(g):
+                    # in-scope but NOT certainly bound (OPTIONAL/UNION/
+                    # nested binder): ARQ assigns on unbound rows while
+                    # the equality filter would error and drop them —
+                    # raise rather than silently diverge
+                    raise SparqlSyntaxError(
+                        f"LET re-assignment of {v.text!r}, which may be "
+                        "unbound (bound only in an OPTIONAL/UNION/nested "
+                        "branch), is not in the supported subset"
                     )
                 else:
-                    g.binds.append((expr, v.text[1:]))
+                    g.binds.append((expr, vname))
             elif (self.at_kw("EXISTS") and self.peek(1).kind == "OP"
                     and self.peek(1).text == "{") or (
                     self.at_kw("NOT") and self.peek(1).kind == "NAME"
@@ -1478,9 +1499,14 @@ class Parser:
                 # / EXISTS blocks — becomes a 4-slot quad pattern; a
                 # nested GRAPH block already produced 4-slot patterns and
                 # keeps its own (inner) scope, since SPARQL GRAPH
-                # re-scopes rather than nests
+                # re-scopes rather than nests. Held unmerged until the
+                # enclosing group closes: a graph-scoped OPTIONAL/MINUS
+                # sharing variables with sibling elements flattens to a
+                # different algebra (LeftJoin∘Join vs Join∘LeftJoin) and
+                # must raise instead (_resolve_nested)
                 self._wrap_graph(inner, gt)
-                self._merge(g, inner)
+                inner.from_graph = gt
+                g.nested.append(inner)
             elif self.take_kw("VALUES"):
                 g.values = (g.values or []) + self._parse_values()
             elif (self.peek().kind == "NAME"
@@ -1522,9 +1548,11 @@ class Parser:
                 if len(branches) > 1:
                     self._no_pf(first, 'UNION')
                 if len(branches) == 1:
-                    # plain nested group — merge (no scoping subtleties in
-                    # the supported subset)
-                    self._merge(g, first)
+                    # plain nested group — held until the enclosing group
+                    # closes, where _resolve_nested either flattens it
+                    # (well-designed case) or compiles it as its own join
+                    # unit (DAWG algebra join-scope-1)
+                    g.nested.append(first)
                 else:
                     if g.union is not None:
                         raise SparqlSyntaxError("only one UNION block per group")
@@ -1552,8 +1580,68 @@ class Parser:
             if self.at_op("."):
                 self.next()
         self.expect_op("}")
+        self._resolve_nested(g)
         self._rescope_optional_filters(g)
         return g
+
+    def _resolve_nested(self, g: Group) -> None:
+        """Faithful nested-group algebra scoping (the reference's
+        AlgebraGenerator compiles the group TREE — group→op preserves
+        nesting, jena-arq sparql/algebra/AlgebraGenerator.java). A plain
+        nested ``{ ... }`` merges into its parent ONLY when flattening
+        cannot change semantics (_flatten_safe — the well-designed case
+        of Pérez et al.). Otherwise it compiles as its own join unit: an
+        implicit SELECT subquery over the nested group, evaluated
+        independently and joined on the shared variables —
+        Join(outer, LeftJoin(B, C)), not LeftJoin(Join(outer, B), C)
+        (DAWG algebra join-scope-1). GRAPH-scoped groups in the unsafe
+        shape raise loudly (the quad executors are not unit-aware)."""
+        nested, g.nested = list(g.nested), []
+        for i, n in enumerate(nested):
+            g.nested = nested[i + 1:]  # unprocessed siblings stay in scope
+            sib = _scope_vars(g)
+            for m in g.minuses:
+                sib |= _scope_vars(m)
+            for e, _neg in g.exists:
+                sib |= _scope_vars(e)
+            g.nested = []
+            if self._flatten_safe(n, sib):
+                self._merge(g, n)
+            elif n.from_graph is not None:
+                raise SparqlSyntaxError(
+                    "GRAPH-scoped OPTIONAL/MINUS/EXISTS sharing variables "
+                    "with the enclosing group is not in the supported "
+                    "subset (would flatten to a different algebra)"
+                )
+            else:
+                sub = Query(form="select",
+                            select=sorted(_scope_vars(n)), where=n)
+                g.subqueries.append(sub)
+        g.nested = []
+
+    @staticmethod
+    def _flatten_safe(n: Group, sib_vars: set[str]) -> bool:
+        """True iff merging nested group ``n`` into a parent whose other
+        elements bind ``sib_vars`` preserves the algebra: every variable
+        n's OPTIONAL/MINUS/EXISTS blocks share with a sibling is already
+        bound by n's required part (so the blocks' left side is the same
+        rows either way), and no BIND expression reads enclosing-scope
+        variables (ARQ's Extend(P, v, e) sees them unbound)."""
+        from jena_ray.pipelines.bgp import _bind_expr_vars
+
+        nscope = _scope_vars(n)
+        for expr, _v in n.binds:
+            if set(_bind_expr_vars(expr)) - nscope:
+                return False
+        core = _group_vars(n) | {v for _, v in n.binds}
+        risk: set[str] = set()
+        for o in n.optionals:
+            risk |= _scope_vars(o)
+        for m in n.minuses:
+            risk |= _scope_vars(m)
+        for e, _neg in n.exists:
+            risk |= _scope_vars(e)
+        return not ((risk & sib_vars) - core)
 
     @staticmethod
     def _rescope_optional_filters(g: Group) -> None:
@@ -2946,6 +3034,8 @@ def _binding_vars(g: Group) -> set[str]:
         out |= _binding_vars(o)
     for b in g.union or []:
         out |= _binding_vars(b)
+    for n in g.nested:
+        out |= _binding_vars(n)
     return out
 
 
@@ -2958,6 +3048,8 @@ def _scope_vars(g: Group) -> set[str]:
         out |= _scope_vars(o)
     for b in g.union or []:
         out |= _scope_vars(b)
+    for n in g.nested:
+        out |= _scope_vars(n)
     out |= {v for _, v in g.binds}
     return out
 
@@ -3093,6 +3185,77 @@ def _filter_var_names(f) -> set[str]:
     return out
 
 
+def _apply_path_ds(res, res_cols: list[str], pairs_ds, roots_ds,
+                   src, obj, mod: str, s_var, o_var,
+                   num_partitions: int):
+    """Dataset-resident application of one path step to the binding stream
+    — the scale leg of _execute_bound_paths, used when the (root, target)
+    pair set or the root set exceeds the driver budget
+    (bgp.PATH_PAIR_SPILL). extend = bucketed binding_join on the root
+    column; semi = left-semi binding_join on the correlated columns.
+    Everything stays object-store resident. Returns (res, res_cols)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.pipelines import bgp
+    from jena_ray.stages.dedup import dedup_exact
+
+    if s_var is None:
+        raise SparqlSyntaxError(
+            "a concrete-source path whose closure exceeds the driver "
+            "budget is not in the supported subset (the closure would "
+            "cross-product every binding)"
+        )
+    if mod in ("*", "?"):
+        def selfp(tb: pa.Table) -> pa.Table:
+            return pa.table({"src": tb.column("src"),
+                             "y": tb.column("src")})
+
+        zl = roots_ds.map_batches(selfp, batch_format="pyarrow")
+        pairs_ds = dedup_exact(pairs_ds.union(zl), cols=("src", "y"))
+
+    def rename(tb: pa.Table, _m: dict) -> pa.Table:
+        return tb.rename_columns([_m.get(c, c) for c in tb.schema.names])
+
+    str_types = {c: pa.string() for c in set(res_cols) | {s_var, o_var or ""}}
+    if o_var is not None and o_var not in res_cols:
+        pr = pairs_ds.map_batches(
+            lambda t, _m={"src": s_var, "y": o_var}: rename(t, _m),
+            batch_format="pyarrow",
+        )
+        res = bgp.binding_join(
+            res, set(res_cols), pr, {s_var, o_var}, [s_var],
+            num_buckets=num_partitions, col_types=str_types,
+        )
+        return res, res_cols + [o_var]
+
+    # SEMI: keep binding rows whose (root, target) pair holds
+    keys = [s_var]
+    m = {"src": s_var}
+    pr = pairs_ds
+    if o_var is not None:
+        m["y"] = o_var
+        keys.append(o_var)
+    else:
+        pr = pr.map_batches(
+            lambda t, _o=obj: t.filter(pc.equal(t.column("y"), _o)),
+            batch_format="pyarrow",
+        )
+    pr = pr.map_batches(lambda t, _m=m: rename(t, _m),
+                        batch_format="pyarrow")
+    rv = {s_var} | ({o_var} if o_var is not None else set())
+
+    def proj_keys(tb: pa.Table, _k=tuple(sorted(rv))) -> pa.Table:
+        return tb.select(list(_k))
+
+    pr = pr.map_batches(proj_keys, batch_format="pyarrow")
+    res = bgp.binding_join(
+        res, set(res_cols), pr, rv, keys,
+        how="left_semi", num_buckets=num_partitions, col_types=str_types,
+    )
+    return res, res_cols
+
+
 def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
                          distinct: bool, num_partitions: int, stats):
     """Property paths joined with triple patterns (ARQ Paths path-10/11,
@@ -3189,20 +3352,48 @@ def _execute_bound_paths(out_dir: str, g: Group, select: list[str], *,
         res_cols = []
 
     for src, pred, obj, mod, inv, s_var, o_var in plan:
+        import ray.data as rd
+
+        from jena_ray.stages.dedup import dedup_exact
+
         if s_var is not None:
-            roots: set[str] = set()
-            for b in res.iter_batches(batch_format="pyarrow"):
-                roots.update(
-                    v for v in pc.unique(b.column(s_var)).to_pylist()
-                    if v is not None
-                )
-            roots = sorted(roots)
+            # roots as a DATASET (round-4): the root set is never forced
+            # through the driver — path_closure_pairs collects it only
+            # when small, else runs the BFS in Dataset mode
+            def rcol(tb: pa.Table, _v=s_var) -> pa.Table:
+                col = tb.column(_v)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return pa.table({"src": col.drop_null()})
+
+            roots_ds = dedup_exact(
+                res.map_batches(rcol, batch_format="pyarrow"),
+                cols=("src",), coalesce=True,
+            ).materialize()
+            n_roots = roots_ds.count()
+            roots_arg = roots_ds
+        else:
+            roots_ds, n_roots, roots_arg = None, 1, [src]
+        pairs_ds = bgp.path_closure_pairs(
+            out_dir, pred, roots_arg, inverse=inv,
+            one_step=(mod == "?"),
+        ).materialize()
+        big = max(n_roots, pairs_ds.count()) > bgp.PATH_PAIR_SPILL
+        if big:
+            res, res_cols = _apply_path_ds(
+                res, res_cols, pairs_ds, roots_ds,
+                src, obj, mod, s_var, o_var, num_partitions,
+            )
+            continue
+        pairs = pairs_ds.to_pandas()
+        if roots_ds is not None:
+            roots = sorted(
+                v
+                for b in roots_ds.iter_batches(batch_format="pyarrow")
+                for v in b.column("src").to_pylist()
+            )
         else:
             roots = [src]
-        pairs = bgp.path_closure_pairs(
-            out_dir, pred, list(roots), inverse=inv,
-            one_step=(mod == "?"),
-        ).to_pandas()
         if mod in ("*", "?"):
             # zero-length leg: every root reaches itself
             pairs = pd.concat(
@@ -3617,16 +3808,39 @@ def _execute_where(out_dir: str, q: Query, select: list[str], *,
                     pc.cast(b.column(v), pa.string()).to_pylist()
                     for v in shared
                 ]))
+            if any(None in t for t in keys):
+                # EXISTS compatibility treats an unbound correlated
+                # variable as a wildcard; the semi-join key can't express
+                # that — raise rather than silently drop the match
+                raise SparqlSyntaxError(
+                    "unbound correlated variable in a property-function "
+                    "EXISTS block is not in the supported subset"
+                )
+            # composite key: length-prefixed components ("3:abc2:xy") —
+            # unambiguous for any literal content (a separator character
+            # could collide with literals containing it)
             karr = pa.array(
-                ["\n".join(t) for t in keys if None not in t],
+                ["".join(f"{len(s)}:{s}" for s in t) for t in keys],
                 type=pa.string(),
             )
 
             def gate(tb: pa.Table, _k=karr, _sv=tuple(shared),
                      _neg=neg) -> pa.Table:
                 arrs = [pc.cast(tb.column(v), pa.string()) for v in _sv]
-                key = (arrs[0] if len(arrs) == 1
-                       else pc.binary_join_element_wise(*arrs, "\n"))
+                if any(a.null_count for a in arrs):
+                    raise SparqlSyntaxError(
+                        "unbound correlated variable in the outer stream "
+                        "of a property-function EXISTS gate is not in "
+                        "the supported subset"
+                    )
+                encs = [
+                    pc.binary_join_element_wise(
+                        pc.cast(pc.utf8_length(a), pa.string()), a, ":"
+                    )
+                    for a in arrs
+                ]
+                key = (encs[0] if len(encs) == 1
+                       else pc.binary_join_element_wise(*encs, ""))
                 m = pc.fill_null(pc.is_in(key, value_set=_k), False)
                 return tb.filter(pc.invert(m) if _neg else m)
 
@@ -3742,6 +3956,22 @@ def _execute_subquery_group(out_dir: str, q: Query, select: list[str], *,
         if not shared:
             raise SparqlSyntaxError(
                 "the subquery must share a variable with the group patterns"
+            )
+        # SPARQL compatibility-join treats an UNBOUND shared variable as
+        # compatible with anything; binding_join is a strict equi join, so
+        # a sub-solution with a null shared column would silently drop —
+        # raise instead (module contract). sub_m is materialized and
+        # bounded, so this scan is cheap.
+        def _null_counts(tb: pa.Table, _sh=tuple(shared)) -> pa.Table:
+            return pa.table({v: [tb.column(v).null_count] for v in _sh})
+
+        nulls = sub_m.map_batches(_null_counts, batch_format="pyarrow").to_pandas()
+        bad = [v for v in shared if nulls[v].sum() > 0]
+        if bad:
+            raise SparqlSyntaxError(
+                f"subquery join on variable(s) {bad} with unbound "
+                "solutions is not in the supported subset (compatibility "
+                "join with unbound shared variables)"
             )
         need = (set(select) & outer_vars) | set(shared)
         for f in g.filters:
@@ -4786,6 +5016,8 @@ def _hoist_optional_binds(q: Query) -> None:
     marks "P matched" (ARQ Assign assign-02/03 pin the semantics).
     Raises when no P-only marker variable exists (the rewrite could not
     distinguish matched from unmatched rows)."""
+    from jena_ray.pipelines.bgp import _bind_expr_vars
+
     g = q.where
     if g is None:
         return
@@ -4793,8 +5025,28 @@ def _hoist_optional_binds(q: Query) -> None:
     for o in g.optionals:
         if not o.binds:
             continue
+        # the hoisted expression evaluates post-join, where it would see
+        # enclosing-group bindings; ARQ's Extend(P, v, e) evaluates inside
+        # the block and sees them UNBOUND — reject rather than diverge
+        oscope = _scope_vars(o)
+        for e, _v in o.binds:
+            if set(_bind_expr_vars(e)) - oscope:
+                raise SparqlSyntaxError(
+                    "BIND inside OPTIONAL may only reference variables "
+                    "bound within the optional block (the reference's "
+                    "Extend sees enclosing-group variables as unbound)"
+                )
+        # the matched-marker must be private to THIS block: a variable
+        # also bound by a sibling OPTIONAL/UNION branch can be bound when
+        # only the sibling matched, fabricating the BIND value
+        sib: set[str] = set()
+        for o2 in g.optionals:
+            if o2 is not o:
+                sib |= _scope_vars(o2)
+        for b in g.union or []:
+            sib |= _scope_vars(b)
         ovars = _group_vars(o)
-        markers = sorted(ovars - outer - {v for _, v in o.binds})
+        markers = sorted(ovars - outer - sib - {v for _, v in o.binds})
         if not markers:
             raise SparqlSyntaxError(
                 "BIND inside OPTIONAL needs a variable private to the "

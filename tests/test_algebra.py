@@ -404,3 +404,142 @@ def test_quad_bgp_rejects_triples(quad_index):
 
     with pytest.raises(ValueError, match="4 slots"):
         quad_bgp_execute(quad_index, [("?s", "?p", "?o")], ["s"])
+
+
+# ------------------------------------------------------------------
+# round-4: faithful nested-group algebra scoping (Parser._resolve_nested;
+# AlgebraGenerator.java preserves group nesting — DAWG algebra
+# join-scope-1) + the hoisted-OPTIONAL-BIND / LET guards
+# ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scope_index(ray_session, tmp_path_factory):
+    """The var-scope-join-1 shape: paul has a phone but no email; john and
+    ringo have emails; george has neither."""
+    NAME = "<http://ex.org/name>"
+    EMAIL = "<http://ex.org/email>"
+    PHONE = "<http://ex.org/phone>"
+    rows = [
+        ("<http://ex.org/b1>", NAME, '"paul"'),
+        ("<http://ex.org/b1>", PHONE, '"777"'),
+        ("<http://ex.org/b2>", NAME, '"john"'),
+        ("<http://ex.org/b2>", EMAIL, "<mailto:john@x>"),
+        ("<http://ex.org/b3>", NAME, '"george"'),
+        ("<http://ex.org/b4>", NAME, '"ringo"'),
+        ("<http://ex.org/b4>", EMAIL, "<mailto:ringo@x>"),
+    ]
+    out = str(tmp_path_factory.mktemp("scopeidx"))
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows]),
+            "pred": pa.array([r[1] for r in rows]),
+            "obj": pa.array([r[2] for r in rows]),
+        }
+    )
+    import os
+
+    os.makedirs(f"{out}/triples")
+    pq.write_table(t, f"{out}/triples/part0.parquet")
+    from jena_ray.stages.materialize import materialize_indexes
+
+    materialize_indexes(out, num_buckets=2, min_rows_per_file=1000)
+    return out
+
+
+def _q(idx, q):
+    from jena_ray.sparql import sparql_query
+
+    return sparql_query(idx, q, num_partitions=2).to_pandas()
+
+
+def test_nested_group_join_scope(scope_index):
+    """Join(outer, LeftJoin(B, C)) — NOT LeftJoin(Join(outer, B), C): the
+    inner OPTIONAL's ?X ranges over all email owners, none of whom is
+    paul, so the join is empty (DAWG algebra join-scope-1)."""
+    df = _q(scope_index, """
+        PREFIX : <http://ex.org/>
+        SELECT * { ?X :name "paul" { ?Y :name "george" .
+                                     OPTIONAL { ?X :email ?Z } } }
+    """)
+    assert len(df) == 0
+
+
+def test_nested_group_well_designed_flattens(scope_index):
+    """When the inner group's required part binds the shared variable the
+    flatten is semantics-preserving and must still produce the row."""
+    df = _q(scope_index, """
+        PREFIX : <http://ex.org/>
+        SELECT * { ?X :name "paul" { ?X :phone ?P .
+                                     OPTIONAL { ?X :email ?Z } } }
+    """)
+    assert len(df) == 1
+    assert df.iloc[0]["P"] == '"777"'
+    assert df.iloc[0]["Z"] is None or df.iloc[0]["Z"] != df.iloc[0]["Z"]
+
+
+def test_nested_filter_scope(scope_index):
+    """A FILTER inside a nested group cannot see outer bindings (DAWG
+    algebra filter-nested-2): the inner filter errors on unbound ?N and
+    the join with the empty inner group is empty."""
+    df = _q(scope_index, """
+        PREFIX : <http://ex.org/>
+        SELECT ?N { ?X :name ?N . { FILTER(?N = "paul") } }
+    """)
+    assert len(df) == 0
+
+
+def test_graph_scoped_optional_shared_var_raises(quad_index):
+    """GRAPH g { ... OPTIONAL ... } sharing a variable with the enclosing
+    group would flatten to a different algebra — must raise, not
+    mis-answer (round-4 ADVICE)."""
+    from jena_ray.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(quad_index, """
+            PREFIX : <http://ex.org/>
+            SELECT * { ?s :p ?v
+                       GRAPH :g1 { ?x :q ?w OPTIONAL { ?s :r ?z } } }
+        """, num_partitions=2)
+
+
+def test_optional_bind_sibling_marker_rejected(scope_index):
+    """The matched-marker for a hoisted OPTIONAL BIND must be private to
+    its block: a variable shared with a sibling OPTIONAL can be bound by
+    the sibling alone (round-4 ADVICE) — raise."""
+    from jena_ray.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(scope_index, """
+            PREFIX : <http://ex.org/>
+            SELECT * { ?s :name ?n
+                       OPTIONAL { ?s :phone ?x BIND(1 AS ?v) }
+                       OPTIONAL { ?s :email ?x } }
+        """, num_partitions=2)
+
+
+def test_optional_bind_outer_ref_rejected(scope_index):
+    """A BIND inside OPTIONAL referencing an enclosing-group variable
+    evaluates post-join here but ARQ's Extend sees it unbound — raise."""
+    from jena_ray.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(scope_index, """
+            PREFIX : <http://ex.org/>
+            SELECT * { ?s :name ?n
+                       OPTIONAL { ?s :phone ?p BIND(STR(?n) AS ?v) } }
+        """, num_partitions=2)
+
+
+def test_let_reassign_possibly_unbound_raises(scope_index):
+    """ARQ LET re-assignment of a variable bound only in an OPTIONAL
+    branch: ARQ assigns on unbound rows, the equality-filter lowering
+    would drop them — raise (round-4 ADVICE)."""
+    from jena_ray.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(scope_index, """
+            PREFIX : <http://ex.org/>
+            SELECT * { ?s :name ?n OPTIONAL { ?s :email ?e }
+                       LET(?e := "x") }
+        """, num_partitions=2)

@@ -34,14 +34,8 @@ MFX = "http://jena.hpl.hp.com/2005/05/test-manifest-extra#"
 # (suite, local test name) entries whose query parses but whose semantics
 # are outside the engine subset; each line says why.
 SKIP: dict[tuple[str, str], str] = {
-    ("algebra", "filter-nested-2"): "nested-group FILTER scoping: the subset "
-    "flattens nested groups, so the filter sees the outer binding",
-    ("algebra", "join-scope-1"): "nested-group variable scoping: the subset "
-    "flattens nested groups, so the inner OPTIONAL's ?X joins the outer "
-    "pattern before the LeftJoin instead of after (Join∘LeftJoin vs "
-    "LeftJoin∘Join)",
-    ("Algebra", "join-scope-1"): "same nested-group scoping subset limit "
-    "as the DAWG algebra copy of this test",
+    # round-4: algebra/filter-nested-2 and both join-scope-1 copies now
+    # execute (faithful nested-group scoping — Parser._resolve_nested)
     ("i18n", "normalization-2"): "IRI unicode NFC normalization not applied",
     ("optional-filter", "dawg-optional-filter-005-simplified"):
     "mutually exclusive with 005-not-simplified (same query+data, the two "
@@ -65,7 +59,7 @@ SUITES: dict[str, int] = {
     "ask": 4,
     "expr-equals": 12,
     "bnode-coreference": 1,
-    "algebra": 12,
+    "algebra": 14,  # round-4: filter-nested-2 + join-scope-1 now execute
     "reduced": 2,
     "i18n": 3,
     "expr-builtin": 22,  # dawg-datatype-2 retired (RDF 1.1 langString)
@@ -397,7 +391,7 @@ def test_dawg_suite(suite, ray_session, tmp_path_factory):
 # RunnerSPARQL with ARQ-extension syntax). Queries using ARQ-only syntax
 # (LET, nested paths in groups, …) skip at parse; floors guard the rest.
 ARQ_SUITES: dict[str, int] = {
-    "Algebra": 12,
+    "Algebra": 13,  # round-4: join-scope-1 now executes
     "Ask": 8,
     "Assign": 8,
     "Basic": 5,
