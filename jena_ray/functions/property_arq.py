@@ -48,16 +48,19 @@ def _int_term(n: int) -> str:
     return f'"{n}"^^<{XSD_INT}>'
 
 
-def _scan_pairs(out_dir: str, pred_iri: str, num_partitions: int):
-    """All (subj, obj) term pairs for one ground predicate — a single
-    bucket-pruned pattern scan, collected (structural triples only)."""
+def _scan_pairs_df(out_dir: str, pred_iri: str, num_partitions: int):
+    """All (s, o) term pairs for one ground predicate as a pandas frame —
+    a single bucket-pruned pattern scan transferred COLUMNAR (structural
+    triples only: rdf:first/rdf:rest extents are list-structure-sized,
+    the same driver contract as ARQ's GraphList walking the graph)."""
     from jena_ray.pipelines import bgp
 
     ds = bgp.bgp_execute(
         out_dir, [("?s", f"<{pred_iri}>", "?o")], ["s", "o"],
         num_partitions=num_partitions, distinct=False,
     )
-    return [(r["s"], r["o"]) for r in ds.take_all()]
+    df = ds.to_pandas()
+    return df[["s", "o"]]
 
 
 def _list_rows(out_dir: str, num_partitions: int):
@@ -65,85 +68,191 @@ def _list_rows(out_dir: str, num_partitions: int):
     cons cell that is not the object of any rdf:rest (interior cells are
     not lists in their own right when the subject is unbound: ARQ's
     GraphList.findAllLists enumerates heads the same way). Cycles are cut
-    (malformed data cannot hang the scan)."""
-    first = dict(_scan_pairs(out_dir, RDF_NS + "first", num_partitions))
-    rest = dict(_scan_pairs(out_dir, RDF_NS + "rest", num_partitions))
+    (malformed data cannot hang the scan).
+
+    Round-4: the walk is VECTORIZED — one pandas merge per list position
+    over all heads at once (columnar, no per-cons-cell Python loop); the
+    loop depth is the longest list, not the cell count."""
+    import pandas as pd
+
+    first = _scan_pairs_df(out_dir, RDF_NS + "first", num_partitions)
+    rest = _scan_pairs_df(out_dir, RDF_NS + "rest", num_partitions)
+    # multi-valued rdf:first/rdf:rest are malformed; keep the first seen
+    # (dict semantics of the previous implementation)
+    first = first.drop_duplicates("s", keep="first")
+    rest = rest.drop_duplicates("s", keep="first")
     nil = f"<{RDF_NS}nil>"
-    interior = set(rest.values())
-    rows = []
-    for head in (set(first) | set(rest)) - interior:
-        node, idx, seen = head, 0, set()
-        while node != nil and node not in seen:
-            seen.add(node)
-            if node in first:
-                rows.append((head, idx, first[node]))
-                idx += 1
-            node = rest.get(node, nil)
-        rows.append((head, -1, str(idx)))  # length marker
+    interior = set(rest["o"])
+    heads = sorted((set(first["s"]) | set(rest["s"])) - interior)
+
+    rows: list[tuple] = []
+    cur = pd.DataFrame({"head": heads, "node": heads})
+    # per-head member counter: the index of the NEXT member (increments
+    # only on cells that carry rdf:first, like the sequential walk)
+    lengths = pd.Series(0, index=heads, dtype=int)
+    seen = set(zip(cur["head"], cur["node"]))
+    while len(cur):
+        got = cur.merge(first, left_on="node", right_on="s")
+        rows.extend(zip(got["head"], lengths[got["head"]].tolist(), got["o"]))
+        lengths[got["head"]] += 1
+        nxt = cur.merge(rest, left_on="node", right_on="s")
+        nxt = nxt[nxt["o"] != nil][["head", "o"]].rename(columns={"o": "node"})
+        # cycle cut: never revisit a (head, node) cell
+        import numpy as np
+
+        fresh = np.fromiter(
+            (t not in seen for t in zip(nxt["head"], nxt["node"])),
+            dtype=bool, count=len(nxt),
+        )
+        nxt = nxt[fresh]
+        seen.update(zip(nxt["head"], nxt["node"]))
+        cur = nxt
+    for h in heads:
+        rows.append((h, -1, str(int(lengths[h]))))  # length marker
     rows.append((nil, -1, "0"))  # the empty list has length 0
     return rows
 
 
-def _container_rows(out_dir: str, num_partitions: int):
-    """(container, member) rows: rdf:_N membership triples of subjects
-    TYPED as rdf:Bag/Seq/Alt, plus explicit rdfs:member triples in the
-    data (ContainerMembers semantics — an untyped node's rdf:_N triples
-    are not container membership; ARQ PropertyFunctions container-3/9)."""
+def _membership_pred_terms(out_dir: str) -> list[str]:
+    """The rdf:_N predicate TERMS present in the data — a distributed
+    regex over the TERMS table (distinct terms: vocabulary-scale, orders
+    of magnitude below corpus rows). What crosses to the driver is one
+    string per distinct container position in use."""
+    import os
+
     import pyarrow.compute as pc
+    import ray.data as rd
+
+    terms_root = os.path.join(out_dir, "terms")
+    if not os.path.isdir(terms_root):
+        return []
+    ds = rd.read_parquet(terms_root, columns=["term"])
+
+    def match(tb: pa.Table) -> pa.Table:
+        col = pc.cast(tb.column("term"), pa.string())
+        return pa.table({
+            "term": col.filter(
+                pc.match_substring_regex(col, rf"^<{RDF_NS}_[0-9]+>$")
+            )
+        })
+
+    out = []
+    for b in ds.map_batches(match, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.extend(b.column("term").to_pylist())
+    return sorted(set(out))
+
+
+def _container_members_ds(out_dir: str, num_partitions: int):
+    """(b, m) term-string DATASET: rdf:_N membership triples of subjects
+    TYPED as rdf:Bag/Seq/Alt, plus explicit rdfs:member triples
+    (ContainerMembers semantics — an untyped node's rdf:_N triples are
+    not container membership; ARQ PropertyFunctions container-3/9).
+
+    Round-4 scale shape: the rdf:_N predicates are discovered from the
+    terms table (vocabulary-scale), membership rows come from ONE
+    predicate-set index scan (the P_Alt mask — no unbound full scan
+    materialized anywhere), typed-container gating is a distributed
+    left-semi binding join, and ids resolve through the bucket-aligned
+    NodeTable join. Nothing corpus-sized crosses the driver."""
+    import ray.data as rd
 
     from jena_ray.pipelines import bgp
+    from jena_ray.pipelines.bgp import read_layout
+    from jena_ray.stages.materialize import resolve_id_columns
 
-    typed = {
-        s for s, o in _scan_pairs(out_dir, RDF_NS + "type", num_partitions)
-        if o in (f"<{RDF_NS}Bag>", f"<{RDF_NS}Seq>", f"<{RDF_NS}Alt>")
-    }
-    ds = bgp.bgp_execute(
-        out_dir, [("?b", "?p", "?m")], ["b", "p", "m"],
-        num_partitions=num_partitions, distinct=False,
-    )
+    info = read_layout(out_dir)
+    parts = []
 
-    def keep(tb: pa.Table) -> pa.Table:
-        return tb.filter(
-            pc.match_substring_regex(
-                pc.cast(tb.column("p"), pa.string()),
-                rf"^<{RDF_NS}_[0-9]+>$",
-            )
+    pred_terms = _membership_pred_terms(out_dir)
+    if pred_terms:
+        mem = bgp._scan_pattern(
+            out_dir, ("?b", ("alt", *pred_terms), "?m"), info
         )
+        typed = [
+            bgp._scan_pattern(
+                out_dir, ("?b", f"<{RDF_NS}type>", f"<{RDF_NS}{k}>"), info
+            )
+            for k in ("Bag", "Seq", "Alt")
+        ]
+        tds = typed[0].union(*typed[1:])
+        gated = bgp.binding_join(
+            mem, {"b", "m"}, tds, {"b"}, ["b"],
+            how="left_semi", num_buckets=num_partitions,
+        )
+        parts.append(gated)
+    expl = bgp._scan_pattern(
+        out_dir, ("?b", f"<{RDFS_MEMBER}>", "?m"), info
+    )
+    parts.append(expl)
+    ids = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return resolve_id_columns(ids, out_dir, {"b": "b", "m": "m"})
 
-    out = ds.map_batches(keep, batch_format="pyarrow").take_all()
-    rows = [(r["b"], r["m"]) for r in out if r["b"] in typed]
-    rows.extend(_scan_pairs(out_dir, RDFS_MEMBER, num_partitions))
-    return rows
+
+def _slots_ds(ds, cols: tuple, slots: tuple):
+    """Lower a PF call over a structural DATASET: ground slots filter,
+    variable slots become (cast, renamed) columns, a repeated variable
+    adds an equality filter — all distributed map_batches. Returns
+    (Dataset, projected var-name set); an empty var set means the call is
+    fully ground (existence test: count the filtered rows)."""
+    import pyarrow.compute as pc
+
+    ground = [(c, s) for c, s in zip(cols, slots) if not _is_var(s)]
+    var_first: dict[str, str] = {}
+    dup_checks: list[tuple[str, str]] = []
+    for c, s in zip(cols, slots):
+        if _is_var(s):
+            vn = s[1:]
+            if vn in var_first:
+                dup_checks.append((var_first[vn], c))
+            else:
+                var_first[vn] = c
+
+    def f(tb: pa.Table) -> pa.Table:
+        m = None
+        for c, v in ground:
+            mm = pc.equal(pc.cast(tb.column(c), pa.string()), v)
+            m = mm if m is None else pc.and_(m, mm)
+        for c1, c2 in dup_checks:
+            mm = pc.equal(tb.column(c1), tb.column(c2))
+            m = mm if m is None else pc.and_(m, mm)
+        if m is not None:
+            tb = tb.filter(pc.fill_null(m, False))
+        if not var_first:
+            return tb
+        return pa.table({
+            vn: pc.cast(tb.column(c), pa.string())
+            for vn, c in var_first.items()
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow"), set(var_first)
 
 
 def _bindings_table(call, out_dir: str, num_partitions: int, cache: dict):
-    """Lower one graph-structure PF call to (columns, rows): the variable
-    slots become columns, ground slots filter the structural rows."""
+    """Lower one graph-structure LIST PF call to (columns, rows): the
+    variable slots become columns, ground slots filter the structural
+    rows. (rdfs:member goes through the Dataset path — _slots_ds over
+    _container_members_ds — in apply_value_pfs.)"""
     subj, iri, args = call
-    if iri == RDFS_MEMBER:
-        if "containers" not in cache:
-            cache["containers"] = _container_rows(out_dir, num_partitions)
-        slot_rows = cache["containers"]
+    if "lists" not in cache:
+        cache["lists"] = _list_rows(out_dir, num_partitions)
+    local = iri.rsplit("#", 1)[-1]
+    lists = cache["lists"]
+    if local == "member":
+        slot_rows = [(h, m) for h, i, m in lists if i >= 0]
+        slots = (subj, args[0])
+    elif local == "index":
+        if len(args) != 2:
+            raise ValueError("list:index needs (?idx ?member)")
+        slot_rows = [(h, _int_term(i), m) for h, i, m in lists if i >= 0]
+        slots = (subj, args[0], args[1])
+    elif local == "length":
+        slot_rows = [(h, _int_term(int(m))) for h, i, m in lists
+                     if i == -1]
         slots = (subj, args[0])
     else:
-        if "lists" not in cache:
-            cache["lists"] = _list_rows(out_dir, num_partitions)
-        local = iri.rsplit("#", 1)[-1]
-        lists = cache["lists"]
-        if local == "member":
-            slot_rows = [(h, m) for h, i, m in lists if i >= 0]
-            slots = (subj, args[0])
-        elif local == "index":
-            if len(args) != 2:
-                raise ValueError("list:index needs (?idx ?member)")
-            slot_rows = [(h, _int_term(i), m) for h, i, m in lists if i >= 0]
-            slots = (subj, args[0], args[1])
-        elif local == "length":
-            slot_rows = [(h, _int_term(int(m))) for h, i, m in lists
-                         if i == -1]
-            slots = (subj, args[0])
-        else:
-            raise ValueError(f"unknown list property function {iri}")
+        raise ValueError(f"unknown list property function {iri}")
     # ground slots filter; var slots become columns; a variable repeated
     # across slots (?x rdfs:member ?x) requires equal values in the row
     keep = []
@@ -330,20 +439,40 @@ def apply_value_pfs(out_dir: str, res, res_vars: set[str], pfcalls,
                 res_vars = set()
             res, res_vars = _apply_rowwise(res, res_vars, call)
             continue
-        cols, nrows = _bindings_table(call, out_dir, num_partitions, cache)
-        if not cols:
-            # fully ground call → existence test
-            if nrows == 0:
-                res = rd.from_arrow(pa.table(
-                    {v: pa.array([], type=pa.string())
-                     for v in (sorted(res_vars) or ["__unit"])}
-                ))
-            continue
-        tbl = pa.table(
-            {v: pa.array(vals, type=pa.string()) for v, vals in cols.items()}
-        )
-        ds = rd.from_arrow(tbl)
-        pvars = set(cols)
+        if iri == RDFS_MEMBER:
+            # containers stay a DATASET end-to-end (round-4): structural
+            # scan + typed gating distributed, slots lowered per batch
+            if "containers_ds" not in cache:
+                cache["containers_ds"] = _container_members_ds(
+                    out_dir, num_partitions
+                ).materialize()
+            ds, pvars = _slots_ds(
+                cache["containers_ds"], ("b", "m"), (subj, args[0])
+            )
+            if not pvars:
+                # fully ground call → existence test
+                if ds.count() == 0:
+                    res = rd.from_arrow(pa.table(
+                        {v: pa.array([], type=pa.string())
+                         for v in (sorted(res_vars) or ["__unit"])}
+                    ))
+                continue
+        else:
+            cols, nrows = _bindings_table(call, out_dir, num_partitions,
+                                          cache)
+            if not cols:
+                # fully ground call → existence test
+                if nrows == 0:
+                    res = rd.from_arrow(pa.table(
+                        {v: pa.array([], type=pa.string())
+                         for v in (sorted(res_vars) or ["__unit"])}
+                    ))
+                continue
+            ds = rd.from_arrow(pa.table(
+                {v: pa.array(vals, type=pa.string())
+                 for v, vals in cols.items()}
+            ))
+            pvars = set(cols)
         if res is None:
             res, res_vars = ds, pvars
             continue

