@@ -213,7 +213,10 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         if os.path.isdir(bpath):
             path = bpath
         else:
-            return empty_bindings()
+            # base bucket absent — but a delta INSERT may still match
+            # (state/deltas overlay below); scan an empty base instead
+            # of returning early
+            path = None
     expr = None
     for idc, val in bound_ids.items():
         if val is None:
@@ -224,10 +227,44 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         # in a pushed-down parquet filter (observed pyarrow 19/ray 2.49)
         e = pc.field(idc) == pa.scalar(val, ID_TYPE)
         expr = e if expr is None else (expr & e)
-    ds = rd.read_parquet(
-        path, columns=id_cols,
-        **({"filter": expr} if expr is not None else {}),
-    )
+    if path is None:
+        ds = rd.from_arrow(pa.table(
+            {c: pa.array([], type=ID_TYPE) for c in id_cols}
+        ))
+    else:
+        ds = rd.read_parquet(
+            path, columns=id_cols,
+            **({"filter": expr} if expr is not None else {}),
+        )
+
+    if len(pattern) == 3:
+        # incremental-update overlay (state/deltas): base ∖ deletes ∪
+        # matching inserts. The overlay is request-sized (ground DATA
+        # blocks), so the delete keys ship in the task closure and the
+        # inserts filter driver-side.
+        from jena_ray.state import deltas as _deltas
+
+        _st = _deltas.load_state(out_dir)
+        if _st is not None and not _st.empty:
+            if _st.deletes.num_rows:
+                _dk = _st.delete_keys()
+
+                def drop_deleted(tb: pa.Table, _k=_dk) -> pa.Table:
+                    keys = _deltas._triple_keys(tb)
+                    return tb.filter(
+                        pc.invert(pc.is_in(keys, value_set=_k))
+                    )
+
+                ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
+            if _st.inserts.num_rows:
+                ins = _st.inserts
+                for idc, val in bound_ids.items():
+                    if val is not None:
+                        ins = ins.filter(pc.equal(
+                            ins.column(idc), pa.scalar(val, ID_TYPE)
+                        ))
+                if ins.num_rows:
+                    ds = ds.union(rd.from_arrow(ins.select(id_cols)))
 
     # project to variable columns (id space); drop bound columns.
     # same-var-twice patterns (?x p ?x) keep only rows where both match.

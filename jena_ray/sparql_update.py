@@ -466,11 +466,103 @@ def sparql_update(out_dir: str, update: "str | UpdateOp | list[UpdateOp]",
     return out
 
 
+def compact_deltas(out_dir: str, *, num_partitions: int = 16) -> None:
+    """Fold the delta overlay into the base layout: triples/ becomes
+    (base ∖ deletes) ∪ inserts, the NodeTable + SPO/POS/OSP indexes
+    rebuild, and the overlay clears — TDB2's journal merge. No-op
+    without deltas."""
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import dedup_exact
+    from jena_ray.stages.materialize import materialize_indexes, read_layout
+    from jena_ray.state import deltas
+
+    st = deltas.load_state(out_dir)
+    if st is None:
+        return
+    if st.empty:
+        deltas.clear(out_dir)
+        return
+    is_dataset = os.path.isdir(os.path.join(out_dir, "gspo"))
+    triples_dir = os.path.join(out_dir, "triples")
+
+    def three_cols(tb: pa.Table) -> pa.Table:
+        return tb.select(["subj", "pred", "obj"])
+
+    if is_dataset or not os.path.isdir(triples_dir):
+        # dataset stores keep no phase-1 triples table: snapshot the
+        # default graph from the (delta-unaware) SPO index
+        from jena_ray.pipelines.bgp import _scan_pattern, read_layout as _rl
+        from jena_ray.stages.materialize import resolve_id_columns
+
+        ids = _scan_pattern(out_dir, ("?s", "?p", "?o"), _rl(out_dir))
+        cur = resolve_id_columns(
+            ids, out_dir, {"s": "subj", "p": "pred", "o": "obj"}
+        )
+    else:
+        cur = rd.read_parquet(triples_dir)
+    new = cur.map_batches(three_cols, batch_format="pyarrow")
+    if st.deletes.num_rows:
+        new = _set_minus(
+            new, rd.from_arrow(st.deletes.select(["subj", "pred", "obj"])),
+            num_partitions,
+        )
+    if st.inserts.num_rows:
+        new = new.union(
+            rd.from_arrow(st.inserts.select(["subj", "pred", "obj"]))
+        )
+    new = dedup_exact(new, cols=("subj", "pred", "obj"))
+    info = read_layout(out_dir)
+    if is_dataset:
+        # RDF-dataset store: the NodeTable is shared with the quad
+        # indexes — rebuild the whole dataset so quad terms survive
+        from jena_ray.stages.quads import quad_pattern_scan
+
+        _rebuild_dataset(out_dir, info, new, quad_pattern_scan(out_dir))
+        deltas.clear(out_dir)
+        return
+    tmp_dir = os.path.join(out_dir, "triples_new")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    new.write_parquet(tmp_dir)
+    old_dir = os.path.join(out_dir, "triples_old")
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(triples_dir, old_dir)
+    os.rename(tmp_dir, triples_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    materialize_indexes(
+        out_dir, num_buckets=info["num_buckets"], assume_deduped=True,
+        min_rows_per_file=info.get("min_rows_per_file", 500_000),
+    )
+    deltas.clear(out_dir)
+
+
 def _apply_update_op(out_dir: str, op: UpdateOp, *, num_partitions: int):
     import ray.data as rd
 
     from jena_ray.stages.dedup import dedup_exact
     from jena_ray.stages.materialize import materialize_indexes, read_layout
+    from jena_ray.state import deltas
+
+    # ground triple DATA ops land as delta-overlay appends — O(delta)
+    # files touched, no index rebuild (TDB2 journal-then-merge). A triple
+    # store only (quad DATA keeps the dataset-rebuild path below).
+    if (op.kind in ("insert_data", "delete_data")
+            and os.path.isdir(os.path.join(out_dir, "spo"))
+            and not any(len(t) == 4
+                        for t in (op.insert or op.delete or []))):
+        data = op.insert if op.kind == "insert_data" else op.delete
+        if (deltas.overlay_rows(out_dir) + len(data or [])
+                > deltas.COMPACT_ROWS):
+            compact_deltas(out_dir, num_partitions=num_partitions)
+        return deltas.apply_data_op(
+            out_dir, data or [], insert=(op.kind == "insert_data"),
+            num_partitions=num_partitions,
+        )
+    # every other operation folds pending deltas first, so WHERE clauses,
+    # templates, graph management and sidecar builds read a delta-free
+    # store (and the rebuild below starts from the merged truth)
+    if deltas.overlay_rows(out_dir):
+        compact_deltas(out_dir, num_partitions=num_partitions)
 
     if op.kind == "load":
         return _load_document(out_dir, op, num_partitions=num_partitions)

@@ -392,6 +392,9 @@ def lookup_terms(out_dir: str, ids: list[bytes]) -> dict[bytes, str]:
 
     info = read_layout(out_dir)
     nb = info["num_buckets"]
+    from jena_ray.state import deltas as _deltas
+
+    _dst = _deltas.load_state(out_dir)
     by_bucket: dict[int, list[int]] = {}
     for i in set(ids):
         by_bucket.setdefault(_id_bucket(i, nb), []).append(i)
@@ -404,6 +407,12 @@ def lookup_terms(out_dir: str, ids: list[bytes]) -> dict[bytes, str]:
         mask = pc.is_in(t.column("id"), value_set=pa.array(wanted, type=ID_TYPE))
         sel = t.filter(mask)
         out.update(zip(sel.column("id").to_pylist(), sel.column("term").to_pylist()))
+    if _dst is not None and _dst.terms.num_rows:
+        want = set(ids)
+        for i, term in zip(_dst.terms.column("id").to_pylist(),
+                           _dst.terms.column("term").to_pylist()):
+            if i in want:
+                out[i] = term
     return out
 
 
@@ -515,6 +524,16 @@ def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
     nb = info["num_buckets"]
     terms_root = os.path.join(out_dir, "terms")
 
+    # incremental-update overlay (state/deltas): terms introduced by
+    # pending INSERT DATA deltas are absent from the bucket files — ship
+    # the (request-sized) delta terms table in the closure and append it
+    # before the index_in lookup
+    from jena_ray.state import deltas as _deltas
+
+    _dst = _deltas.load_state(out_dir)
+    _dterms = (_dst.terms if _dst is not None and _dst.terms.num_rows
+               else None)
+
     for idc, name in col_map.items():
 
         def bucketize(t, _c=idc):
@@ -533,12 +552,19 @@ def resolve_id_columns(ds, out_dir: str, col_map: dict[str, str]):
             if not os.path.isdir(bpath):
                 # hash-partitioned writes skip empty buckets; a bucket with
                 # no terms can still receive all-null id rows (unmatched
-                # OPTIONAL bindings) — they resolve to null terms
+                # OPTIONAL bindings) — they resolve to null terms (via the
+                # delta-terms lookup, which is empty without deltas)
+                tt0 = (_dterms if _dterms is not None
+                       else pa.table({"id": pa.array([], type=ID_TYPE),
+                                      "term": pa.array([], type=pa.string())}))
+                idx0 = pc.index_in(g.column(_c), value_set=tt0.column("id"))
                 out = g.drop_columns(["_bucket", _c])
                 return out.append_column(
-                    _n, pa.nulls(g.num_rows, type=pa.string())
+                    _n, pc.take(tt0.column("term"), idx0)
                 )
             tt = pq.read_table(bpath, columns=["id", "term"])
+            if _dterms is not None:
+                tt = pa.concat_tables([tt, _dterms])
             idx = pc.index_in(g.column(_c), value_set=tt.column("id"))
             out = g.drop_columns(["_bucket", _c])
             return out.append_column(_n, pc.take(tt.column("term"), idx))

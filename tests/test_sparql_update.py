@@ -312,3 +312,118 @@ def test_create_is_noop(dataset_index):
     m = sparql_update(dataset_index, "CREATE GRAPH <http://ex.org/new>",
                       num_partitions=2)
     assert m == {"changed": False}
+
+
+# ------------------------------------------------------------------
+# round-4: incremental delta overlay (state/deltas — TDB2 journal-then-
+# merge). INSERT/DELETE DATA touch O(delta) files; everything else
+# compacts first.
+# ------------------------------------------------------------------
+
+
+def _index_files(idx):
+    import os
+
+    out = set()
+    for root, _dirs, files in os.walk(idx):
+        rel = os.path.relpath(root, idx)
+        if rel.split(os.sep)[0] in ("spo", "pos", "osp", "terms", "triples"):
+            for f in files:
+                out.add((os.path.join(rel, f),
+                         os.stat(os.path.join(root, f)).st_mtime_ns))
+    return out
+
+
+def test_insert_data_touches_o_delta_files(small_index):
+    """A small INSERT DATA must leave every base index/NodeTable/triples
+    file untouched (byte-identical mtimes) — only the delta overlay is
+    written."""
+    import os
+
+    before = _index_files(small_index)
+    m = sparql_update(
+        small_index,
+        PFX + 'INSERT DATA { ex:dx ex:status "active" }',
+        num_partitions=4,
+    )
+    assert m["triples_after"] == m["triples_before"] + 1
+    assert _index_files(small_index) == before
+    assert os.path.isdir(os.path.join(small_index, "delta"))
+    # and the new triple is visible through the SPARQL layer
+    assert _count(small_index,
+                  PFX + "SELECT ?p WHERE { ex:dx ?p ?o }") == 1
+
+
+def test_delete_data_is_delta(small_index):
+    before = _index_files(small_index)
+    m = sparql_update(
+        small_index, PFX + 'DELETE DATA { ex:d0 ex:flag "old" }',
+        num_partitions=4,
+    )
+    assert m["triples_after"] == m["triples_before"] - 1
+    assert _index_files(small_index) == before
+    assert _count(small_index,
+                  PFX + 'SELECT ?s WHERE { ?s ex:flag "old" }') == 2
+
+
+def test_delta_normalization_roundtrip(small_index):
+    """insert → delete cancels to an empty overlay; delete → re-insert of
+    a base row cancels too (inserts ∩ base = ∅, deletes ⊆ base)."""
+    from jena_ray.state import deltas
+
+    sparql_update(small_index,
+                  PFX + 'INSERT DATA { ex:dz ex:status "active" }',
+                  num_partitions=4)
+    sparql_update(small_index,
+                  PFX + 'DELETE DATA { ex:dz ex:status "active" }',
+                  num_partitions=4)
+    st = deltas.load_state(small_index)
+    assert st is not None and st.empty
+    sparql_update(small_index,
+                  PFX + 'DELETE DATA { ex:d0 ex:status "active" }',
+                  num_partitions=4)
+    sparql_update(small_index,
+                  PFX + 'INSERT DATA { ex:d0 ex:status "active" }',
+                  num_partitions=4)
+    st = deltas.load_state(small_index)
+    assert st is not None and st.empty
+    assert _count(small_index,
+                  PFX + 'SELECT ?s WHERE { ?s ex:status "active" }') == 6
+
+
+def test_modify_compacts_deltas(small_index):
+    """A WHERE-carrying update folds pending deltas first and reads the
+    merged store; the overlay clears."""
+    import os
+
+    sparql_update(small_index,
+                  PFX + 'INSERT DATA { ex:dy ex:flag "old" }',
+                  num_partitions=4)
+    sparql_update(
+        small_index,
+        PFX + 'DELETE { ?s ex:flag "old" } INSERT { ?s ex:flag "new" } '
+              'WHERE { ?s ex:flag "old" }',
+        num_partitions=4,
+    )
+    assert not os.path.isdir(os.path.join(small_index, "delta"))
+    assert _count(small_index,
+                  PFX + 'SELECT ?s WHERE { ?s ex:flag "new" }') == 4
+    assert _count(small_index,
+                  PFX + 'SELECT ?s WHERE { ?s ex:flag "old" }') == 0
+
+
+def test_delta_new_term_resolves(small_index):
+    """A brand-new subject term (absent from the base NodeTable, landing
+    in a base bucket that may not exist) must scan AND resolve through
+    the overlay."""
+    sparql_update(
+        small_index,
+        PFX + 'INSERT DATA { ex:brandnew ex:status "fresh" }',
+        num_partitions=4,
+    )
+    res = sparql_query(
+        small_index,
+        PFX + 'SELECT ?s WHERE { ?s ex:status "fresh" }',
+        num_partitions=4,
+    ).to_pandas()
+    assert res["s"].tolist() == ["<http://ex.org/brandnew>"]
