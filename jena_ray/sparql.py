@@ -349,6 +349,10 @@ class Query:
     # DynamicDatasets in the reference): document IRIs to load
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
+    # implicit-subquery units lowered from SERVICE blocks evaluate
+    # against this store instead of the enclosing query's (the injectable
+    # endpoint resolver — Service.java's remote execution stand-in)
+    service_dir: "str | None" = None
 
 
 # ---------------------------------------------------------------- parser
@@ -3936,7 +3940,8 @@ def _execute_subquery_group(out_dir: str, q: Query, select: list[str], *,
         )
     sub = g.subqueries[0]
     subvars = _sub_vars(sub)
-    sub_res = sparql_query(out_dir, sub, num_partitions=num_partitions,
+    sub_res = sparql_query(sub.service_dir or out_dir, sub,
+                           num_partitions=num_partitions,
                            pf_context=pf_context, stats=stats)
     if isinstance(sub_res, pa.Table):
         sub_res = rd.from_arrow(sub_res)
@@ -4992,20 +4997,63 @@ def ground_pattern_holds(out_dir: str, pattern: tuple,
 
 
 def reject_services(g: "Group | None") -> None:
-    """SERVICE parses (grammar completeness) but cannot execute — a batch
-    engine has no federation endpoint; raise rather than silently drop."""
+    """SERVICE parses (grammar completeness) but cannot execute without an
+    endpoint mapping — a batch engine has no HTTP federation; raise rather
+    than silently drop."""
     if g is None:
         return
     if g.services:
         raise SparqlSyntaxError(
-            "SERVICE execution is not supported (no federation endpoint "
-            "in a batch engine)"
+            "SERVICE execution needs an endpoint mapping "
+            "(pf_context['service_endpoints']: IRI → store dir); a batch "
+            "engine has no HTTP federation endpoint"
         )
     for sub in (list(g.optionals) + list(g.minuses) + list(g.union or [])
                 + [e for e, _ in g.exists]):
         reject_services(sub)
     for sq in g.subqueries:
         reject_services(sq.where)
+
+
+def _lower_services(g: "Group | None", pf_context: dict | None) -> None:
+    """Minimal SERVICE execution (Service.java solution semantics with an
+    INJECTABLE endpoint resolver — real HTTP federation is out of a batch
+    engine's scope): each ``SERVICE <iri> { P }`` at the top level of the
+    WHERE group becomes an implicit subquery unit evaluated against the
+    MAPPED second store (``pf_context["service_endpoints"]``: endpoint
+    IRI → materialized index dir), joined to the enclosing group on the
+    shared variables — exactly the remote-evaluate-then-join shape of
+    QueryIterService. ``SERVICE SILENT`` with an unmapped endpoint
+    degrades to the unit solution (Service.java's silent failure);
+    non-silent unmapped endpoints raise. Variable endpoints and SERVICE
+    inside OPTIONAL/MINUS/UNION/EXISTS raise (reject_services)."""
+    if g is None:
+        return
+    eps = (pf_context or {}).get("service_endpoints") or {}
+    services, g.services = list(g.services), []
+    for ep, sg, silent in services:
+        if ep.startswith("?"):
+            raise SparqlSyntaxError(
+                "variable SERVICE endpoints are not in the supported "
+                "subset (the endpoint set is not enumerable in a batch "
+                "engine)"
+            )
+        target = eps.get(ep) or eps.get(ep.strip("<>"))
+        if target is None:
+            if silent:
+                continue  # unit solution: the join identity
+            g.services = services
+            reject_services(g)
+        reject_services(sg)
+        sub = Query(form="select", select=sorted(_scope_vars(sg)),
+                    where=sg, service_dir=target)
+        g.subqueries.append(sub)
+    for sub_g in (list(g.optionals) + list(g.minuses)
+                  + list(g.union or []) + [e for e, _ in g.exists]):
+        reject_services(sub_g)
+    for sq in g.subqueries:
+        if sq.service_dir is None:
+            reject_services(sq.where)
 
 
 def _hoist_optional_binds(q: Query) -> None:
@@ -5078,7 +5126,7 @@ def sparql_query(
     from jena_ray.pipelines.relational import slice_rows
 
     q = parse_query(query) if isinstance(query, str) else query
-    reject_services(q.where)
+    _lower_services(q.where, pf_context)
     _hoist_optional_binds(q)
 
     if q.from_graphs or q.from_named:
