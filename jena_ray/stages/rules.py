@@ -45,7 +45,29 @@ DEFAULT_PREFIXES = {
     "xsd": XSD_NS,
 }
 
-_BUILTINS = {"notEqual", "equal", "lessThan", "greaterThan", "le", "ge"}
+# test builtins: boolean row filters (rulesys/builtins/{NotEqual,Equal,
+# LessThan,GreaterThan,LE,GE,IsLiteral,NotLiteral,IsBNode,NotBNode,
+# Regex}.java). Arity: None = variadic.
+_TEST_BUILTINS = {
+    "notEqual": 2, "equal": 2, "lessThan": 2, "greaterThan": 2,
+    "le": 2, "ge": 2,
+    "isLiteral": 1, "notLiteral": 1, "isBNode": 1, "notBNode": 1,
+    "regex": 2,
+}
+# value builtins: bind their OUTPUT variable per row (rulesys/builtins/
+# {Sum,Difference,Product,Quotient,Min,Max,AddOne,StrConcat,UriConcat,
+# MakeSkolem}.java). Output slot: last argument, except makeSkolem
+# (first — MakeSkolem.java's bodyCall binds args[0]).
+_BIND_BUILTINS = {
+    "sum": 3, "difference": 3, "product": 3, "quotient": 3,
+    "min": 3, "max": 3, "addOne": 2,
+    "strConcat": None, "uriConcat": None, "makeSkolem": None,
+}
+# tabling directives (Table/TableAll/Hide.java): RETE/backward-mode
+# memoization hints — meaningful only to the hybrid engine; the forward
+# fixpoint materializes everything anyway, so they parse as NO-OPS
+_DIRECTIVE_BUILTINS = {"table": None, "tableAll": 0, "hide": None}
+_BUILTINS = set(_TEST_BUILTINS)
 # graph-state guards: negation-as-failure against the round-start graph
 # (nonmonotonic, same caveat as the reference's builtin — rulesys/builtins/
 # NoValue.java checks the graph at rule-firing time)
@@ -153,26 +175,44 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
             take("colon")
         body: list[tuple[str, str, str]] = []
         filters: list[tuple] = []
+        def _args(fn: str, arity: int | None) -> list[str]:
+            nonlocal pos
+            take("lpar")
+            out: list[str] = []
+            while peek()[0] != "rpar":
+                out.append(term(peek()))
+                pos += 1
+            take("rpar")
+            if arity is not None and len(out) != arity:
+                raise TermError(f"rules: {fn} takes {arity} args")
+            return out
+
         while peek()[0] != "arrow":
             k, v = peek()
             if k == "lpar":
                 body.append(triple())
-            elif k == "name" and v in _BUILTINS:
+            elif k == "name" and v in _TEST_BUILTINS:
                 pos += 1
-                take("lpar")
-                a = term(peek()); pos += 1
-                b = term(peek()); pos += 1
-                take("rpar")
-                filters.append((v, a, b))
+                filters.append((v, *_args(v, _TEST_BUILTINS[v])))
+            elif k == "name" and v in _BIND_BUILTINS:
+                pos += 1
+                args = _args(v, _BIND_BUILTINS[v])
+                lo = 2 if v in ("strConcat", "uriConcat", "makeSkolem") else 2
+                if len(args) < lo:
+                    raise TermError(f"rules: {v} needs ≥{lo} args")
+                out_slot = 0 if v == "makeSkolem" else len(args) - 1
+                if not args[out_slot].startswith("?"):
+                    raise TermError(
+                        f"rules: {v}'s output argument must be a variable"
+                    )
+                filters.append((v, *args))
+            elif k == "name" and v in _DIRECTIVE_BUILTINS:
+                # tabling hints: parsed, validated, dropped (forward mode)
+                pos += 1
+                _args(v, _DIRECTIVE_BUILTINS[v])
             elif k == "name" and v in _GUARD_BUILTINS:
                 pos += 1
-                take("lpar")
-                args = [term(peek())]
-                pos += 1
-                while peek()[0] != "rpar":
-                    args.append(term(peek()))
-                    pos += 1
-                take("rpar")
+                args = _args(v, None)
                 if len(args) not in (2, 3):
                     raise TermError(f"rules: {v} takes 2 or 3 args")
                 filters.append((v, *args))
@@ -187,14 +227,28 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
             raise TermError("rules: need at least one body and head pattern")
         hv = {t for trip in head for t in trip if t.startswith("?")}
         bv = {t for trip in body for t in trip if t.startswith("?")}
+        # bind builtins extend the bound set IN ORDER; their inputs must
+        # already be bound (by patterns or earlier builtins)
+        for f in filters:
+            if f[0] in _BIND_BUILTINS:
+                out_slot = 1 if f[0] == "makeSkolem" else len(f) - 1
+                ins = [a for j, a in enumerate(f[1:], 1)
+                       if j != out_slot and a.startswith("?")]
+                missing = [a for a in ins if a not in bv]
+                if missing:
+                    raise TermError(
+                        f"rules: {f[0]} input variables {missing} unbound"
+                    )
+                bv.add(f[out_slot])
         if not hv <= bv:
             raise TermError(f"rules: unbound head variables {sorted(hv - bv)}")
         gv = {a for f in filters if f[0] in _GUARD_BUILTINS
               for a in f[1:] if a.startswith("?")}
-        if not gv <= bv:
+        tv = {a for f in filters if f[0] in _TEST_BUILTINS
+              for a in f[1:] if a.startswith("?")}
+        if not (gv | tv) <= bv:
             raise TermError(
-                f"rules: unbound noValue variables {sorted(gv - bv)} "
-                "(omit the object argument for a wildcard)"
+                f"rules: unbound builtin variables {sorted((gv | tv) - bv)}"
             )
         rules.append(Rule(name, body, head, filters))
     return rules
@@ -247,24 +301,165 @@ def _num(col):
     )
 
 
+_INT_DT_RE = (r'\^\^<http://www\.w3\.org/2001/XMLSchema#'
+              r'(?:integer|int|long|short|byte|nonNegativeInteger|'
+              r'positiveInteger|unsignedInt|unsignedLong)>$')
+
+
+def _lex(col, n: int):
+    """Lexical form of term-string values: literal lexical, IRI string,
+    bnode label (StrConcat's Node lexical-form rule)."""
+    from jena_ray.pipelines.bgp import _str_value
+
+    if isinstance(col, str):
+        col = pa.array([col] * n, type=pa.string())
+    return _str_value(pc.cast(col, pa.string()))
+
+
+def _col_or_const(tb: pa.Table, t: str):
+    return tb.column(t[1:]) if t.startswith("?") else t
+
+
+def _num_of(tb: pa.Table, t: str):
+    v = _col_or_const(tb, t)
+    return _num(v) if not isinstance(v, str) else _num(
+        pa.array([v] * tb.num_rows)
+    )
+
+
+def _is_int_term(tb: pa.Table, t: str):
+    v = _col_or_const(tb, t)
+    if isinstance(v, str):
+        import re as _re
+
+        return pa.array([bool(_re.search(_INT_DT_RE, v))] * tb.num_rows)
+    return pc.match_substring_regex(pc.cast(v, pa.string()), _INT_DT_RE)
+
+
+def _num_term(val, is_int):
+    """Format numeric results back to canonical literal terms: integer
+    literals when every input was integer-typed (Sum.java's
+    Util.makeIntNode path), xsd:double otherwise."""
+    sval = pc.cast(val, pa.string())
+    ival = pc.cast(pc.round(val), pa.int64())
+    int_term = pc.binary_join_element_wise(
+        '"', pc.cast(ival, pa.string()),
+        '"^^<http://www.w3.org/2001/XMLSchema#integer>', "")
+    dbl_term = pc.binary_join_element_wise(
+        '"', sval, '"^^<http://www.w3.org/2001/XMLSchema#double>', "")
+    return pc.if_else(is_int, int_term, dbl_term)
+
+
 def _apply_filters(ds, filters: list[tuple]):
+    """Apply test + value builtins IN ORDER per batch: tests mask rows,
+    value builtins append the bound output column (visible to later
+    builtins and the head)."""
+
     def f(tb: pa.Table) -> pa.Table:
-        mask = None
-        for fn, a, b in filters:
-            av = tb.column(a[1:]) if a.startswith("?") else a
-            bv = tb.column(b[1:]) if b.startswith("?") else b
-            if fn in ("notEqual", "equal"):
-                m = pc.equal(av, bv)
-                if fn == "notEqual":
-                    m = pc.invert(m)
-            else:
-                an = _num(av) if not isinstance(av, str) else _num(pa.array([av] * tb.num_rows))
-                bn = _num(bv) if not isinstance(bv, str) else _num(pa.array([bv] * tb.num_rows))
-                kern = {"lessThan": pc.less, "greaterThan": pc.greater,
-                        "le": pc.less_equal, "ge": pc.greater_equal}[fn]
-                m = kern(an, bn)
-            mask = m if mask is None else pc.and_(mask, m)
-        return tb.filter(pc.fill_null(mask, False)) if mask is not None else tb
+        for flt in filters:
+            fn, args = flt[0], list(flt[1:])
+            if fn in _TEST_BUILTINS:
+                if fn in ("notEqual", "equal"):
+                    a, b = (_col_or_const(tb, x) for x in args)
+                    m = pc.equal(a, b)
+                    if fn == "notEqual":
+                        m = pc.invert(m)
+                elif fn in ("lessThan", "greaterThan", "le", "ge"):
+                    an, bn = (_num_of(tb, x) for x in args)
+                    kern = {"lessThan": pc.less, "greaterThan": pc.greater,
+                            "le": pc.less_equal, "ge": pc.greater_equal}[fn]
+                    m = kern(an, bn)
+                elif fn in ("isLiteral", "notLiteral"):
+                    v = pc.cast(_col_or_const(tb, args[0]), pa.string()) \
+                        if args[0].startswith("?") else pa.array(
+                            [args[0]] * tb.num_rows)
+                    m = pc.starts_with(pc.cast(v, pa.string()), '"')
+                    if fn == "notLiteral":
+                        m = pc.invert(m)
+                elif fn in ("isBNode", "notBNode"):
+                    v = _col_or_const(tb, args[0])
+                    if isinstance(v, str):
+                        v = pa.array([v] * tb.num_rows)
+                    m = pc.starts_with(pc.cast(v, pa.string()), "_:")
+                    if fn == "notBNode":
+                        m = pc.invert(m)
+                elif fn == "regex":
+                    from jena_ray.term import split_literal
+
+                    pat = args[1]
+                    if pat.startswith('"'):
+                        pat = split_literal(pat)[0]
+                    m = pc.match_substring_regex(
+                        _lex(_col_or_const(tb, args[0]), tb.num_rows),
+                        f"^(?:{pat})$",  # Regex.java: full match
+                    )
+                else:  # pragma: no cover
+                    raise ValueError(fn)
+                tb = tb.filter(pc.fill_null(m, False))
+            elif fn in _BIND_BUILTINS:
+                out_slot = 0 if fn == "makeSkolem" else len(args) - 1
+                out_var = args[out_slot][1:]
+                ins = [a for j, a in enumerate(args) if j != out_slot]
+                if fn in ("sum", "difference", "product", "quotient",
+                          "min", "max", "addOne"):
+                    an = _num_of(tb, ins[0])
+                    bn = (_num_of(tb, ins[1]) if len(ins) > 1
+                          else pa.array([1.0] * tb.num_rows))
+                    val = {
+                        "sum": pc.add, "addOne": pc.add,
+                        "difference": pc.subtract,
+                        "product": pc.multiply,
+                        "quotient": pc.divide,
+                        "min": pc.min_element_wise,
+                        "max": pc.max_element_wise,
+                    }[fn](an, bn)
+                    is_int = _is_int_term(tb, ins[0])
+                    if len(ins) > 1:
+                        is_int = pc.and_(is_int, _is_int_term(tb, ins[1]))
+                    if fn == "quotient":
+                        # integer division only when exact (else double)
+                        is_int = pc.and_(
+                            is_int, pc.equal(val, pc.round(val))
+                        )
+                    col = _num_term(val, is_int)
+                elif fn in ("strConcat", "uriConcat"):
+                    lex = [pc.fill_null(_lex(_col_or_const(tb, a),
+                                             tb.num_rows), "")
+                           for a in ins]
+                    joined = (pc.binary_join_element_wise(*lex, "")
+                              if len(lex) > 1 else lex[0])
+                    if fn == "strConcat":
+                        col = pc.binary_join_element_wise(
+                            '"', joined, '"', "")
+                    else:
+                        col = pc.binary_join_element_wise(
+                            "<", joined, ">", "")
+                else:  # makeSkolem: deterministic bnode of the arg terms
+                    parts = []
+                    for a in ins:
+                        v = _col_or_const(tb, a)
+                        if isinstance(v, str):
+                            v = pa.array([v] * tb.num_rows)
+                        parts.append(pc.cast(v, pa.string()))
+                    key = (pc.binary_join_element_wise(*parts, "\x1f")
+                           if len(parts) > 1 else parts[0])
+                    import hashlib
+
+                    col = pa.array([
+                        "_:sk" + hashlib.md5(k.encode()).hexdigest()[:24]
+                        if k is not None else None
+                        for k in key.to_pylist()
+                    ], type=pa.string())
+                if out_var in tb.schema.names:
+                    # output already bound: equality check (BindingStack
+                    # semantics — a builtin bind to a bound var tests)
+                    tb = tb.filter(pc.fill_null(
+                        pc.equal(tb.column(out_var), col), False))
+                else:
+                    tb = tb.append_column(out_var, col)
+            else:  # pragma: no cover
+                raise ValueError(fn)
+        return tb
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -396,6 +591,10 @@ def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
             res_vars = all_vars
         if batch_filters:
             res = _apply_filters(res, batch_filters)
+            for f in batch_filters:
+                if f[0] in _BIND_BUILTINS:
+                    out_slot = 1 if f[0] == "makeSkolem" else len(f) - 1
+                    res_vars = res_vars | {f[out_slot][1:]}
         for guard in guards:
             res = _apply_novalue(res, res_vars, guard, full,
                                  num_buckets=num_buckets)

@@ -223,3 +223,115 @@ def test_novalue_ground_guard(ray_session):
         _ds([(A, P, V), (FLAG, Q, ON)]), rule, num_buckets=2
     )
     assert (A, Q, V) not in _rows(out2)
+
+
+# ------------------------------------------------------------------
+# round-4: builtin breadth — arithmetic / string / skolem / tests /
+# tabling directives (rulesys/builtins/{Sum,Product,StrConcat,
+# MakeSkolem,Table,TableAll,...}.java)
+# ------------------------------------------------------------------
+
+INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _lit_int(n):
+    return f'"{n}"^^<{INT}>'
+
+
+def test_sum_product_builtins(ray_session):
+    data = _ds([
+        (f"<{EX}x>", f"<{EX}a>", _lit_int(3)),
+        (f"<{EX}x>", f"<{EX}b>", _lit_int(4)),
+    ])
+    rules = parse_rules(f"""
+        [r1: (?s <{EX}a> ?m) (?s <{EX}b> ?n) sum(?m ?n ?t)
+             -> (?s <{EX}total> ?t)]
+        [r2: (?s <{EX}a> ?m) (?s <{EX}b> ?n) product(?m ?n ?t)
+             -> (?s <{EX}prod> ?t)]
+    """)
+    out = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    assert (f"<{EX}x>", f"<{EX}total>", _lit_int(7)) in out
+    assert (f"<{EX}x>", f"<{EX}prod>", _lit_int(12)) in out
+
+
+def test_difference_quotient_min_max(ray_session):
+    data = _ds([
+        (f"<{EX}x>", f"<{EX}a>", _lit_int(10)),
+        (f"<{EX}x>", f"<{EX}b>", _lit_int(4)),
+    ])
+    rules = parse_rules(f"""
+        [ (?s <{EX}a> ?m) (?s <{EX}b> ?n)
+          difference(?m ?n ?d) min(?m ?n ?lo) max(?m ?n ?hi)
+          -> (?s <{EX}d> ?d) (?s <{EX}lo> ?lo) (?s <{EX}hi> ?hi)]
+        [ (?s <{EX}a> ?m) quotient(?m ?m ?q) -> (?s <{EX}q> ?q)]
+    """)
+    out = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    assert (f"<{EX}x>", f"<{EX}d>", _lit_int(6)) in out
+    assert (f"<{EX}x>", f"<{EX}lo>", _lit_int(4)) in out
+    assert (f"<{EX}x>", f"<{EX}hi>", _lit_int(10)) in out
+    assert (f"<{EX}x>", f"<{EX}q>", _lit_int(1)) in out
+
+
+def test_strconcat_uriconcat(ray_session):
+    data = _ds([(f"<{EX}x>", f"<{EX}name>", '"alice"')])
+    rules = parse_rules(f"""
+        [ (?s <{EX}name> ?n) strConcat('hi ' ?n ?out)
+          -> (?s <{EX}greet> ?out)]
+        [ (?s <{EX}name> ?n) uriConcat('{EX}person/' ?n ?u)
+          -> (?s <{EX}uri> ?u)]
+    """)
+    out = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    assert (f"<{EX}x>", f"<{EX}greet>", '"hi alice"') in out
+    assert (f"<{EX}x>", f"<{EX}uri>", f"<{EX}person/alice>") in out
+
+
+def test_make_skolem_deterministic(ray_session):
+    data = _ds([
+        (f"<{EX}x>", f"<{EX}p>", f"<{EX}y>"),
+        (f"<{EX}z>", f"<{EX}p>", f"<{EX}y>"),
+    ])
+    rules = parse_rules(f"""
+        [ (?s <{EX}p> ?o) makeSkolem(?sk ?s ?o) -> (?s <{EX}node> ?sk)]
+    """)
+    out1 = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    out2 = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    assert out1 == out2  # deterministic across runs
+    sks = {o for s, p, o in out1 if p == f"<{EX}node>"}
+    assert len(sks) == 2 and all(o.startswith("_:sk") for o in sks)
+
+
+def test_type_tests_and_regex(ray_session):
+    data = _ds([
+        (f"<{EX}x>", f"<{EX}v>", '"abc"'),
+        (f"<{EX}y>", f"<{EX}v>", f"<{EX}iri>"),
+        (f"_:b1", f"<{EX}v>", '"zzz"'),
+    ])
+    rules = parse_rules(f"""
+        [ (?s <{EX}v> ?o) isLiteral(?o) regex(?o 'a.c')
+          -> (?s <{EX}m> 'hit')]
+        [ (?s <{EX}v> ?o) isBNode(?s) -> (?s <{EX}bn> 'yes')]
+        [ (?s <{EX}v> ?o) notLiteral(?o) -> (?s <{EX}nl> 'yes')]
+    """)
+    out = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    assert (f"<{EX}x>", f"<{EX}m>", '"hit"') in out
+    assert not any(s == f"<{EX}y>" and p == f"<{EX}m>" for s, p, _ in out)
+    assert ("_:b1", f"<{EX}bn>", '"yes"') in out
+    assert (f"<{EX}y>", f"<{EX}nl>", '"yes"') in out
+
+
+def test_table_directives_are_noops(ray_session):
+    data = _ds([(f"<{EX}a>", f"<{EX}anc>", f"<{EX}b>"),
+                (f"<{EX}b>", f"<{EX}anc>", f"<{EX}c>")])
+    rules = parse_rules(f"""
+        [ tableAll() (?a <{EX}anc> ?b) (?b <{EX}anc> ?c)
+          -> (?a <{EX}anc> ?c)]
+    """)
+    out = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    assert (f"<{EX}a>", f"<{EX}anc>", f"<{EX}c>") in out
+
+
+def test_bind_builtin_unbound_input_rejected():
+    with pytest.raises(TermError):
+        parse_rules(f"[ (?s <{EX}p> ?o) sum(?o ?zz ?t) -> (?s <{EX}q> ?t)]")
+    with pytest.raises(TermError):
+        parse_rules(f"[ (?s <{EX}p> ?o) sum(?o ?o 1) -> (?s <{EX}q> ?o)]")
