@@ -334,16 +334,40 @@ def materialize_indexes(
         dedup=not assume_deduped,
     )
     stats[primary] = primary_path
-    for order in secondary:
-        if not os.path.isdir(primary_path):
-            break  # empty input wrote no primary — scans treat it as empty
-        sds = rd.read_parquet(primary_path, columns=["s_id", "p_id", "o_id"])
-        path = os.path.join(out_dir, order)
-        shutil.rmtree(path, ignore_errors=True)
-        _build_bucketed_ids(
-            sds, order, path, num_buckets, min_rows_per_file, dedup=False
-        )
-        stats[order] = path
+    # JENA_RAY_OVERLAP_INDEX_BUILDS=1 runs the secondary permutation
+    # builds CONCURRENTLY (one thread per permutation, the
+    # BuilderSecondaryIndexesParallel strategy —
+    # jena-tdb bulkloader/BuilderSecondaryIndexesParallel.java:26-57).
+    # Default off: on this single node two full-resource shuffles
+    # interfere ~2x (round-2 A/B); on a real multi-node cluster the
+    # shuffles spread across machines and overlap pays — flip the env
+    # var there (BASELINE.md "index-phase overlap" note).
+    overlap = os.environ.get("JENA_RAY_OVERLAP_INDEX_BUILDS", "0") == "1"
+    if os.path.isdir(primary_path):
+        def _one(order: str) -> None:
+            sds = rd.read_parquet(
+                primary_path, columns=["s_id", "p_id", "o_id"]
+            )
+            path = os.path.join(out_dir, order)
+            shutil.rmtree(path, ignore_errors=True)
+            _build_bucketed_ids(
+                sds, order, path, num_buckets, min_rows_per_file,
+                dedup=False,
+            )
+            stats[order] = path
+
+        if overlap and len(secondary) > 1:
+            import threading
+
+            ts = [threading.Thread(target=_one, args=(o,))
+                  for o in secondary]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        else:
+            for order in secondary:
+                _one(order)
     _write_layout(out_dir, layout, num_buckets)
     return stats
 

@@ -38,12 +38,85 @@ def _meta_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_text_meta.json")
 
 
+# ----------------------------------------------------------------- analyzers
+# Pluggable tokenizers (round-4) mirroring jena-text's configurable Lucene
+# analyzer surface (jena-text TextIndexConfig/analyzer assembler):
+#   standard   — whitespace split (the engine's original behavior; keeps
+#                the SQL oracle's string_split(text, ' ') equivalence)
+#   lowercase  — lowercase + alphanumeric word extraction (Lucene
+#                StandardAnalyzer-ish)
+#   ascii_fold — lowercase + NFKD accent folding (ASCIIFoldingFilter)
+#   cjk_bigram — latin words lowercased + CJK-run BIGRAMS (CJKAnalyzer)
+# The analyzer is fixed at BUILD time (recorded in _text_meta.json) and
+# re-applied to query terms at search time — index and query must agree,
+# exactly as a Lucene index bakes its analyzer in.
+
+_CJK = r"\u4e00-\u9fff\u3040-\u30ff\u31f0-\u31ff\uac00-\ud7af"
+
+
+def _an_standard(s):
+    return s.str.split(" ")
+
+
+def _an_lowercase(s):
+    return s.str.lower().str.findall(r"[0-9a-z]+")
+
+
+def _an_ascii_fold(s):
+    import unicodedata
+
+    def fold(x: str) -> str:
+        return "".join(
+            ch for ch in unicodedata.normalize("NFKD", x)
+            if not unicodedata.combining(ch)
+        )
+
+    return s.map(fold, na_action="ignore").str.lower().str.findall(r"[0-9a-z]+")
+
+
+def _an_cjk_bigram(s):
+    import re as _re
+
+    pat = _re.compile(rf"[0-9a-z]+|[{_CJK}]+")
+
+    def toks(x: str) -> list[str]:
+        out = []
+        for run in pat.findall(x.lower()):
+            if _re.match(rf"[{_CJK}]", run):
+                if len(run) == 1:
+                    out.append(run)
+                else:
+                    out.extend(run[i:i + 2] for i in range(len(run) - 1))
+            else:
+                out.append(run)
+        return out
+
+    return s.map(toks, na_action="ignore")
+
+
+ANALYZERS = {
+    "standard": _an_standard,
+    "lowercase": _an_lowercase,
+    "ascii_fold": _an_ascii_fold,
+    "cjk_bigram": _an_cjk_bigram,
+}
+
+
+def analyze_terms(terms: list[str], analyzer: str) -> list[str]:
+    """Apply the index's analyzer to QUERY terms (flattened)."""
+    import pandas as pd
+
+    tok = ANALYZERS[analyzer](pd.Series(list(terms), dtype=object))
+    return [t for lst in tok for t in (lst or [])]
+
+
 def build_text_index(
     docs,
     out_dir: str,
     *,
     num_buckets: int = 16,
     min_rows_per_file: int = 500_000,
+    analyzer: str = "standard",
 ) -> str:
     """documents Dataset (doc_id, text) → ``text/`` postings + ``vocab/`` df
     table + ``_text_meta.json`` (doc count). Idempotent: a completed build
@@ -65,12 +138,20 @@ def build_text_index(
     id_type = docs.schema().base_schema.field("doc_id").type
     id_kind = "binary16" if id_type == pa.binary(16) else "int64"
 
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown text analyzer {analyzer!r}; "
+                         f"one of {sorted(ANALYZERS)}")
+
     def postings(batch: pd.DataFrame) -> pa.Table:
         import pyarrow.compute as pc
 
-        toks = batch["text"].str.split(" ")
+        toks = ANALYZERS[analyzer](batch["text"])
         doc_ids = np.repeat(batch["doc_id"].to_numpy(), toks.str.len().to_numpy())
-        flat = toks.explode().to_numpy()
+        ex = toks.explode()
+        # an analyzer may emit ZERO tokens for a doc (e.g. lowercase over
+        # pure CJK text); explode turns the empty list into one NaN row
+        # that str.len counted as 0 — drop it to keep alignment
+        flat = ex[ex.notna()].to_numpy()
         df = (
             pd.DataFrame({"token": flat, "doc_id": doc_ids})
             .groupby(["token", "doc_id"], sort=False)
@@ -141,7 +222,7 @@ def build_text_index(
     with open(_meta_path(out_dir), "w") as f:
         json.dump(
             {"n_docs": int(n_docs), "num_buckets": num_buckets,
-             "id_kind": id_kind},
+             "id_kind": id_kind, "analyzer": analyzer},
             f,
         )
     return out_dir
@@ -172,7 +253,9 @@ def text_match(index_dir: str, terms: list[str], *, id_col: str = "doc_id"):
         meta = json.load(f)
     nb = meta["num_buckets"]
 
-    terms = sorted(set(terms))
+    terms = sorted(set(
+        analyze_terms(terms, meta.get("analyzer", "standard"))
+    ))
     by_bucket: dict[int, list[str]] = {}
     for t in terms:
         by_bucket.setdefault(_token_bucket(t, nb), []).append(t)
@@ -220,7 +303,9 @@ def text_search(index_dir: str, terms: list[str], k: int = 20):
         meta = json.load(f)
     n_docs, nb = meta["n_docs"], meta["num_buckets"]
 
-    terms = sorted(set(terms))
+    terms = sorted(set(
+        analyze_terms(terms, meta.get("analyzer", "standard"))
+    ))
     by_bucket: dict[int, list[str]] = {}
     for t in terms:
         by_bucket.setdefault(_token_bucket(t, nb), []).append(t)

@@ -177,3 +177,47 @@ def test_reduced_semantics(ray_session):
     t = pa.table({"x": ["a", "a", "b", "b", "a", "c", "c", "c"]})
     out = reduced(rd.from_arrow(t), ["x"]).to_pandas()["x"].tolist()
     assert out == ["a", "b", "a", "c"]
+
+
+# ------------------------------------------------------------------
+# round-4: pluggable text-index analyzers (jena-text's configurable
+# Lucene analyzer surface)
+# ------------------------------------------------------------------
+
+
+def test_text_analyzers(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.stages.textindex import build_text_index, text_search
+
+    docs = [
+        (1, "The QUICK Brown Fox"),
+        (2, "café déjà vu"),
+        (3, "日本語のテキスト解析"),
+        (4, "plain ascii words"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs], type=pa.string()),
+    }))
+
+    low = str(tmp_path / "low")
+    build_text_index(ds, low, num_buckets=4, analyzer="lowercase")
+    hits = text_search(low, ["quick"], k=5).to_pandas()
+    assert hits["doc_id"].tolist() == [1]  # case-folded at build AND query
+
+    fold = str(tmp_path / "fold")
+    build_text_index(ds, fold, num_buckets=4, analyzer="ascii_fold")
+    hits = text_search(fold, ["cafe"], k=5).to_pandas()
+    assert hits["doc_id"].tolist() == [2]  # accent-folded
+
+    cjk = str(tmp_path / "cjk")
+    build_text_index(ds, cjk, num_buckets=4, analyzer="cjk_bigram")
+    hits = text_search(cjk, ["日本"], k=5).to_pandas()
+    assert hits["doc_id"].tolist() == [3]  # CJK bigram match
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_text_index(ds, str(tmp_path / "bad"), analyzer="nope")
