@@ -30,21 +30,42 @@ _U64 = np.uint64
 # --------------------------------------------------------------------------
 
 
-def exact_dedup_docs(sf_dir: str):
-    """Exact text dedup: md5(text) → keep the smallest doc_id per hash.
-    Hash-partition + per-group-first (SURVEY.md §2.7); the survivor rule
-    (min doc_id) makes the result order-independent and SQL-checkable.
-    md5 (not our splitmix kernel) so the DuckDB oracle can reproduce it."""
-    import hashlib
+def _content_hash_pandas(texts, hash_fn: str) -> list:
+    """Per-doc content key. ``md5`` (hex, the DuckDB-reproducible ORACLE
+    key — a per-row hashlib loop, parallel across blocks but a real cost
+    at 100 TB); ``fast`` = the engine's vectorized 128-bit splitmix hash
+    (one pass over the value buffer — the production default when SQL
+    reproducibility isn't needed)."""
+    if hash_fn == "md5":
+        import hashlib
 
+        return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    if hash_fn == "fast":
+        from jena_ray.stages.materialize import term_id_array
+
+        ids = term_id_array(pa.array(list(texts), type=pa.string()))
+        # one C-level hex of the whole packed buffer, then cheap slicing —
+        # hex STRINGS (not bytes) so the bucketed-groupby key machinery
+        # sees the same string-key shape as the md5 path
+        full = ids.buffers()[1].to_pybytes().hex()
+        return [full[i * 32:(i + 1) * 32] for i in range(len(ids))]
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|fast)")
+
+
+def exact_dedup_docs(sf_dir: str, *, hash_fn: str = "md5"):
+    """Exact text dedup: content-hash(text) → keep the smallest doc_id per
+    hash. Hash-partition + per-group-first (SURVEY.md §2.7); the survivor
+    rule (min doc_id) makes the result order-independent and SQL-checkable.
+    ``hash_fn="md5"`` (default) is the DuckDB-reproducible oracle key;
+    ``"fast"`` swaps in the vectorized 128-bit engine hash behind the same
+    interface (the 100 TB path — md5-of-text is a measurable per-row cost
+    at corpus scale)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["text_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
-        ]
+        batch["text_md5"] = _content_hash_pandas(batch["text"], hash_fn)
         return batch[["doc_id", "text_md5"]]
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
@@ -250,22 +271,20 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def collapse_exact_docs(ds):
+def collapse_exact_docs(ds, *, hash_fn: str = "fast"):
     """(doc_id, text) Dataset → one representative row (min doc_id) per
     distinct text. The scale-path prelude to MinHash LSH: a boilerplate-
     heavy crawl puts millions of IDENTICAL docs into one band bucket, and
     C(n,2) pair emission is O(n²) — exact collapse removes that entire
     class before any banding (identical docs are found by exact_dedup
-    anyway). Hash-partitioned on md5(text); no driver materialization."""
-    import hashlib
-
+    anyway). Hash-partitioned on the content hash; no driver
+    materialization. Defaults to the vectorized engine hash (the key is
+    internal here — nothing SQL-facing depends on it)."""
     from jena_ray.stages.dedup import bucketed_group_apply
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["text_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
-        ]
+        batch["text_md5"] = _content_hash_pandas(batch["text"], hash_fn)
         return batch
 
     def keep_min(df: pd.DataFrame) -> pd.DataFrame:
@@ -436,17 +455,13 @@ def exact_dup_groups(sf_dir: str):
     among docs with byte-identical text (rep_id == doc_id for uniques and
     representatives). Same hash-partitioned shape as collapse_exact_docs;
     the join side of the exact-group re-expansion in verified_near_dups."""
-    import hashlib
-
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["text_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
-        ]
+        batch["text_md5"] = _content_hash_pandas(batch["text"], "fast")
         return batch[["doc_id", "text_md5"]]
 
     def assign_rep(df: pd.DataFrame) -> pd.DataFrame:
@@ -488,10 +503,16 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8,
         # consume the representative set (bounded by the deduped corpus;
         # object-store backed, spills rather than holding driver memory)
         reps_ds = collapse_exact_docs(docs).materialize()
-        groups = with_empty_schema(
-            exact_dup_groups(sf_dir),
-            pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())]),
-        )
+        if reps_ds.count() == docs.count():
+            # no exact duplicates: the expansion machinery (group map +
+            # two joins + intra emission) would be pure fixed overhead —
+            # fall through to the plain path over the (identical) rep set
+            groups = None
+        else:
+            groups = with_empty_schema(
+                exact_dup_groups(sf_dir),
+                pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())]),
+            )
         pairs = minhash_candidate_pairs(sf_dir, ds=reps_ds)
         sh = _shingle_table(sf_dir, ds=reps_ds)
     else:
