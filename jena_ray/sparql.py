@@ -436,7 +436,17 @@ class Parser:
     def _iri(self, tok: Tok) -> str:
         if tok.kind == "IRIREF":
             iri = unescape_iri(tok.text[1:-1])
-            return fmt_iri(resolve_iri(self.base, iri) if self.base else iri)
+            # resolve even ABSOLUTE IRIs: RFC 3986 §5.3 applies
+            # remove_dot_segments to a reference that carries a scheme
+            # (DAWG i18n normalization-2 — the data parser already does,
+            # so the query side must match); a relative IRI with no base
+            # stays verbatim (harness-less parse)
+            from jena_ray.term import TermError as _TE
+
+            try:
+                return fmt_iri(resolve_iri(self.base, iri))
+            except _TE:
+                return fmt_iri(iri)
         if tok.kind == "PNAME":
             pfx, _, local = tok.text.partition(":")
             if pfx not in self.prefixes:
@@ -817,9 +827,12 @@ class Parser:
                 if iri.kind != "IRIREF":
                     raise SparqlSyntaxError("PREFIX needs an IRIREF")
                 ns = unescape_iri(iri.text[1:-1])
-                self.prefixes[pn.text[:-1]] = (
-                    resolve_iri(self.base, ns) if self.base else ns
-                )
+                from jena_ray.term import TermError as _TE
+
+                try:
+                    self.prefixes[pn.text[:-1]] = resolve_iri(self.base, ns)
+                except _TE:
+                    self.prefixes[pn.text[:-1]] = ns
             elif self.take_kw("BASE"):
                 iri = self.next()
                 if iri.kind != "IRIREF":

@@ -34,9 +34,10 @@ MFX = "http://jena.hpl.hp.com/2005/05/test-manifest-extra#"
 # (suite, local test name) entries whose query parses but whose semantics
 # are outside the engine subset; each line says why.
 SKIP: dict[tuple[str, str], str] = {
-    # round-4: algebra/filter-nested-2 and both join-scope-1 copies now
-    # execute (faithful nested-group scoping — Parser._resolve_nested)
-    ("i18n", "normalization-2"): "IRI unicode NFC normalization not applied",
+    # round-4: algebra/filter-nested-2, both join-scope-1 copies, and
+    # i18n/normalization-2 now execute (faithful nested-group scoping —
+    # Parser._resolve_nested; absolute-IRI dot-segment normalization in
+    # the query parser)
     ("optional-filter", "dawg-optional-filter-005-simplified"):
     "mutually exclusive with 005-not-simplified (same query+data, the two "
     "readings of nested-group filter scope); the engine implements ARQ's "
@@ -61,7 +62,7 @@ SUITES: dict[str, int] = {
     "bnode-coreference": 1,
     "algebra": 14,  # round-4: filter-nested-2 + join-scope-1 now execute
     "reduced": 2,
-    "i18n": 3,
+    "i18n": 4,  # round-4: normalization-2 now executes
     "expr-builtin": 22,  # dawg-datatype-2 retired (RDF 1.1 langString)
     "solution-seq": 13,
     "optional-filter": 5,
