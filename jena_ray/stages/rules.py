@@ -571,7 +571,11 @@ def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
     batch_filters = [f for f in rule.filters if f[0] not in _GUARD_BUILTINS]
     guards = [f for f in rule.filters if f[0] in _GUARD_BUILTINS]
     outs = []
-    for di in range(len(rule.body)):
+    # round 1 runs with delta == full: every semi-naive variant scans the
+    # same data, so ONE variant suffices (3× fewer join chains for
+    # 3-pattern rules on the heaviest round)
+    n_variants = 1 if delta is full else len(rule.body)
+    for di in range(n_variants):
         ordered = _order_patterns(rule.body, di)
         res = None
         res_vars: set[str] = set()
@@ -674,6 +678,22 @@ def forward_chain(
     ).materialize()
     delta = full
     rounds = 0
+    # a large preset (owl-micro: 18 rules × semi-naive variants × join
+    # stages) builds plans deep enough to hit Python's default recursion
+    # limit inside Ray's plan walkers — raise it for the fixpoint loop
+    import sys
+
+    _old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(_old_limit, 20_000))
+    try:
+        return _forward_chain_loop(
+            rules, full, delta, rounds, max_rounds, num_buckets
+        )
+    finally:
+        sys.setrecursionlimit(_old_limit)
+
+
+def _forward_chain_loop(rules, full, delta, rounds, max_rounds, num_buckets):
     for _ in range(max_rounds):
         per_rule = [
             _eval_rule(r, full, delta, num_buckets=num_buckets) for r in rules
@@ -765,8 +785,11 @@ def order_chain_closure(sf_dir: str):
 
 def load_ruleset(name: str) -> list[Rule]:
     """Built-in rule presets (the reference ships etc/rdfs.rules etc. for
-    GenericRuleReasoner): 'rdfs' (rdfs2/3/5/7/9/11) and 'owl-lite'
-    (symmetric/transitive/inverse/equivalent/sameAs property semantics)."""
+    GenericRuleReasoner): 'rdfs' (rdfs2/3/5/7/9/11), 'owl-lite'
+    (symmetric/transitive/inverse/equivalent/sameAs property semantics),
+    and 'owl-micro' (OWLMicroReasoner scope: RDFS core + owl-lite +
+    functional/inverse-functional equality reasoning with sameAs
+    propagation + hasValue restrictions)."""
     import os
 
     path = os.path.join(

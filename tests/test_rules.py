@@ -335,3 +335,31 @@ def test_bind_builtin_unbound_input_rejected():
         parse_rules(f"[ (?s <{EX}p> ?o) sum(?o ?zz ?t) -> (?s <{EX}q> ?t)]")
     with pytest.raises(TermError):
         parse_rules(f"[ (?s <{EX}p> ?o) sum(?o ?o 1) -> (?s <{EX}q> ?o)]")
+
+
+def test_owl_micro_preset(ray_session):
+    """OWLMicroReasoner scope: functional-property equality, sameAs
+    propagation, hasValue restrictions."""
+    from jena_ray.stages.rules import forward_chain, load_ruleset
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    data = _ds([
+        (f"<{EX}hasMother>", f"<{RDF}type>", f"<{OWL}FunctionalProperty>"),
+        (f"<{EX}kid>", f"<{EX}hasMother>", f"<{EX}m1>"),
+        (f"<{EX}kid>", f"<{EX}hasMother>", f"<{EX}m2>"),
+        (f"<{EX}m1>", f"<{EX}age>", '"41"'),
+        # hasValue restriction
+        (f"<{EX}R>", f"<{OWL}onProperty>", f"<{EX}color>"),
+        (f"<{EX}R>", f"<{OWL}hasValue>", '"red"'),
+        (f"<{EX}car>", f"<{EX}color>", '"red"'),
+        (f"<{EX}truck>", f"<{RDF}type>", f"<{EX}R>"),
+    ])
+    out = _rows(forward_chain(data, load_ruleset("owl-micro"),
+                              num_buckets=4)[0])
+    # functional property ⇒ m1 sameAs m2, and m2 inherits m1's triples
+    assert (f"<{EX}m1>", f"<{OWL}sameAs>", f"<{EX}m2>") in out
+    assert (f"<{EX}m2>", f"<{EX}age>", '"41"') in out
+    # hasValue both directions
+    assert (f"<{EX}car>", f"<{RDF}type>", f"<{EX}R>") in out
+    assert (f"<{EX}truck>", f"<{EX}color>", '"red"') in out
