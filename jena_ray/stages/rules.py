@@ -11,11 +11,13 @@ the delta, the rest over the full set — the classic semi-naive split), so a
 converged fixpoint costs rounds × |delta-joins|, not rounds × |corpus-joins|.
 
 Subset: triple patterns with variables/constants/wildcards in any slot
-(variable predicates included), body builtins ``notEqual / equal /
-lessThan / greaterThan / le / ge / noValue``, one-or-more consequents.
+(variable predicates included), test builtins (notEqual/equal/ordering/
+isLiteral/isBNode/regex), value builtins (sum/difference/product/
+quotient/min/max/addOne/strConcat/uriConcat/makeSkolem), tabling
+directives as no-ops, the noValue guard, one-or-more consequents.
 No functors-as-actions, no backward rules, no embedded rules — the
-batch-materialization north star needs none of them (RDFS/OWL-lite rule
-sets are pure triple rules).
+batch-materialization north star needs none of them (the rdfs /
+owl-lite / owl-micro presets are pure triple rules + these builtins).
 
 Terms stay canonical STRINGS here: rule vocabularies join on arbitrary
 slots, and fixpoint deltas are tiny next to the corpus, so the id-space
@@ -197,9 +199,8 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
             elif k == "name" and v in _BIND_BUILTINS:
                 pos += 1
                 args = _args(v, _BIND_BUILTINS[v])
-                lo = 2 if v in ("strConcat", "uriConcat", "makeSkolem") else 2
-                if len(args) < lo:
-                    raise TermError(f"rules: {v} needs ≥{lo} args")
+                if len(args) < 2:
+                    raise TermError(f"rules: {v} needs ≥2 args")
                 out_slot = 0 if v == "makeSkolem" else len(args) - 1
                 if not args[out_slot].startswith("?"):
                     raise TermError(
