@@ -335,6 +335,26 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9,
         {"emb": "emb_b"},
     )
 
+    def _blob_matrix(col) -> np.ndarray:
+        # zero-copy unpack of uniform-width float32 blobs: one buffer
+        # view + reshape instead of a per-row np.frombuffer loop
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + n + 1
+        ]
+        widths = np.diff(offs)
+        if n and (widths == widths[0]).all() and widths[0] % 4 == 0:
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            flat = data[offs[0]:offs[-1]]
+            if flat.ctypes.data % 4:
+                flat = flat.copy()
+            return flat.view(np.float32).reshape(n, widths[0] // 4)
+        return np.vstack(
+            [np.frombuffer(v, dtype=np.float32) for v in col.to_pylist()]
+        )
+
     def verify(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
@@ -342,12 +362,8 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9,
                 {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
-        a = _normalize(
-            np.vstack([np.frombuffer(v, dtype=np.float32) for v in batch.column("emb_a").to_pylist()]).astype(np.float64)
-        )
-        b = _normalize(
-            np.vstack([np.frombuffer(v, dtype=np.float32) for v in batch.column("emb_b").to_pylist()]).astype(np.float64)
-        )
+        a = _normalize(_blob_matrix(batch.column("emb_a")).astype(np.float64))
+        b = _normalize(_blob_matrix(batch.column("emb_b")).astype(np.float64))
         cos = np.round((a * b).sum(axis=1), 6)
         keep = cos >= threshold
         out = batch.select(["vec_a", "vec_b"]).append_column("cosine", pa.array(cos))
