@@ -136,6 +136,14 @@ def test_verified_near_dups_collapse_bit_exact(mixed_dir):
     key = ["doc_a", "doc_b"]
     collapsed = collapsed.sort_values(key).reset_index(drop=True)
     plain = plain.sort_values(key).reset_index(drop=True)
+    # diagnostic symmetric difference first: a bare frame_equal failure
+    # under full-suite load told us nothing (round-4 flake hunt)
+    cset = set(zip(collapsed["doc_a"], collapsed["doc_b"]))
+    pset = set(zip(plain["doc_a"], plain["doc_b"]))
+    assert cset == pset, (
+        f"pair sets diverge: only-collapsed={sorted(cset - pset)[:20]} "
+        f"only-plain={sorted(pset - cset)[:20]}"
+    )
     pd.testing.assert_frame_equal(collapsed, plain)
     got = set(zip(collapsed["doc_a"], collapsed["doc_b"]))
     # flood intra pairs all present at exactly 1.0
