@@ -499,22 +499,34 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8,
         import ray.data as rd
 
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        # materialize once: both the LSH pipeline and the shingle table
-        # consume the representative set (bounded by the deduped corpus;
-        # object-store backed, spills rather than holding driver memory)
-        reps_ds = collapse_exact_docs(docs).materialize()
-        if reps_ds.count() == docs.count():
-            # no exact duplicates: the expansion machinery (group map +
-            # two joins + intra emission) would be pure fixed overhead —
-            # fall through to the plain path over the (identical) rep set
+        # cheap dup probe FIRST: count distinct content hashes with a
+        # 32-byte-key shuffle (no text payload moves). Only when
+        # duplicates exist does the collapse/expansion machinery engage —
+        # a dup-free corpus (common at query scale) pays one hash pass
+        # instead of a full text shuffle + group joins.
+        from jena_ray.stages.dedup import dedup_exact as _dx
+
+        hashed = docs.map_batches(
+            lambda df: pd.DataFrame(
+                {"h": _content_hash_pandas(df["text"], "fast")}
+            ),
+            batch_format="pandas",
+        )
+        if _dx(hashed, cols=("h",)).count() == docs.count():
             groups = None
+            pairs = minhash_candidate_pairs(sf_dir)
+            sh = _shingle_table(sf_dir)
         else:
+            # materialize once: both the LSH pipeline and the shingle
+            # table consume the representative set (bounded by the
+            # deduped corpus; object-store backed)
+            reps_ds = collapse_exact_docs(docs).materialize()
             groups = with_empty_schema(
                 exact_dup_groups(sf_dir),
                 pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())]),
             )
-        pairs = minhash_candidate_pairs(sf_dir, ds=reps_ds)
-        sh = _shingle_table(sf_dir, ds=reps_ds)
+            pairs = minhash_candidate_pairs(sf_dir, ds=reps_ds)
+            sh = _shingle_table(sf_dir, ds=reps_ds)
     else:
         groups = None
         pairs = minhash_candidate_pairs(sf_dir)
