@@ -517,12 +517,42 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8,
             pairs = minhash_candidate_pairs(sf_dir)
             sh = _shingle_table(sf_dir)
         else:
-            # materialize once: both the LSH pipeline and the shingle
-            # table consume the representative set (bounded by the
-            # deduped corpus; object-store backed)
-            reps_ds = collapse_exact_docs(docs).materialize()
+            # ONE text shuffle produces both outputs: the representative
+            # set (rep rows keep their text) and the doc→rep group map —
+            # replaces collapse_exact_docs + exact_dup_groups's two
+            # separate text/hash passes. Materialized once; every
+            # consumer below filters the combined table.
+            def hash_full(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["h"] = _content_hash_pandas(df["text"], "fast")
+                return df
+
+            def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
+                rep = df.groupby("h", sort=False)["doc_id"].transform("min")
+                out = pd.DataFrame({
+                    "doc_id": df["doc_id"], "rep_id": rep,
+                    "text": df["text"],
+                })
+                out.loc[out["doc_id"] != out["rep_id"], "text"] = None
+                return out
+
+            combined = bucketed_group_apply(
+                docs.map_batches(hash_full, batch_format="pandas"),
+                ["h"], rep_rows,
+            ).materialize()
+
+            def reps_only(tb: pa.Table) -> pa.Table:
+                tb = tb.filter(tb.column("text").combine_chunks().is_valid()
+                               if isinstance(tb.column("text"), pa.ChunkedArray)
+                               else tb.column("text").is_valid())
+                return tb.select(["doc_id", "text"])
+
+            def groups_only(tb: pa.Table) -> pa.Table:
+                return tb.select(["doc_id", "rep_id"])
+
+            reps_ds = combined.map_batches(reps_only, batch_format="pyarrow")
             groups = with_empty_schema(
-                exact_dup_groups(sf_dir),
+                combined.map_batches(groups_only, batch_format="pyarrow"),
                 pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())]),
             )
             pairs = minhash_candidate_pairs(sf_dir, ds=reps_ds)
