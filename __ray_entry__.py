@@ -652,7 +652,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_except_orders": R.lineitem_except_orders,
         # --- training-data ops ---
         "exact_dedup_docs": dedup_ops.exact_dedup_docs,
-        "verified_near_dups": dedup_ops.verified_near_dups,
+        # seeded-dup corpus (documents ∪ byte-identical copies of every
+        # 100th doc): the raw fixture has ZERO exact duplicates at
+        # sf0.001/sf0.01, so the default collapse-exact branch — the
+        # flagship 100-TB path — would never execute under the oracle
+        # (round-4 blind spot). The augmentation is reproduced in the SQL.
+        "verified_near_dups": lambda sf: dedup_ops.verified_near_dups(
+            sf, ds=dedup_ops.seeded_dup_docs(sf)
+        ),
         "text_metrics": textops.text_metrics,
         "token_counts": textops.token_counts,
         "ann_topk": lambda sf: ann.brute_force_topk(sf)[["query_id", "rank", "vec_id"]],
@@ -1247,10 +1254,20 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_queries.py at sf0.001 and the driver at sf0.01). Hashed
         # shingle sets (engine) and string gram sets (oracle) give identical
         # Jaccard (61-bit hashes; collisions negligible), and inter/union is
-        # an exact int division in both engines.
+        # an exact int division in both engines. The corpus is augmented
+        # with a byte-identical copy of every 100th doc (doc_id + 1000000 —
+        # dedup_ops.seeded_dup_docs) so the engine's collapse-exact branch
+        # provably executes under this oracle: the dup pairs must come out
+        # at jaccard exactly 1.0 and cross-group expansion must reproduce
+        # every seeded doc's near-dup edges.
         "verified_near_dups": """
-            WITH toks AS (
-              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0
+            ),
+            toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM docs
             ),
             grams AS (
               SELECT doc_id, unnest(

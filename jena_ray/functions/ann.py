@@ -319,7 +319,14 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9,
 
     from jena_ray.stages.joins import safe_join
 
-    packed = emb.map_batches(pack, batch_format="pyarrow")
+    # guard + single execution: packed feeds the RIGHT side of BOTH joins —
+    # unguarded it would re-run the pack pipeline per join, and a 0-column
+    # empty block reaching a join side crashes Arrow's hash join (the same
+    # failure class as the round-4 dedup collapse flake)
+    packed = with_empty_schema(
+        emb.map_batches(pack, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("emb", pa.binary())]),
+    )
     j1 = _tidy(
         safe_join(cand, packed, num_partitions=8, on=("vec_a",), right_on=("vec_id",)),
         {"emb": "emb_a"},

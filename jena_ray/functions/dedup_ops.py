@@ -472,8 +472,164 @@ def exact_dup_groups(sf_dir: str):
     return bucketed_group_apply(hashed, ["text_md5"], assign_rep)
 
 
+# Deterministic seeded exact duplicates for the ORACLE query: the synthetic
+# documents fixture has zero byte-identical texts at sf0.001/sf0.01, so the
+# collapse/expansion machinery of verified_near_dups would never execute
+# under the hard correctness signal (round-4 verdict, oracle blind spot #2).
+# The registry query augments the corpus with a byte-identical copy of every
+# DUP_SEED_STRIDE-th doc (doc_id + DUP_SEED_OFFSET) — exactly reproducible
+# in the DuckDB oracle with a UNION ALL, same pattern as the embedding
+# near-dup seeding (ann.py SEED_*).
+DUP_SEED_STRIDE = 100
+DUP_SEED_OFFSET = 1_000_000
+
+
+def seeded_dup_docs(sf_dir: str):
+    """documents ∪ byte-identical copies of every DUP_SEED_STRIDE-th doc
+    (new doc_id = doc_id + DUP_SEED_OFFSET) — the dup-bearing corpus that
+    forces verified_near_dups' collapse branch under oracle coverage."""
+    import ray.data as rd
+
+    def aug(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["doc_id", "text"])
+        ids = batch.column("doc_id").to_numpy()
+        mask = ids % DUP_SEED_STRIDE == 0
+        if not mask.any():
+            return batch
+        sub = batch.filter(pa.array(mask))
+        extra = pa.table({
+            "doc_id": pa.array(sub.column("doc_id").to_numpy() + DUP_SEED_OFFSET),
+            "text": sub.column("text"),
+        })
+        return pa.concat_tables([batch, extra.cast(batch.schema)])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(aug, batch_format="pyarrow")
+
+
+def connected_components(edges, src: str = "doc_a", dst: str = "doc_b",
+                         *, max_iters: int = 64):
+    """(src, dst) edge Dataset → (node, label) map where label is the
+    minimum node id of the node's connected component. Every node incident
+    to at least one edge appears exactly once.
+
+    Distributed min-label propagation: symmetric edge list + per-node label
+    table, each round one hash-partitioned join (neighbor labels) and one
+    bucketed min-groupby. The driver holds only a convergence scalar — the
+    sum of labels, which strictly decreases until fixpoint (labels are
+    monotone non-increasing per node), so ``sum unchanged ⇒ fixpoint ⇒
+    every label is its component minimum``. Rounds needed = graph diameter;
+    near-dup graphs are star/clique-shaped (the LSH bucket cap star-links
+    big buckets), so a handful of rounds in practice — a loud error past
+    ``max_iters`` rather than a silent wrong answer."""
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import with_empty_schema
+    from jena_ray.stages.joins import safe_join
+
+    _lbl = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    _edge = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy()
+        b = t.column(dst).to_numpy()
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges_sym = with_empty_schema(
+        edges.map_batches(sym, batch_format="pyarrow"), _edge)
+
+    def init_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", sort=False)["dst"].min()
+        nodes = g.index.to_numpy()
+        return pd.DataFrame({"node": nodes,
+                             "label": np.minimum(nodes, g.to_numpy())})
+
+    labels = with_empty_schema(
+        bucketed_group_apply(edges_sym, ["src"], init_min), _lbl)
+    prev = labels.sum("label")
+    if prev is None:  # no edges at all
+        return rd.from_arrow(_lbl.empty_table())
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src"), "label": t.column("label")})
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["label"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(), "label": g.to_numpy()})
+
+    for _ in range(max_iters):
+        j = safe_join(edges_sym, labels, on=("dst",), right_on=("node",),
+                      num_partitions=8)
+        cand = with_empty_schema(
+            j.map_batches(strip, batch_format="pyarrow"), _lbl).union(labels)
+        labels = with_empty_schema(
+            bucketed_group_apply(cand, ["node"], min_label), _lbl)
+        cur = labels.sum("label")
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(pathologically long chain in the near-dup graph)")
+
+
+def _near_dup_group_map(verified, groups):
+    """Group-map assembly for ``verified_near_dups(output='groups')``:
+    (doc_id, rep_id) where rep_id is the minimum doc_id of the doc's
+    near-dup cluster (connected component of verified pairs ∪ exact-dup
+    groups). Only docs that belong to a cluster of size > 1 appear —
+    output LINEAR in corpus size (vs C(n,2) pair expansion)."""
+    from jena_ray.stages.dedup import with_empty_schema
+    from jena_ray.stages.joins import safe_join
+
+    comps = connected_components(verified)  # rep-space (node, label)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"), "rep_id": t.column("label")})
+
+    if groups is None:
+        return comps.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+
+    # exact-group sizes (n > 1 groups form a cluster even with no verified
+    # near-dup edge on their representative)
+    def count_per_rep(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rep_id", sort=False)["doc_id"].count()
+        return pd.DataFrame({"rep_id": g.index.to_numpy(),
+                             "n": g.to_numpy().astype(np.int64)})
+
+    sizes = with_empty_schema(
+        bucketed_group_apply(groups, ["rep_id"], count_per_rep),
+        pa.schema([("rep_id", pa.int64()), ("n", pa.int64())]),
+    )
+    g1 = safe_join(groups, comps, join_type="left_outer", on=("rep_id",),
+                   right_on=("node",), num_partitions=8)
+    g1 = with_empty_schema(
+        g1.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "rep_id": t.column("rep_id"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64()),
+                   ("label", pa.int64())]),
+    )
+    g2 = safe_join(g1, sizes, on=("rep_id",), num_partitions=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(pc.is_valid(t.column("label")),
+                      pc.greater(t.column("n"), 1))
+        t = t.filter(keep)
+        rep = pc.coalesce(t.column("label"), t.column("rep_id"))
+        return pa.table({"doc_id": t.column("doc_id"), "rep_id": rep})
+
+    return g2.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def verified_near_dups(sf_dir: str, threshold: float = 0.8,
-                       collapse_exact: bool = True):
+                       collapse_exact: bool = True, *, ds=None,
+                       output: str = "pairs"):
     """MinHash-LSH candidates verified by true 3-gram Jaccard ≥ threshold.
 
     Scale shape: the candidate pairs are JOINED (hash-partitioned
@@ -490,78 +646,96 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8,
     intra-group pairs are emitted with jaccard 1.0 and verified
     representative pairs are expanded to all member cross pairs (identical
     text ⇒ identical shingle set ⇒ identical Jaccard), so the result is
-    bit-for-bit the same as the uncollapsed run.
+    bit-for-bit the same as the uncollapsed run. The collapse decision is
+    made from the OBSERVED dup count of one combined text shuffle that also
+    yields the representative set and the doc→rep map — no separate
+    hash-probe pre-pass (round-4's probe hashed a dup-bearing corpus
+    twice), and the dup-free fast path shares the same single shuffle.
+
+    ``ds`` overrides the (doc_id: int64, text: non-null string) input
+    Dataset (the oracle query passes the seeded-dup corpus).
+
+    ``output="pairs"`` (default, the oracle contract) emits every verified
+    pair (doc_a, doc_b, jaccard) — O(n²) inside an exact-dup flood, which
+    IS the required cardinality. ``output="groups"`` is the 100-TB-facing
+    mode: (doc_id, rep_id) cluster map, rep_id = min doc_id of the doc's
+    connected component over verified pairs ∪ exact groups — output linear
+    in corpus size.
     """
     from jena_ray.stages.dedup import with_empty_schema
 
+    if output not in ("pairs", "groups"):
+        raise ValueError(f"unknown output mode {output!r} (pairs|groups)")
     _pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    if collapse_exact:
+    _sh_schema = pa.schema([("doc_id", pa.int64()), ("shingles", pa.binary())])
+    _docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    if ds is None:
         import ray.data as rd
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        # cheap dup probe FIRST: count distinct content hashes with a
-        # 32-byte-key shuffle (no text payload moves). Only when
-        # duplicates exist does the collapse/expansion machinery engage —
-        # a dup-free corpus (common at query scale) pays one hash pass
-        # instead of a full text shuffle + group joins.
-        from jena_ray.stages.dedup import dedup_exact as _dx
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-        hashed = docs.map_batches(
-            lambda df: pd.DataFrame(
-                {"h": _content_hash_pandas(df["text"], "fast")}
-            ),
-            batch_format="pandas",
+    groups = None
+    base = ds
+    if collapse_exact:
+        # ONE text shuffle produces the combined table: rep rows keep their
+        # text, every row carries its doc→rep map entry. Materialized once;
+        # the dup decision, the representative set and the group map are all
+        # cheap scans of the same blocks.
+        def hash_full(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["h"] = _content_hash_pandas(df["text"], "fast")
+            return df
+
+        def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
+            rep = df.groupby("h", sort=False)["doc_id"].transform("min")
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"], "rep_id": rep,
+                "text": df["text"],
+            })
+            out.loc[out["doc_id"] != out["rep_id"], "text"] = None
+            return out
+
+        combined = bucketed_group_apply(
+            ds.map_batches(hash_full, batch_format="pandas"),
+            ["h"], rep_rows,
+        ).materialize()
+
+        def n_dup_rows(tb: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.sum(pc.not_equal(tb.column("doc_id"), tb.column("rep_id")))
+            return pa.table({"n": pa.array([n.as_py() or 0], type=pa.int64())})
+
+        n_dups = combined.map_batches(
+            n_dup_rows, batch_format="pyarrow").sum("n") or 0
+
+        def reps_only(tb: pa.Table) -> pa.Table:
+            tb = tb.filter(tb.column("text").combine_chunks().is_valid()
+                           if isinstance(tb.column("text"), pa.ChunkedArray)
+                           else tb.column("text").is_valid())
+            return tb.select(["doc_id", "text"])
+
+        # schema-guarded: combined flows out of a groupby whose empty
+        # partitions emit 0-column blocks that bypass map_batches UDFs and
+        # poison any join side they reach (the round-4 flaky ArrowInvalid)
+        base = with_empty_schema(
+            combined.map_batches(reps_only, batch_format="pyarrow"),
+            _docs_schema,
         )
-        if _dx(hashed, cols=("h",)).count() == docs.count():
-            groups = None
-            pairs = minhash_candidate_pairs(sf_dir)
-            sh = _shingle_table(sf_dir)
-        else:
-            # ONE text shuffle produces both outputs: the representative
-            # set (rep rows keep their text) and the doc→rep group map —
-            # replaces collapse_exact_docs + exact_dup_groups's two
-            # separate text/hash passes. Materialized once; every
-            # consumer below filters the combined table.
-            def hash_full(df: pd.DataFrame) -> pd.DataFrame:
-                df = df.copy()
-                df["h"] = _content_hash_pandas(df["text"], "fast")
-                return df
-
-            def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
-                rep = df.groupby("h", sort=False)["doc_id"].transform("min")
-                out = pd.DataFrame({
-                    "doc_id": df["doc_id"], "rep_id": rep,
-                    "text": df["text"],
-                })
-                out.loc[out["doc_id"] != out["rep_id"], "text"] = None
-                return out
-
-            combined = bucketed_group_apply(
-                docs.map_batches(hash_full, batch_format="pandas"),
-                ["h"], rep_rows,
-            ).materialize()
-
-            def reps_only(tb: pa.Table) -> pa.Table:
-                tb = tb.filter(tb.column("text").combine_chunks().is_valid()
-                               if isinstance(tb.column("text"), pa.ChunkedArray)
-                               else tb.column("text").is_valid())
-                return tb.select(["doc_id", "text"])
-
+        if n_dups:
             def groups_only(tb: pa.Table) -> pa.Table:
                 return tb.select(["doc_id", "rep_id"])
 
-            reps_ds = combined.map_batches(reps_only, batch_format="pyarrow")
             groups = with_empty_schema(
                 combined.map_batches(groups_only, batch_format="pyarrow"),
                 pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())]),
             )
-            pairs = minhash_candidate_pairs(sf_dir, ds=reps_ds)
-            sh = _shingle_table(sf_dir, ds=reps_ds)
-    else:
-        groups = None
-        pairs = minhash_candidate_pairs(sf_dir)
-        sh = _shingle_table(sf_dir)
-    pairs = with_empty_schema(pairs, _pair_schema)
+    pairs = with_empty_schema(
+        minhash_candidate_pairs(sf_dir, ds=base), _pair_schema)
+    # guard + single execution: sh feeds the RIGHT side of BOTH joins below;
+    # unguarded it would re-run the shingle pipeline per join AND could carry
+    # 0-column empty blocks out of the collapse groupby
+    sh = with_empty_schema(_shingle_table(sf_dir, ds=base), _sh_schema)
 
     def _tidy(ds, rename):
         # the join may or may not surface the right key column depending on
@@ -627,6 +801,11 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8,
         return out.filter(pa.array(jac >= threshold))
 
     verified = j2.map_batches(verify, batch_format="pyarrow")
+    if output == "groups":
+        verified = with_empty_schema(
+            verified, _pair_schema.append(pa.field("jaccard", pa.float64()))
+        )
+        return _near_dup_group_map(verified, groups)
     if groups is None:
         return verified.sort(["doc_a", "doc_b"])
     verified = with_empty_schema(
@@ -677,7 +856,10 @@ def verified_near_dups(sf_dir: str, threshold: float = 0.8,
             }
         )
 
-    expanded = e2.map_batches(orient, batch_format="pyarrow")
+    expanded = with_empty_schema(
+        e2.map_batches(orient, batch_format="pyarrow"),
+        _pair_schema.append(pa.field("jaccard", pa.float64())),
+    )
 
     def intra(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []

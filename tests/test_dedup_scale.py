@@ -131,20 +131,24 @@ def test_verified_near_dups_collapse_bit_exact(mixed_dir):
     expansion of representative pairs."""
     from jena_ray.functions.dedup_ops import verified_near_dups
 
-    collapsed = verified_near_dups(mixed_dir).to_pandas()
     plain = verified_near_dups(mixed_dir, collapse_exact=False).to_pandas()
     key = ["doc_a", "doc_b"]
-    collapsed = collapsed.sort_values(key).reset_index(drop=True)
     plain = plain.sort_values(key).reset_index(drop=True)
-    # diagnostic symmetric difference first: a bare frame_equal failure
-    # under full-suite load told us nothing (round-4 flake hunt)
-    cset = set(zip(collapsed["doc_a"], collapsed["doc_b"]))
-    pset = set(zip(plain["doc_a"], plain["doc_b"]))
-    assert cset == pset, (
-        f"pair sets diverge: only-collapsed={sorted(cset - pset)[:20]} "
-        f"only-plain={sorted(pset - cset)[:20]}"
-    )
-    pd.testing.assert_frame_equal(collapsed, plain)
+    # 3 rounds: the round-4 flake (ArrowInvalid join-schema race on
+    # unguarded empty blocks) was nondeterministic under suite load — the
+    # guards fixed the root cause; the loop keeps this test a tripwire
+    for _ in range(3):
+        collapsed = verified_near_dups(mixed_dir).to_pandas()
+        collapsed = collapsed.sort_values(key).reset_index(drop=True)
+        # diagnostic symmetric difference first: a bare frame_equal failure
+        # under full-suite load told us nothing (round-4 flake hunt)
+        cset = set(zip(collapsed["doc_a"], collapsed["doc_b"]))
+        pset = set(zip(plain["doc_a"], plain["doc_b"]))
+        assert cset == pset, (
+            f"pair sets diverge: only-collapsed={sorted(cset - pset)[:20]} "
+            f"only-plain={sorted(pset - cset)[:20]}"
+        )
+        pd.testing.assert_frame_equal(collapsed, plain)
     got = set(zip(collapsed["doc_a"], collapsed["doc_b"]))
     # flood intra pairs all present at exactly 1.0
     assert (0, 1) in got and (0, 39) in got and (38, 39) in got
@@ -172,6 +176,62 @@ def test_verified_flood_bounded(adversarial_dir, monkeypatch):
     # grams / 10 union); the kappa/lambda pair is 7/9 ≈ 0.78 < 0.8
     assert n == 10_000 * 9_999 // 2 + 1
     assert took < 300, f"flood verified run took {took:.1f}s"
+
+
+def test_near_dup_group_output_matches_components(mixed_dir):
+    """output='groups' (the 100-TB-facing linear-output mode) must equal
+    the connected components of the pair output — every doc in a cluster
+    mapped to the cluster's minimum doc_id."""
+    from jena_ray.functions.dedup_ops import verified_near_dups
+
+    pairs = verified_near_dups(mixed_dir).to_pandas()
+    groups = verified_near_dups(mixed_dir, output="groups").to_pandas()
+
+    # driver-side reference union-find over the pair output
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in parent}
+    got = dict(zip(groups["doc_id"], groups["rep_id"]))
+    assert got == expected
+    # sanity on the fixture: flood cluster reps to 0, the exact+near trio
+    # (42, 43, 44) shares one cluster rooted at 42
+    assert got[39] == 0 and got[44] == 42 and got[43] == 42
+
+
+def test_near_dup_groups_no_collapse_path(ray_session, tmp_path):
+    """groups mode through the uncollapsed path (collapse_exact=False)."""
+    import pyarrow.parquet as pq
+
+    from jena_ray.functions.dedup_ops import verified_near_dups
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "completely different words in this unrelated document here",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = verified_near_dups(
+        str(tmp_path), threshold=0.7, collapse_exact=False, output="groups"
+    ).to_pandas()
+    assert dict(zip(out["doc_id"], out["rep_id"])) == {0: 0, 1: 0}
 
 
 def test_embedding_bucket_cap(ray_session, tmp_path):
