@@ -120,15 +120,12 @@ def _pick_triple_order(bound: dict) -> str:
 
 
 def _pick_quad_order(bound: dict) -> str:
-    # all quad permutations lead with g_id; the second key decides
-    # (SolverLib's index choice over the G* indexes).
-    if "subj" in bound:
-        return "gspo"
-    if "pred" in bound:
-        return "gpos"
-    if "obj" in bound:
-        return "gosp"
-    return "gspo"
+    # SolverLib's index choice over all six TDB quad permutations:
+    # graph-leading when the graph term is bound, graph-trailing
+    # (POSG/OSPG/SPOG — round-5) for graph-unbound scans.
+    from jena_ray.stages.quads import pick_quad_order
+
+    return pick_quad_order(set(bound))
 
 
 def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
@@ -179,6 +176,10 @@ def _scan_pattern(out_dir: str, pattern: Pattern, info: dict):
         bucket_keys = QUAD_BUCKET_KEYS
         bound = {k: v for k, v in terms.items() if not is_var(v)}
         order = _pick_quad_order(bound)
+        if order != "gspo" and not os.path.isdir(os.path.join(out_dir, order)):
+            # store built before the graph-trailing permutations: full
+            # gspo sweep, not an empty result
+            order = "gspo"
         id_cols = ["g_id", "s_id", "p_id", "o_id"]
     else:
         s, p, o = pattern

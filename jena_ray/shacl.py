@@ -163,9 +163,26 @@ class Shape:
             if g.obj(node, _sh("ignoredProperties"))
             else []
         )
+        # sh:qualifiedValueShape (+ qualifiedMin/MaxCount, sibling
+        # disjointness) — jena-shacl constraint/QualifiedValueShape.java
+        self.qualified_ref = g.obj(node, _sh("qualifiedValueShape"))
+        self.q_min = g.obj(node, _sh("qualifiedMinCount"))
+        self.q_max = g.obj(node, _sh("qualifiedMaxCount"))
+        qd = g.obj(node, _sh("qualifiedValueShapesDisjoint"))
+        self.q_disjoint = qd is not None and _lex(qd) in ("true", "1")
+        self.sibling_qualified: list[str] = []  # filled by the parent below
+        # SHACL-SPARQL constraints (constraint/SparqlConstraint.java):
+        # refs to constraint nodes carrying sh:select + sh:prefixes
+        self.sparql_refs = g.objs(node, _sh("sparql"))
         self.property_shapes = [
             Shape(g, ps, is_property=True) for ps in g.objs(node, _sh("property"))
         ]
+        for ps in self.property_shapes:
+            ps.sibling_qualified = [
+                other.qualified_ref
+                for other in self.property_shapes
+                if other is not ps and other.qualified_ref is not None
+            ]
 
     def _sub_shape(self, ref: str) -> "Shape":
         return Shape(self.g, ref, is_property=self.g.obj(ref, _sh("path")) is not None)
@@ -353,6 +370,39 @@ def _check_values(data: Graph, focus: str, shape: Shape, out: list, depth: int =
                 if n_ok != 1:
                     report("Xone", v)
 
+    # ---- sh:qualifiedValueShape: count the value nodes conforming to the
+    # qualified shape (minus, when disjoint, those conforming to a SIBLING
+    # qualified shape) against qualifiedMin/MaxCount ------------------------
+    if shape.qualified_ref is not None and shape.is_property:
+        q_shape = shape._sub_shape(shape.qualified_ref)
+        sibs = (
+            [shape._sub_shape(r) for r in shape.sibling_qualified]
+            if shape.q_disjoint else []
+        )
+        n_q = sum(
+            1 for v in values
+            if _conforms(data, v, q_shape, depth)
+            and not any(_conforms(data, v, sb, depth) for sb in sibs)
+        )
+        if shape.q_min is not None and n_q < int(_lex(shape.q_min)):
+            report("QualifiedMinCount")
+        if shape.q_max is not None and n_q > int(_lex(shape.q_max)):
+            report("QualifiedMaxCount")
+
+    # ---- SHACL-SPARQL constraints: run the SELECT with $this pre-bound;
+    # every result row is one violation (SparqlConstraint.java) -------------
+    for ref in shape.sparql_refs:
+        sel = shape.g.obj(ref, _sh("select"))
+        if sel is None:
+            continue
+        prefixes = _sparql_prefixes(shape.g, ref)
+        rows = _eval_sparql_constraint(
+            data, _lex(sel), prefixes, this=focus, path=shape.path
+        )
+        for row in rows:
+            report("SPARQL", row.get("value"),
+                   path=(shape.path if shape.is_property else row.get("path")))
+
     # ---- nested property shapes on a PROPERTY shape: each value node
     # becomes the focus of the sub-shapes (property-001.ttl — person →
     # address → city chain; node shapes handle theirs in validate())
@@ -386,6 +436,310 @@ _WF = {
 def _well_formed(term: str, dt: str) -> bool:
     rx = _WF.get(dt)
     return True if rx is None else bool(rx.match(_lex(term)))
+
+
+# --------------------------------------------------------------------------
+# SHACL-SPARQL constraint evaluation. The reference compiles sh:select with
+# ARQ and pre-binds $this (SparqlConstraint.java / SparqlValidation.java).
+# Here the constraint runs inside the per-bucket in-memory validator, so a
+# micro-evaluator covers the constraint-query subset the WG suite and
+# real-world shapes use: SELECT with plain vars / $this / (const AS ?var)
+# projections, a WHERE of triple patterns + FILTERs over
+# =, !=, !, &&, ||, isLiteral/isIRI/isBlank, lang(), langMatches(),
+# datatype(), str(). Anything else raises loudly (unsupported, not wrong).
+# --------------------------------------------------------------------------
+
+OWL_IMPORTS = "<http://www.w3.org/2002/07/owl#imports>"
+
+
+def _sparql_prefixes(g: Graph, constraint: str) -> dict[str, str]:
+    """prefix→namespace map for a constraint node: sh:declare rows on the
+    sh:prefixes target, following owl:imports transitively."""
+    out: dict[str, str] = {}
+    todo = list(g.objs(constraint, _sh("prefixes")))
+    seen: set[str] = set()
+    while todo:
+        node = todo.pop()
+        if node in seen:
+            continue
+        seen.add(node)
+        for d in g.objs(node, _sh("declare")):
+            p = g.obj(d, _sh("prefix"))
+            ns = g.obj(d, _sh("namespace"))
+            if p is not None and ns is not None:
+                out[_lex(p)] = _lex(ns)
+        todo.extend(g.objs(node, OWL_IMPORTS))
+    return out
+
+
+_SPQ_TOK = re.compile(
+    r"""\s+
+      | (?P<iri><[^<>\s]*>)
+      | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?)
+      | (?P<var>[?$][A-Za-z_][A-Za-z_0-9]*)
+      | (?P<kw>SELECT|WHERE|FILTER|AS)\b
+      | (?P<name>[A-Za-z_][\w.-]*)?:(?P<local>[A-Za-z_][\w.-]*)?
+      | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op>\|\||&&|!=|[(){}.=!,])
+    """,
+    re.VERBOSE | re.IGNORECASE,
+)
+
+
+def _eval_sparql_constraint(data: Graph, query: str, prefixes: dict[str, str],
+                            *, this: str, path: str | None) -> list[dict]:
+    """Evaluate one sh:select constraint query against the in-memory data
+    graph with ``$this`` pre-bound (and ``$PATH`` substituted for property
+    shapes). Returns the solution rows as var→term dicts."""
+    toks: list[tuple[str, str]] = []
+    i = 0
+    while i < len(query):
+        m = _SPQ_TOK.match(query, i)
+        if not m or m.end() == i:
+            raise ValueError(f"sh:sparql: cannot tokenize at {query[i:i+25]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind is None:  # whitespace
+            continue
+        if kind == "local":  # prefixed name (name may be empty group)
+            pfx = m.group("name") or ""
+            local = m.group("local") or ""
+            if pfx not in prefixes:
+                raise ValueError(f"sh:sparql: undeclared prefix {pfx!r}")
+            toks.append(("term", f"<{prefixes[pfx]}{local}>"))
+        elif kind == "iri":
+            toks.append(("term", m.group()))
+        elif kind == "lit":
+            toks.append(("term", m.group()))
+        elif kind == "var":
+            v = m.group()[1:]
+            if m.group() == "$PATH":
+                if path is None:
+                    raise ValueError("sh:sparql: $PATH outside a property shape")
+                toks.append(("term", path))
+            elif v == "this":
+                toks.append(("term", this))
+            else:
+                toks.append(("var", v))
+        elif kind == "kw":
+            toks.append(("kw", m.group().upper()))
+        elif kind == "word":
+            toks.append(("word", m.group()))
+        else:
+            toks.append(("op", m.group()))
+
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else ("eof", "")
+
+    def take(kind=None, val=None):
+        k, v = peek()
+        if (kind and k != kind) or (val and v != val):
+            raise ValueError(f"sh:sparql: expected {val or kind}, got {v!r}")
+        pos[0] += 1
+        return v
+
+    # ---- SELECT clause ----
+    take("kw", "SELECT")
+    proj: list[tuple[str, object]] = []  # (out var, 'var'|const term)
+    while peek() != ("kw", "WHERE"):
+        k, v = peek()
+        if k == "var":
+            take()
+            proj.append((v, ("var", v)))
+        elif k == "term":  # pre-bound $this in projection
+            take()
+            proj.append(("this", ("const", v)))
+        elif (k, v) == ("op", "("):
+            take()
+            ek, ev = peek()
+            take()
+            take("kw", "AS")
+            out = take("var")
+            take("op", ")")
+            proj.append((out, ("var", ev) if ek == "var" else ("const", ev)))
+        else:
+            raise ValueError(f"sh:sparql: unsupported SELECT item {v!r}")
+    take("kw", "WHERE")
+    take("op", "{")
+
+    # ---- WHERE clause: triple patterns + FILTERs ----
+    patterns: list[tuple] = []
+    filters: list[tuple] = []
+
+    def parse_expr():
+        return parse_or()
+
+    def parse_or():
+        left = parse_and()
+        while peek() == ("op", "||"):
+            take()
+            left = ("or", left, parse_and())
+        return left
+
+    def parse_and():
+        left = parse_not()
+        while peek() == ("op", "&&"):
+            take()
+            left = ("and", left, parse_not())
+        return left
+
+    def parse_not():
+        if peek() == ("op", "!"):
+            take()
+            return ("not", parse_not())
+        return parse_cmp()
+
+    def parse_cmp():
+        left = parse_primary()
+        k, v = peek()
+        if (k, v) in (("op", "="), ("op", "!=")):
+            take()
+            return (v, left, parse_primary())
+        return left
+
+    def parse_primary():
+        k, v = peek()
+        if (k, v) == ("op", "("):
+            take()
+            e = parse_expr()
+            take("op", ")")
+            return e
+        if k == "var":
+            take()
+            return ("var", v)
+        if k == "term":
+            take()
+            return ("const", v)
+        if k == "word":
+            take()
+            take("op", "(")
+            args = [parse_expr()]
+            while peek() == ("op", ","):
+                take()
+                args.append(parse_expr())
+            take("op", ")")
+            return ("fn", v.lower(), args)
+        raise ValueError(f"sh:sparql: unsupported expression at {v!r}")
+
+    while peek() != ("op", "}"):
+        k, v = peek()
+        if (k, v) == ("kw", "FILTER"):
+            take()
+            take("op", "(")
+            filters.append(parse_expr())
+            take("op", ")")
+            if peek() == ("op", "."):
+                take()
+            continue
+        slots = []
+        for _ in range(3):
+            kk, vv = peek()
+            if kk not in ("term", "var"):
+                raise ValueError(f"sh:sparql: bad triple slot {vv!r}")
+            take()
+            slots.append((kk, vv))
+        patterns.append(tuple(slots))
+        if peek() == ("op", "."):
+            take()
+    take("op", "}")
+
+    # ---- evaluate: backtracking BGP over the indexed graph ----
+    def match(patts, binding):
+        if not patts:
+            yield dict(binding)
+            return
+        (sk, sv), (pk, pv), (ok, ov) = patts[0]
+
+        def ground(kind, val):
+            if kind == "term":
+                return val
+            return binding.get(val)
+
+        s, p, o = ground(sk, sv), ground(pk, pv), ground(ok, ov)
+        if s is not None and p is not None:
+            cands = [(s, p, obj) for obj in data.objs(s, p)]
+        elif p is not None and o is not None:
+            cands = [(subj, p, o) for subj in data.subjects(p, o)]
+        elif s is not None:
+            cands = [(s, pred, obj) for pred, objs in data.spo.get(s, {}).items()
+                     for obj in objs]
+        elif p is not None:
+            cands = [(subj, p, obj) for obj, subjs in data.pos.get(p, {}).items()
+                     for subj in subjs]
+        else:
+            cands = [(subj, pred, obj) for subj, po in data.spo.items()
+                     for pred, objs in po.items() for obj in objs]
+        for ts, tp, to in cands:
+            nb = dict(binding)
+            ok2 = True
+            for (kind, val), got in (((sk, sv), ts), ((pk, pv), tp), ((ok, ov), to)):
+                if kind == "term":
+                    if val != got:
+                        ok2 = False
+                        break
+                elif val in nb:
+                    if nb[val] != got:
+                        ok2 = False
+                        break
+                else:
+                    nb[val] = got
+            if ok2:
+                yield from match(patts[1:], nb)
+
+    def ev(expr, b):
+        op = expr[0]
+        if op == "const":
+            return expr[1]
+        if op == "var":
+            return b.get(expr[1])
+        if op == "or":
+            return bool(ev(expr[1], b)) or bool(ev(expr[2], b))
+        if op == "and":
+            return bool(ev(expr[1], b)) and bool(ev(expr[2], b))
+        if op == "not":
+            return not bool(ev(expr[1], b))
+        if op in ("=", "!="):
+            a, c = ev(expr[1], b), ev(expr[2], b)
+            na = _num(a) if isinstance(a, str) and a.startswith('"') else None
+            nc = _num(c) if isinstance(c, str) and c.startswith('"') else None
+            eq = (na == nc) if (na is not None and nc is not None) else (a == c)
+            return eq if op == "=" else not eq
+        if op == "fn":
+            name, args = expr[1], [ev(a, b) for a in expr[2]]
+            t = args[0]
+            if name == "isliteral":
+                return isinstance(t, str) and t.startswith('"')
+            if name in ("isiri", "isuri"):
+                return isinstance(t, str) and t.startswith("<")
+            if name == "isblank":
+                return isinstance(t, str) and t.startswith("_:")
+            if name == "lang":
+                lang = T.split_literal(t)[1] if (
+                    isinstance(t, str) and t.startswith('"')) else None
+                return f'"{lang or ""}"'
+            if name == "langmatches":
+                tag, rng = _lex(args[0]).lower(), _lex(args[1]).lower()
+                if not tag:
+                    return False
+                return rng == "*" or tag == rng or tag.startswith(rng + "-")
+            if name == "datatype":
+                dt = _datatype_of(t) if isinstance(t, str) else None
+                return f"<{dt}>" if dt else None
+            if name == "str":
+                return f'"{_lex(t)}"' if isinstance(t, str) else None
+            raise ValueError(f"sh:sparql: unsupported function {name}")
+        raise ValueError(f"sh:sparql: unsupported expression {expr!r}")
+
+    rows = []
+    for b in match(patterns, {}):
+        if all(bool(ev(f, b)) for f in filters):
+            row = {}
+            for out, src in proj:
+                row[out] = src[1] if src[0] == "const" else b.get(src[1])
+            rows.append(row)
+    return rows
 
 
 def parse_shapes(shapes_graph: Graph) -> list[tuple[Shape, dict]]:

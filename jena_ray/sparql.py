@@ -40,8 +40,10 @@ Supported subset (documented; anything else raises ``SparqlSyntaxError``):
   that JOIN the group's default-graph patterns — mixed groups, GRAPH in
   UNION branches, multiple GRAPH blocks, and arbitrary sub-patterns
   inside GRAPH: UNION / OPTIONAL / MINUS / EXISTS / BIND / VALUES
-  re-scope recursively), ``SERVICE`` (parses; raises at execution — no
-  federation endpoint), disconnected pattern
+  re-scope recursively), ``SERVICE`` (executes against an injectable
+  IRI→local-store endpoint resolver; SILENT degrades to the unit
+  solution, variable endpoints raise — Service.java semantics, no real
+  HTTP in this sandbox), disconnected pattern
   components (cartesian OpJoin), ``{ SELECT ... }`` subqueries, and
   property paths: ``^p`` inverse and ``p1/p2`` sequences desugar into the
   BGP (PathCompiler reduction); ``p1|p2`` alternation and ``!(p1|...)``
@@ -1621,8 +1623,24 @@ class Parser:
                 sib |= _scope_vars(m)
             for e, _neg in g.exists:
                 sib |= _scope_vars(e)
+            # mirror direction: the PARENT's OPTIONAL/MINUS/EXISTS blocks
+            # may bind vars the nested group's patterns also bind. If such
+            # a var is not bound by the parent's required part, flattening
+            # yields LeftJoin(Join(P1,P2),O) where the reference's
+            # AlgebraGenerator (textual order) may yield
+            # Join(LeftJoin(P1,O),P2) — refuse to flatten; the unit path
+            # then either evaluates correctly or raises loudly.
+            parent_risk: set[str] = set()
+            for o in g.optionals:
+                parent_risk |= _scope_vars(o)
+            for m in g.minuses:
+                parent_risk |= _scope_vars(m)
+            for e, _neg in g.exists:
+                parent_risk |= _scope_vars(e)
+            parent_core = _group_vars(g) | {v for _, v in g.binds}
             g.nested = []
-            if self._flatten_safe(n, sib):
+            if (self._flatten_safe(n, sib)
+                    and not ((parent_risk - parent_core) & _scope_vars(n))):
                 self._merge(g, n)
             elif n.from_graph is not None:
                 raise SparqlSyntaxError(
@@ -3218,11 +3236,72 @@ def _apply_path_ds(res, res_cols: list[str], pairs_ds, roots_ds,
     from jena_ray.stages.dedup import dedup_exact
 
     if s_var is None:
-        raise SparqlSyntaxError(
-            "a concrete-source path whose closure exceeds the driver "
-            "budget is not in the supported subset (the closure would "
-            "cross-product every binding)"
-        )
+        # Concrete-source path past the driver budget (round-5 ADVICE —
+        # this shape previously raised, regressing queries the old driver
+        # path completed): pairs_ds holds only pairs rooted at ``src``, so
+        # every operation is expressible Dataset-resident.
+        if mod in ("*", "?"):
+            zl = rd.from_arrow(pa.table({
+                "src": pa.array([src], type=pa.string()),
+                "y": pa.array([src], type=pa.string())}))
+            pairs_ds = dedup_exact(pairs_ds.union(zl), cols=("src", "y"))
+        if o_var is not None and o_var not in res_cols:
+            tgt = pairs_ds.map_batches(
+                lambda t, _o=o_var: pa.table({_o: t.column("y")}),
+                batch_format="pyarrow",
+            )
+            if not res_cols:
+                # unit-solution base (pure path chain from a concrete
+                # endpoint): the reached set IS the extension
+                return tgt, [o_var]
+            # EXTEND: |res| × |reached| rows by contract. Broadcast the
+            # bounded binding stream once (ray.put) and cross it against
+            # each pair batch — output stays object-store resident.
+            import ray
+
+            res_m = res.materialize()
+            if res_m.count() > bgp.PATH_PAIR_SPILL:
+                raise SparqlSyntaxError(
+                    "a concrete-source path extend with BOTH the closure "
+                    "and the binding stream past the driver budget is not "
+                    "in the supported subset"
+                )
+            left_tb = pa.concat_tables(
+                res_m.iter_batches(batch_format="pyarrow")
+            ).combine_chunks().select(res_cols)
+            left_ref = ray.put(left_tb)
+
+            def cross(tb: pa.Table, _ref=left_ref, _o=o_var) -> pa.Table:
+                import numpy as np
+
+                lt = ray.get(_ref)
+                li = np.repeat(np.arange(lt.num_rows), tb.num_rows)
+                ri = np.tile(np.arange(tb.num_rows), lt.num_rows)
+                out = lt.take(pa.array(li))
+                return out.append_column(
+                    _o, tb.column(_o).combine_chunks().take(pa.array(ri)))
+
+            return tgt.map_batches(cross, batch_format="pyarrow"), \
+                res_cols + [o_var]
+        if o_var is not None:
+            # SEMI on the bound object column: keep rows whose o_var value
+            # is reached from the concrete source
+            pr = pairs_ds.map_batches(
+                lambda t, _o=o_var: pa.table({_o: t.column("y")}),
+                batch_format="pyarrow",
+            )
+            res = bgp.binding_join(
+                res, set(res_cols), pr, {o_var}, [o_var],
+                how="left_semi", num_buckets=num_partitions,
+                col_types={c: pa.string() for c in set(res_cols) | {o_var}},
+            )
+            return res, res_cols
+        # both endpoints concrete: the path holds (res unchanged) or not
+        hold = pairs_ds.map_batches(
+            lambda t, _o=obj: t.filter(pc.equal(t.column("y"), _o)),
+            batch_format="pyarrow",
+        ).limit(1).count()
+        return (res if hold else res.limit(0)), res_cols
     if mod in ("*", "?"):
         def selfp(tb: pa.Table) -> pa.Table:
             return pa.table({"src": tb.column("src"),

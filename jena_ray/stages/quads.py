@@ -6,7 +6,8 @@ jena-tdb/.../sys/Names.java:24-28 — primary GSPO with GPOS/GOSP secondaries)
 next to the triple indexes for the default graph. This module reproduces
 that Ray-Data-first, following the triple layout of stages/materialize.py:
 
-- term ids are the same stateless 64-bit content hashes (graph label
+- term ids are the same stateless 128-bit fixed_size_binary(16) content
+  hashes as the triple store (stages/materialize.py ID_TYPE; graph label
   included — a graph name is just another term in the NodeTable);
 - ``terms/`` holds distinct (id, term) over all four positions;
 - each permutation is hash-partitioned on its bucket key and sorted within
@@ -15,6 +16,12 @@ that Ray-Data-first, following the triple layout of stages/materialize.py:
       gspo/bucket=<h(g,s)%B>      sorted (g_id, s_id, p_id, o_id)
       gpos/bucket=<h(g,p,o)%B>    sorted (g_id, p_id, o_id, s_id)
       gosp/bucket=<h(g,o)%B>      sorted (g_id, o_id, s_id, p_id)
+      spog/bucket=<h(s)%B>        sorted (s_id, p_id, o_id, g_id)
+      posg/bucket=<h(p,o)%B>      sorted (p_id, o_id, s_id, g_id)
+      ospg/bucket=<h(o)%B>        sorted (o_id, s_id, p_id, g_id)
+
+  The graph-trailing trio (Names.java POSG/OSPG/SPOG) serves
+  graph-UNBOUND patterns (GRAPH ?g, union-graph scans) index-pruned.
 
   Bucket keys pair the graph id with the permutation's salt columns —
   graph counts are typically small (one graph per source document at crawl
@@ -37,15 +44,50 @@ import json
 import os
 
 QUAD_ID_ORDERS: dict[str, list[str]] = {
+    # graph-leading (GRAPH term bound) — TDB primary + secondaries
     "gspo": ["g_id", "s_id", "p_id", "o_id"],
     "gpos": ["g_id", "p_id", "o_id", "s_id"],
     "gosp": ["g_id", "o_id", "s_id", "p_id"],
+    # graph-TRAILING (GRAPH var / union-graph scans with s/p/o bound) —
+    # the reference keeps all six (Names.java:24-28 POSG/OSPG/SPOG);
+    # round-4 lacked these, so a `GRAPH ?g { ?s :p ?o }` scan swept every
+    # graph partition. Bucket keys mirror the triple-side convention
+    # (materialize.ID_BUCKET_KEYS).
+    "spog": ["s_id", "p_id", "o_id", "g_id"],
+    "posg": ["p_id", "o_id", "s_id", "g_id"],
+    "ospg": ["o_id", "s_id", "p_id", "g_id"],
 }
 QUAD_BUCKET_KEYS: dict[str, list[str]] = {
     "gspo": ["g_id", "s_id"],
     "gpos": ["g_id", "p_id", "o_id"],
     "gosp": ["g_id", "o_id"],
+    "spog": ["s_id"],
+    "posg": ["p_id", "o_id"],
+    "ospg": ["o_id"],
 }
+QUAD_ALL_ORDERS: tuple[str, ...] = tuple(QUAD_ID_ORDERS)
+
+
+def pick_quad_order(bound_positions: set[str]) -> str:
+    """Index choice for a quad pattern given its bound positions (subset
+    of {graph, subj, pred, obj}) — SolverLib's choice over the six TDB
+    permutations: graph-leading when the graph term is bound, else the
+    graph-trailing permutation led by the first bound position."""
+    if "graph" in bound_positions:
+        if "subj" in bound_positions:
+            return "gspo"
+        if "pred" in bound_positions:
+            return "gpos"
+        if "obj" in bound_positions:
+            return "gosp"
+        return "gspo"
+    if "subj" in bound_positions:
+        return "spog"
+    if "pred" in bound_positions:
+        return "posg"
+    if "obj" in bound_positions:
+        return "ospg"
+    return "gspo"
 _QUAD_ID_COLS = ["g_id", "s_id", "p_id", "o_id"]
 _TERM_FOR_QID = {"g_id": "graph", "s_id": "subj", "p_id": "pred", "o_id": "obj"}
 
@@ -157,7 +199,7 @@ def materialize_quad_indexes(
     out_dir: str,
     quads,
     *,
-    orders: tuple[str, ...] = ("gspo", "gpos", "gosp"),
+    orders: tuple[str, ...] = QUAD_ALL_ORDERS,
     min_rows_per_file: int = 500_000,
     num_buckets: int = 32,
     skip_terms: bool = False,
@@ -271,11 +313,10 @@ def quad_pattern_scan(
 
     info = read_layout(out_dir)
     bound_terms = {"graph": g, "subj": s, "pred": p, "obj": o}
-    if g is not None and p is not None and s is None:
-        order = "gpos"
-    elif g is not None and o is not None and s is None and p is None:
-        order = "gosp"
-    else:
+    order = pick_quad_order({c for c, v in bound_terms.items() if v is not None})
+    if order != "gspo" and not os.path.isdir(os.path.join(out_dir, order)):
+        # store built before the graph-trailing permutations existed (or
+        # with a reduced `orders` tuple): full gspo sweep, not empty
         order = "gspo"
 
     bound_ids = {

@@ -1,4 +1,4 @@
-"""GenericRuleReasoner (forward subset) on Ray Data.
+"""GenericRuleReasoner (forward + hybrid backward subset) on Ray Data.
 
 The reference's rule engine (jena-core reasoner/rulesys/
 GenericRuleReasoner.java:47, rule syntax Rule.java:84 — ``[name: (?a p ?b),
@@ -10,14 +10,23 @@ re-derives from the previous round's DELTA (one body pattern ranges over
 the delta, the rest over the full set — the classic semi-naive split), so a
 converged fixpoint costs rounds × |delta-joins|, not rounds × |corpus-joins|.
 
+Backward (``head <- body``) rules and the hybrid FB mode are served by
+``HybridEngine`` (FBRuleReasoner / FBRuleInfGraph analog): forward rules
+close at bind time; a ``find`` goal selects the goal-relevant backward
+rules (predicate-reachability magic) and runs the same semi-naive fixpoint
+restricted to them, memoized per rule subset — the distributed stand-in
+for LPBackwardRuleReasoner's tabled SLD, answer-equivalent on the Datalog
+subset these rules occupy.
+
 Subset: triple patterns with variables/constants/wildcards in any slot
 (variable predicates included), test builtins (notEqual/equal/ordering/
 isLiteral/isBNode/regex), value builtins (sum/difference/product/
 quotient/min/max/addOne/strConcat/uriConcat/makeSkolem), tabling
-directives as no-ops, the noValue guard, one-or-more consequents.
-No functors-as-actions, no backward rules, no embedded rules — the
-batch-materialization north star needs none of them (the rdfs /
-owl-lite / owl-micro presets are pure triple rules + these builtins).
+directives as no-ops (the hybrid engine memoizes whole closures), the
+noValue guard, one-or-more consequents. No functors-as-actions, no
+embedded rules — the batch-materialization north star needs neither (the
+rdfs / owl-lite / owl-micro presets are pure triple rules + these
+builtins).
 
 Terms stay canonical STRINGS here: rule vocabularies join on arbitrary
 slots, and fixpoint deltas are tiny next to the corpus, so the id-space
@@ -84,6 +93,7 @@ class Rule:
     body: list[tuple[str, str, str]]  # patterns: '?v' vars / canonical terms
     head: list[tuple[str, str, str]]
     filters: list[tuple] = field(default_factory=list)  # (builtin, a, b)
+    backward: bool = False  # written as ``head <- body`` (Rule.java:101)
 
 
 # --------------------------------------------------------------------- parse
@@ -92,6 +102,7 @@ _TOK_RE = re.compile(
     r"""\s+|,                          # whitespace and ignorable commas
       | (?P<comment>\#[^\n]*|//[^\n]*)
       | (?P<arrow>->)
+      | (?P<barrow><-)
       | (?P<lbrk>\[)|(?P<rbrk>\])|(?P<lpar>\()|(?P<rpar>\))
       | (?P<var>\?[A-Za-z_][A-Za-z_0-9]*)
       | (?P<star>\*)
@@ -189,41 +200,61 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
                 raise TermError(f"rules: {fn} takes {arity} args")
             return out
 
-        while peek()[0] != "arrow":
-            k, v = peek()
-            if k == "lpar":
-                body.append(triple())
-            elif k == "name" and v in _TEST_BUILTINS:
-                pos += 1
-                filters.append((v, *_args(v, _TEST_BUILTINS[v])))
-            elif k == "name" and v in _BIND_BUILTINS:
-                pos += 1
-                args = _args(v, _BIND_BUILTINS[v])
-                if len(args) < 2:
-                    raise TermError(f"rules: {v} needs ≥2 args")
-                out_slot = 0 if v == "makeSkolem" else len(args) - 1
-                if not args[out_slot].startswith("?"):
-                    raise TermError(
-                        f"rules: {v}'s output argument must be a variable"
-                    )
-                filters.append((v, *args))
-            elif k == "name" and v in _DIRECTIVE_BUILTINS:
-                # tabling hints: parsed, validated, dropped (forward mode)
-                pos += 1
-                _args(v, _DIRECTIVE_BUILTINS[v])
-            elif k == "name" and v in _GUARD_BUILTINS:
-                pos += 1
-                args = _args(v, None)
-                if len(args) not in (2, 3):
-                    raise TermError(f"rules: {v} takes 2 or 3 args")
-                filters.append((v, *args))
-            else:
-                raise TermError(f"rules: unexpected {v!r} in body")
-        take("arrow")
-        head: list[tuple[str, str, str]] = []
-        while peek()[0] == "lpar":
-            head.append(triple())
-        take("rbrk")
+        def parse_elements(pats: list, filts: list, stop: tuple) -> None:
+            nonlocal pos
+            while peek()[0] not in stop:
+                k, v = peek()
+                if k == "lpar":
+                    pats.append(triple())
+                elif k == "name" and v in _TEST_BUILTINS:
+                    pos += 1
+                    filts.append((v, *_args(v, _TEST_BUILTINS[v])))
+                elif k == "name" and v in _BIND_BUILTINS:
+                    pos += 1
+                    args = _args(v, _BIND_BUILTINS[v])
+                    if len(args) < 2:
+                        raise TermError(f"rules: {v} needs ≥2 args")
+                    out_slot = 0 if v == "makeSkolem" else len(args) - 1
+                    if not args[out_slot].startswith("?"):
+                        raise TermError(
+                            f"rules: {v}'s output argument must be a variable"
+                        )
+                    filts.append((v, *args))
+                elif k == "name" and v in _DIRECTIVE_BUILTINS:
+                    # tabling hints: parsed, validated, dropped (the hybrid
+                    # engine memoizes whole relevant-rule-set closures)
+                    pos += 1
+                    _args(v, _DIRECTIVE_BUILTINS[v])
+                elif k == "name" and v in _GUARD_BUILTINS:
+                    pos += 1
+                    args = _args(v, None)
+                    if len(args) not in (2, 3):
+                        raise TermError(f"rules: {v} takes 2 or 3 args")
+                    filts.append((v, *args))
+                else:
+                    raise TermError(f"rules: unexpected {v!r} in body")
+
+        parse_elements(body, filters, ("arrow", "barrow"))
+        backward = peek()[0] == "barrow"
+        if backward:
+            # ``[name: (head...) <- (body...)]`` — Rule.java's backward
+            # form (isBackward, Rule.java:101-102): the patterns BEFORE
+            # ``<-`` are the conclusion, the elements after are the body
+            take("barrow")
+            if filters:
+                raise TermError(
+                    "rules: builtins cannot appear in a backward rule head"
+                )
+            head = body
+            body, filters = [], []
+            parse_elements(body, filters, ("rbrk",))
+            take("rbrk")
+        else:
+            take("arrow")
+            head = []
+            while peek()[0] == "lpar":
+                head.append(triple())
+            take("rbrk")
         if not body or not head:
             raise TermError("rules: need at least one body and head pattern")
         hv = {t for trip in head for t in trip if t.startswith("?")}
@@ -251,7 +282,7 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
             raise TermError(
                 f"rules: unbound builtin variables {sorted((gv | tv) - bv)}"
             )
-        rules.append(Rule(name, body, head, filters))
+        rules.append(Rule(name, body, head, filters, backward=backward))
     return rules
 
 
@@ -387,13 +418,35 @@ def _apply_filters(ds, filters: list[tuple]):
                 elif fn == "regex":
                     from jena_ray.term import split_literal
 
+                    subj = _lex(_col_or_const(tb, args[0]), tb.num_rows)
                     pat = args[1]
-                    if pat.startswith('"'):
-                        pat = split_literal(pat)[0]
-                    m = pc.match_substring_regex(
-                        _lex(_col_or_const(tb, args[0]), tb.num_rows),
-                        f"^(?:{pat})$",  # Regex.java: full match
-                    )
+                    if pat.startswith("?"):
+                        # variable pattern: Regex.java resolves the BOUND
+                        # node per environment — vectorize per distinct
+                        # bound pattern value (round-5 ADVICE: the old code
+                        # used the literal text '?v' as the regex)
+                        import numpy as np
+
+                        pv = _lex(_col_or_const(tb, pat),
+                                  tb.num_rows).to_pylist()
+                        m_np = np.zeros(tb.num_rows, dtype=bool)
+                        for p in set(pv):
+                            if p is None:
+                                continue
+                            idx = np.flatnonzero(
+                                np.array([x == p for x in pv]))
+                            sub = pc.match_substring_regex(
+                                subj.take(pa.array(idx)), f"^(?:{p})$")
+                            m_np[idx] = pc.fill_null(sub, False).to_numpy(
+                                zero_copy_only=False)
+                        m = pa.array(m_np)
+                    else:
+                        if pat.startswith('"'):
+                            pat = split_literal(pat)[0]
+                        m = pc.match_substring_regex(
+                            subj,
+                            f"^(?:{pat})$",  # Regex.java: full match
+                        )
                 else:  # pragma: no cover
                     raise ValueError(fn)
                 tb = tb.filter(pc.fill_null(m, False))
@@ -670,6 +723,11 @@ def forward_chain(
 
     if isinstance(rules, str):
         rules = parse_rules(rules)
+    if any(r.backward for r in rules):
+        raise TermError(
+            "forward_chain got backward (`<-`) rules — use HybridEngine "
+            "(the FBRuleReasoner analog) for mixed forward/backward sets"
+        )
 
     def three(tb: pa.Table) -> pa.Table:
         return tb.select(list(TRIPLE_COLS))
@@ -713,6 +771,136 @@ def _forward_chain_loop(rules, full, delta, rounds, max_rounds, num_buckets):
     else:
         raise RuntimeError(f"rule fixpoint did not converge in {max_rounds} rounds")
     return full, rounds
+
+
+# ------------------------------------------------------- backward / hybrid
+
+
+def relevant_backward_rules(rules: list[Rule], goal_pred: str | None) -> list[int]:
+    """Goal-directed rule selection (magic-sets at predicate granularity):
+    the indexes of backward rules that can contribute to a goal with
+    predicate ``goal_pred`` — rules whose head predicate matches, closed
+    transitively through their body predicates. A variable head predicate
+    always matches; a variable body predicate makes everything reachable.
+    ``goal_pred=None`` (unbound goal predicate) selects every rule.
+
+    This is the sideways-information-free half of magic sets: it prunes
+    whole derivation trees the goal can never reach, which is the dominant
+    win for preset rule files (a find on one predicate must not pay the
+    fixpoint of 50 unrelated rules). Per-binding filtering happens anyway
+    at the final scan; at crawl scale the fixpoint is shared across all
+    bindings, exactly like the reference's tabled LP engine shares its
+    memo tables (LPBRuleEngine.java tabledGoals)."""
+    if goal_pred is None:
+        return list(range(len(rules)))
+    needed = {goal_pred}
+    chosen: list[int] = []
+    changed = True
+    while changed:
+        changed = False
+        for i, r in enumerate(rules):
+            if i in chosen:
+                continue
+            if any(t[1].startswith("?") or t[1] in needed for t in r.head):
+                chosen.append(i)
+                changed = True
+                for t in r.body:
+                    if t[1].startswith("?"):
+                        return list(range(len(rules)))
+                    needed.add(t[1])
+    return sorted(chosen)
+
+
+class HybridEngine:
+    """FBRuleReasoner re-expressed for Ray Data (jena-core reasoner/
+    rulesys/FBRuleReasoner.java + FBRuleInfGraph): forward (``->``) rules
+    run to fixpoint at construction ("bind time"), backward (``<-``) rules
+    answer ``find`` goals on demand.
+
+    Goal-directed evaluation strategy: instead of per-binding tabled SLD
+    (LPBackwardRuleReasoner's interpreter — a per-row pointer machine that
+    cannot be vectorized), a find selects the goal-relevant backward rules
+    (relevant_backward_rules — predicate-reachability magic) and runs the
+    existing SEMI-NAIVE fixpoint restricted to that subset over the
+    forward-closed graph. For the Datalog subset these rules occupy (no
+    functors — same subset the forward engine supports), the restricted
+    fixpoint computes exactly the answers tabled SLD would produce; the
+    closure per relevant-rule-set is memoized (the distributed analog of
+    the LP engine's tabled goals), so repeated finds on the same predicate
+    family cost one scan. Builtins are supported in backward bodies via
+    the shared _eval_rule machinery."""
+
+    def __init__(self, triples, rules: list[Rule] | str, *,
+                 max_rounds: int = 30, num_buckets: int = 16):
+        from jena_ray.stages.dedup import dedup_exact
+
+        if isinstance(rules, str):
+            rules = parse_rules(rules)
+        self._bwd = [r for r in rules if r.backward]
+        fwd = [r for r in rules if not r.backward]
+        self._max_rounds = max_rounds
+        self._num_buckets = num_buckets
+        if fwd:
+            self.graph, _ = forward_chain(
+                triples, fwd, max_rounds=max_rounds, num_buckets=num_buckets
+            )
+        else:
+            def three(tb: pa.Table) -> pa.Table:
+                return tb.select(list(TRIPLE_COLS))
+
+            self.graph = dedup_exact(
+                triples.map_batches(three, batch_format="pyarrow"),
+                cols=TRIPLE_COLS,
+            ).materialize()
+        self._tables: dict[frozenset, object] = {}
+
+    def _closure_for(self, idxs: list[int]):
+        key = frozenset(idxs)
+        if key not in self._tables:
+            if not idxs:
+                self._tables[key] = self.graph
+            else:
+                import sys
+
+                rules = [self._bwd[i] for i in idxs]
+                _old = sys.getrecursionlimit()
+                sys.setrecursionlimit(max(_old, 20_000))
+                try:
+                    closed, _ = _forward_chain_loop(
+                        rules, self.graph, self.graph, 0,
+                        self._max_rounds, self._num_buckets,
+                    )
+                finally:
+                    sys.setrecursionlimit(_old)
+                self._tables[key] = closed
+        return self._tables[key]
+
+    def find(self, s: str | None = None, p: str | None = None,
+             o: str | None = None):
+        """InfGraph.find(s, p, o): matching triples from data ∪ forward
+        closure ∪ goal-relevant backward derivations. ``None`` (or a
+        ``?var``) is a wildcard slot."""
+        def wild(t):
+            return t is None or (isinstance(t, str) and t.startswith("?"))
+
+        goal_pred = None if wild(p) else p
+        g = self._closure_for(relevant_backward_rules(self._bwd, goal_pred))
+        consts = [(c, t) for c, t in zip(TRIPLE_COLS, (s, p, o))
+                  if not wild(t)]
+
+        def match(tb: pa.Table, _c=tuple(consts)) -> pa.Table:
+            mask = None
+            for col, t in _c:
+                m = pc.equal(tb.column(col), t)
+                mask = m if mask is None else pc.and_(mask, m)
+            return tb if mask is None else tb.filter(
+                pc.fill_null(mask, False))
+
+        return g.map_batches(match, batch_format="pyarrow")
+
+    def closure(self):
+        """The full inference closure (find(ANY, ANY, ANY) shape)."""
+        return self.find()
 
 
 def order_chain_closure(sf_dir: str):

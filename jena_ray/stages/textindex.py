@@ -18,10 +18,10 @@ dataset and queried as a property function). Ray-Data-first analog:
   SQL-expressible so the driver oracle can replicate every value.
 
 Scale notes: posting lists are partitioned by token hash, so hub tokens
-(stopwords) skew buckets — at crawl scale add a df-capped stoplist (skip
-postings for df > x% of N, as Lucene effectively does via scoring) and
-split giant tokens' postings by doc_id range within the bucket. Queries
-touch only their terms' buckets; the corpus never shuffles at query time.
+(stopwords) skew buckets — ``build_text_index(stoplist_df_frac=x)`` is the
+crawl-scale mitigation (df-capped stoplist: postings for df > x·N are
+dropped at build, stopped query terms skipped at search). Queries touch
+only their terms' buckets; the corpus never shuffles at query time.
 """
 
 from __future__ import annotations
@@ -117,10 +117,23 @@ def build_text_index(
     num_buckets: int = 16,
     min_rows_per_file: int = 500_000,
     analyzer: str = "standard",
+    stoplist_df_frac: float | None = None,
 ) -> str:
     """documents Dataset (doc_id, text) → ``text/`` postings + ``vocab/`` df
     table + ``_text_meta.json`` (doc count). Idempotent: a completed build
-    (meta present) is reused."""
+    (meta present) is reused.
+
+    ``stoplist_df_frac`` (round-5, the crawl-scale knob this module's scale
+    note promised): tokens whose document frequency exceeds
+    ``stoplist_df_frac × n_docs`` are DROPPED from the postings — a
+    df-capped stoplist. A hub token ("the") otherwise concentrates an
+    O(corpus)-row posting list in one hash bucket at build time and makes
+    any query containing it read that list whole; past the cap its idf is
+    ~ln(1+1/frac) ≈ noise anyway (Lucene reaches the same end through
+    scoring). The stoplist lands in ``_text_meta.json`` (bounded: at most
+    total_postings/(frac·N) tokens can exceed the cap) and search skips
+    stopped query terms. Default ``None`` keeps every token — the
+    oracle-comparable build."""
     import ray.data as rd
 
     from jena_ray.stages.dedup import add_bucket
@@ -184,22 +197,6 @@ def build_text_index(
         )
         return g.take(idx)
 
-    out = (
-        docs.map_batches(postings, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
-    out.write_parquet(
-        os.path.join(out_dir, "text"),
-        partition_cols=["bucket"],
-        min_rows_per_file=min_rows_per_file,
-    )
-
-    # vocabulary (token, df): column-pruned pass over the postings — each
-    # (token, doc) pair is one row, so df = row count per token; the bucket
-    # column rides along so vocab/ shares the postings' hash layout.
-    post = rd.read_parquet(os.path.join(out_dir, "text"), columns=["token", "bucket"])
-
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["token", "bucket"], use_threads=False).aggregate(
             [([], "count_all")]
@@ -208,24 +205,112 @@ def build_text_index(
 
     from ray.data.aggregate import Sum
 
-    vocab = (
-        post.map_batches(partial, batch_format="pyarrow")
-        .groupby(["token", "bucket"])
-        .aggregate(Sum("_partial", alias_name="df"))
-    )
-    vocab.write_parquet(
-        os.path.join(out_dir, "vocab"),
-        partition_cols=["bucket"],
-        min_rows_per_file=min_rows_per_file,
-    )
+    stoplist: list[str] = []
+    if stoplist_df_frac is not None:
+        # df pre-pass BEFORE the postings land: vocabulary from the
+        # tokenized stream (each (token, doc) pair is one postings row, so
+        # df = row count per token), stoplist from its hub tail, postings
+        # then written WITHOUT the stopped tokens — bounded buckets by
+        # construction
+        pre = docs.map_batches(postings, batch_format="pandas")
+        vocab = (
+            pre.map_batches(partial, batch_format="pyarrow")
+            .groupby(["token", "bucket"])
+            .aggregate(Sum("_partial", alias_name="df"))
+        ).materialize()
+        cap = stoplist_df_frac * n_docs
+        big = vocab.map_batches(
+            lambda t, _c=cap: t.filter(
+                __import__("pyarrow").compute.greater(t.column("df"), _c)
+            ).select(["token"]),
+            batch_format="pyarrow",
+        )
+        stoplist = sorted(
+            tok for b in big.iter_batches(batch_format="pyarrow")
+            for tok in b.column("token").to_pylist()
+        )
+        stop_set = frozenset(stoplist)
+
+        def drop_stopped(t: pa.Table, _s=stop_set) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if not _s:
+                return t
+            return t.filter(pc.invert(pc.is_in(
+                t.column("token"), value_set=pa.array(sorted(_s))
+            )))
+
+        out = (
+            docs.map_batches(postings, batch_format="pandas")
+            .map_batches(drop_stopped, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pyarrow")
+        )
+        out.write_parquet(
+            os.path.join(out_dir, "text"),
+            partition_cols=["bucket"],
+            min_rows_per_file=min_rows_per_file,
+        )
+        vocab.write_parquet(
+            os.path.join(out_dir, "vocab"),
+            partition_cols=["bucket"],
+            min_rows_per_file=min_rows_per_file,
+        )
+    else:
+        out = (
+            docs.map_batches(postings, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pyarrow")
+        )
+        out.write_parquet(
+            os.path.join(out_dir, "text"),
+            partition_cols=["bucket"],
+            min_rows_per_file=min_rows_per_file,
+        )
+
+        # vocabulary (token, df): column-pruned pass over the postings —
+        # each (token, doc) pair is one row, so df = row count per token;
+        # the bucket column rides along so vocab/ shares the postings'
+        # hash layout.
+        post = rd.read_parquet(
+            os.path.join(out_dir, "text"), columns=["token", "bucket"]
+        )
+        vocab = (
+            post.map_batches(partial, batch_format="pyarrow")
+            .groupby(["token", "bucket"])
+            .aggregate(Sum("_partial", alias_name="df"))
+        )
+        vocab.write_parquet(
+            os.path.join(out_dir, "vocab"),
+            partition_cols=["bucket"],
+            min_rows_per_file=min_rows_per_file,
+        )
 
     with open(_meta_path(out_dir), "w") as f:
         json.dump(
             {"n_docs": int(n_docs), "num_buckets": num_buckets,
-             "id_kind": id_kind, "analyzer": analyzer},
+             "id_kind": id_kind, "analyzer": analyzer,
+             "stoplist_df_frac": stoplist_df_frac, "stoplist": stoplist},
             f,
         )
     return out_dir
+
+
+def _drop_stopped_terms(terms: list[str], meta: dict) -> list[str]:
+    """Skip query terms the index's df-capped stoplist dropped at build
+    time (their postings don't exist; matching Lucene, a stopped term
+    contributes nothing to the query)."""
+    stop = set(meta.get("stoplist") or [])
+    if not stop:
+        return terms
+    dropped = [t for t in terms if t in stop]
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "text index stoplist: skipping hub query terms %s", dropped
+        )
+    return [t for t in terms if t not in stop]
 
 
 def _token_bucket(token: str, num_buckets: int) -> int:
@@ -256,6 +341,7 @@ def text_match(index_dir: str, terms: list[str], *, id_col: str = "doc_id"):
     terms = sorted(set(
         analyze_terms(terms, meta.get("analyzer", "standard"))
     ))
+    terms = _drop_stopped_terms(terms, meta)
     by_bucket: dict[int, list[str]] = {}
     for t in terms:
         by_bucket.setdefault(_token_bucket(t, nb), []).append(t)
@@ -306,6 +392,7 @@ def text_search(index_dir: str, terms: list[str], k: int = 20):
     terms = sorted(set(
         analyze_terms(terms, meta.get("analyzer", "standard"))
     ))
+    terms = _drop_stopped_terms(terms, meta)
     by_bucket: dict[int, list[str]] = {}
     for t in terms:
         by_bucket.setdefault(_token_bucket(t, nb), []).append(t)

@@ -478,6 +478,35 @@ def test_nested_group_well_designed_flattens(scope_index):
     assert df.iloc[0]["Z"] is None or df.iloc[0]["Z"] != df.iloc[0]["Z"]
 
 
+def test_nested_group_mirror_optional_risk_raises(scope_index):
+    """Mirror of join-scope-1 (round-5 ADVICE): the PARENT's OPTIONAL
+    binds ?Z (not bound by the parent's required part) and the nested
+    group's patterns also bind ?Z. Textual order decides the reference
+    algebra (Join(LeftJoin(P1,O),P2) vs LeftJoin(Join(P1,P2),O)), which
+    the engine does not track — must refuse loudly, not flatten."""
+    from jena_ray.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(scope_index, """
+            PREFIX : <http://ex.org/>
+            SELECT * { ?X :name "paul"
+                       OPTIONAL { ?X :email ?Z }
+                       { ?Z :name ?N } }
+        """, num_partitions=2)
+
+
+def test_nested_group_mirror_safe_still_flattens(scope_index):
+    """Parent OPTIONAL sharing only vars the parent's required part binds:
+    the mirror guard must NOT fire (flatten stays semantics-preserving)."""
+    df = _q(scope_index, """
+        PREFIX : <http://ex.org/>
+        SELECT * { ?X :name ?N OPTIONAL { ?X :email ?Z }
+                   { ?X :phone ?P } }
+    """)
+    assert len(df) == 1
+    assert df.iloc[0]["P"] == '"777"'
+
+
 def test_nested_filter_scope(scope_index):
     """A FILTER inside a nested group cannot see outer bindings (DAWG
     algebra filter-nested-2): the inner filter errors on unbound ?N and

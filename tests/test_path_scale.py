@@ -89,6 +89,42 @@ def test_million_pair_closure_dataset_mode(big_hub_index):
     assert pairs.count() == 100 * 10_001
 
 
+def test_concrete_source_path_dataset_mode(small_hub_index, monkeypatch):
+    """Concrete-source paths past the driver budget (round-5: this shape
+    previously raised). All four shapes run Dataset-resident with the
+    budget forced tiny and match the driver-mode answers."""
+    from jena_ray.pipelines import bgp
+    from jena_ray.sparql import sparql_query
+
+    def q(s):
+        return sparql_query(small_hub_index, s, num_partitions=2)
+
+    h0, r0 = _node("h", 0), _node("r", 0)
+    queries = [
+        # pure chain from a concrete endpoint (unit-solution base):
+        # h0 reaches 50 leaves + r0 + (via r0) h0 itself = 52
+        (f"SELECT ?y {{ {h0} {E}+ ?y }}", 52),
+        # zero-or-more: same set (h0 already reached via the cycle)
+        (f"SELECT ?y {{ {h0} {E}* ?y }}", 52),
+        # EXTEND against a non-unit binding stream: 10 roots × 52
+        (f"SELECT ?x ?y {{ ?x {E} {h0} . {h0} {E}+ ?y }}", 10 * 52),
+        # SEMI on a bound object column: only r0 is reached from h0
+        (f"SELECT ?x {{ ?x {E} {h0} . {h0} {E}+ ?x }}", 1),
+        # both endpoints concrete: path holds -> base unchanged
+        (f"SELECT ?x {{ ?x {E} {h0} . {h0} {E}+ {r0} }}", 10),
+        # both endpoints concrete: path does NOT hold -> empty
+        (f"SELECT ?x {{ ?x {E} {h0} . {h0} {E}+ {_node('r', 5)} }}", 0),
+    ]
+    driver = [q(s).count() for s, _ in queries]
+    # budget between the binding-stream size (10) and the closure size
+    # (52): the closure goes Dataset-resident, the stream stays
+    # broadcastable (both past budget is the documented loud raise)
+    monkeypatch.setattr(bgp, "PATH_PAIR_SPILL", 20)
+    ds_mode = [q(s).count() for s, _ in queries]
+    assert driver == [n for _, n in queries]
+    assert ds_mode == driver
+
+
 def test_sparql_path_dataset_consumption(big_hub_index, monkeypatch):
     """SPARQL-level: ?s :e+ ?y over the hub graph with the consumption
     budget forced tiny — _apply_path_ds joins the pair Dataset into the

@@ -88,3 +88,61 @@ def test_quad_store_roundtrip(ray_session, tmp_path_factory):
 
     po = quad_pattern_scan(out, p="<urn:p>", o='"4"').take_all()
     assert len(po) == 1 and po[0]["subj"] == "<urn:s4>"
+
+
+def test_graph_trailing_permutations(ray_session, tmp_path_factory):
+    """Graph-UNBOUND scans with s/p/o bound must touch ONLY the
+    graph-trailing permutation (Names.java POSG/OSPG/SPOG — round-5):
+    proven by deleting every other permutation dir and asserting the scan
+    still answers, bucket-pruned."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from jena_ray.stages.quads import (
+        QUAD_ALL_ORDERS,
+        materialize_quad_indexes,
+        pick_quad_order,
+        quad_pattern_scan,
+    )
+
+    # pure index choice: all eight binding shapes
+    assert pick_quad_order({"graph", "subj"}) == "gspo"
+    assert pick_quad_order({"graph", "pred"}) == "gpos"
+    assert pick_quad_order({"graph", "obj"}) == "gosp"
+    assert pick_quad_order({"graph"}) == "gspo"
+    assert pick_quad_order({"subj"}) == "spog"
+    assert pick_quad_order({"pred", "obj"}) == "posg"
+    assert pick_quad_order({"obj"}) == "ospg"
+    assert pick_quad_order(set()) == "gspo"
+
+    rows = [
+        {"graph": f"<urn:g{i % 4}>", "subj": f"<urn:s{i % 5}>",
+         "pred": f"<urn:p{i % 2}>", "obj": f'"{i}"'}
+        for i in range(40)
+    ]
+    base = str(tmp_path_factory.mktemp("gtrail"))
+    materialize_quad_indexes(base, rd.from_items(rows), num_buckets=4,
+                             min_rows_per_file=10)
+    assert all(os.path.isdir(os.path.join(base, o)) for o in QUAD_ALL_ORDERS)
+
+    for keep, kwargs, expect in [
+        ("spog", {"s": "<urn:s1>"}, 8),          # s1 appears in i=1,6,..,36
+        ("posg", {"p": "<urn:p0>", "o": '"4"'}, 1),
+        ("ospg", {"o": '"7"'}, 1),
+    ]:
+        out = str(tmp_path_factory.mktemp(f"gtrail_{keep}"))
+        materialize_quad_indexes(out, rd.from_items(rows), num_buckets=4,
+                                 min_rows_per_file=10)
+        for o in QUAD_ALL_ORDERS:
+            if o != keep:
+                shutil.rmtree(os.path.join(out, o))
+        got = quad_pattern_scan(out, **kwargs).take_all()
+        assert len(got) == expect, (keep, kwargs, len(got))
+
+    # old store without graph-trailing dirs: falls back to the gspo sweep
+    for o in ("spog", "posg", "ospg"):
+        shutil.rmtree(os.path.join(base, o))
+    got = quad_pattern_scan(base, s="<urn:s1>").take_all()
+    assert len(got) == 8

@@ -221,3 +221,54 @@ def test_text_analyzers(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         build_text_index(ds, str(tmp_path / "bad"), analyzer="nope")
+
+
+def test_text_index_df_capped_stoplist(ray_session, tmp_path):
+    """round-5: a hub token in 90% of docs is dropped from the postings at
+    build time (df > frac·N), bounding per-bucket posting volume; a
+    stopped query term contributes nothing, rare terms still match."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jena_ray.stages.textindex import build_text_index, text_search
+
+    n = 40
+    texts = [
+        ("the common filler " if i < 36 else "") + f"rare{i} word{i % 4}"
+        for i in range(n)
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = str(tmp_path / "capped")
+    build_text_index(ds, out, num_buckets=4, stoplist_df_frac=0.5)
+
+    meta = json.load(open(f"{out}/_text_meta.json"))
+    assert set(meta["stoplist"]) == {"the", "common", "filler"}
+    # postings carry NO hub-token rows: per-bucket volume is bounded by
+    # the rare terms (each doc contributes ≤ 2 postings here)
+    toks = set()
+    total = 0
+    for f in glob.glob(f"{out}/text/bucket=*/*.parquet"):
+        t = pq.read_table(f, columns=["token"])
+        toks |= set(t.column("token").to_pylist())
+        total += t.num_rows
+    assert not toks & {"the", "common", "filler"}
+    assert total == sum(2 for _ in range(n))
+    # vocab keeps the full df table (idf bookkeeping intact)
+    vocab_toks = set()
+    for f in glob.glob(f"{out}/vocab/bucket=*/*.parquet"):
+        vocab_toks |= set(pq.read_table(f, columns=["token"]).column("token").to_pylist())
+    assert "the" in vocab_toks
+    # a stopped term matches nothing; a rare term still ranks
+    assert text_search(out, ["the"], k=5).count() == 0
+    hits = text_search(out, ["rare7"], k=5).to_pandas()
+    assert hits["doc_id"].tolist() == [7]
+    # mixed query: the stopped term is skipped, not an error
+    hits = text_search(out, ["the", "rare9"], k=5).to_pandas()
+    assert hits["doc_id"].tolist() == [9]

@@ -319,6 +319,26 @@ def test_type_tests_and_regex(ray_session):
     assert (f"<{EX}y>", f"<{EX}nl>", '"yes"') in out
 
 
+def test_regex_variable_pattern(ray_session):
+    """regex with a VARIABLE pattern arg must use the bound value per row
+    (Regex.java resolves the bound node), not the literal text '?v'."""
+    data = _ds([
+        (f"<{EX}x>", f"<{EX}v>", '"abc"'),
+        (f"<{EX}x>", f"<{EX}pat>", '"a.c"'),
+        (f"<{EX}y>", f"<{EX}v>", '"zzz"'),
+        (f"<{EX}y>", f"<{EX}pat>", '"a.c"'),
+        (f"<{EX}z>", f"<{EX}v>", '"zzz"'),
+        (f"<{EX}z>", f"<{EX}pat>", '"z+"'),
+    ])
+    rules = parse_rules(f"""
+        [ (?s <{EX}v> ?o) (?s <{EX}pat> ?p) regex(?o ?p)
+          -> (?s <{EX}m> 'hit')]
+    """)
+    out = _rows(forward_chain(data, rules, num_buckets=4)[0])
+    hits = {s for s, p, _ in out if p == f"<{EX}m>"}
+    assert hits == {f"<{EX}x>", f"<{EX}z>"}
+
+
 def test_table_directives_are_noops(ray_session):
     data = _ds([(f"<{EX}a>", f"<{EX}anc>", f"<{EX}b>"),
                 (f"<{EX}b>", f"<{EX}anc>", f"<{EX}c>")])
@@ -363,3 +383,129 @@ def test_owl_micro_preset(ray_session):
     # hasValue both directions
     assert (f"<{EX}car>", f"<{RDF}type>", f"<{EX}R>") in out
     assert (f"<{EX}truck>", f"<{EX}color>", '"red"') in out
+
+
+# ------------------------------------------------------------------
+# round-5: backward (`<-`) rules + hybrid FB engine (HybridEngine —
+# FBRuleReasoner/TestBasicLP fixtures, jena-core reasoner/rulesys/test/
+# TestBasicLP.java:117-213; data = single triple (a p b) per
+# doBasicTest, TestBasicLP.java:1356-1358)
+# ------------------------------------------------------------------
+
+def _lp(rule_src, data=None):
+    from jena_ray.stages.rules import HybridEngine
+
+    data = data or [(f"<{EX}a>", f"<{EX}p>", f"<{EX}b>")]
+    return HybridEngine(_ds(data), rule_src)
+
+
+def _t(s, p, o):
+    return (f"<{EX}{s}>", f"<{EX}{p}>", f"<{EX}{o}>")
+
+
+def test_lp_base_rules1_lookup(ray_session):
+    """TestBasicLP.testBaseRules1: plain lookup, rule not triggered."""
+    eng = _lp(f"[r1: (?x <{EX}r> <{EX}c>) <- (?x <{EX}p> <{EX}b>)]")
+    got = _rows(eng.find(p=f"<{EX}p>", o=f"<{EX}b>"))
+    assert got == {_t("a", "p", "b")}
+
+
+def test_lp_base_rules2_chain(ray_session):
+    """testBaseRules2: simple chain rule derives (a r c)."""
+    eng = _lp(f"[r1: (?x <{EX}r> <{EX}c>) <- (?x <{EX}p> <{EX}b>)]")
+    got = _rows(eng.find(p=f"<{EX}r>", o=f"<{EX}c>"))
+    assert got == {_t("a", "r", "c")}
+
+
+def test_lp_base_rules3_head_unification(ray_session):
+    """testBaseRules3: (?x r ?x) head — find(ANY, r, a) → (a r a)."""
+    eng = _lp(f"[r1: (?x <{EX}r> ?x) <- (?x <{EX}p> <{EX}b>)]")
+    got = _rows(eng.find(p=f"<{EX}r>", o=f"<{EX}a>"))
+    assert got == {_t("a", "r", "a")}
+
+
+def test_lp_base_rules5_cascade(ray_session):
+    """testBaseRules5: three-rule cascade with a join in r1."""
+    eng = _lp(
+        f"[r1: (?x <{EX}q> ?y) <- (?x <{EX}r> ?y)(?y <{EX}s> ?x)]"
+        f"[r2: (?x <{EX}r> ?y) <- (?x <{EX}p> ?y)]"
+        f"[r3: (?x <{EX}s> ?y) <- (?y <{EX}p> ?x)]"
+    )
+    got = _rows(eng.find(p=f"<{EX}q>"))
+    assert got == {_t("a", "q", "b")}
+
+
+def test_lp_recursive_backward_rule(ray_session):
+    """Recursive backward transitive closure (the tabling test shape —
+    TestBasicLP tabled-predicate tests): anc+ via `<-` rules."""
+    eng = _lp(
+        f"[base: (?x <{EX}anc> ?y) <- (?x <{EX}par> ?y)]"
+        f"[rec: (?x <{EX}anc> ?z) <- (?x <{EX}par> ?y)(?y <{EX}anc> ?z)]",
+        data=[_t("a", "par", "b"), _t("b", "par", "c"), _t("c", "par", "d")],
+    )
+    got = _rows(eng.find(p=f"<{EX}anc>"))
+    assert got == {_t(a, "anc", b) for a, b in
+                   [("a", "b"), ("a", "c"), ("a", "d"),
+                    ("b", "c"), ("b", "d"), ("c", "d")]}
+
+
+def test_hybrid_forward_feeds_backward(ray_session):
+    """FB mode: the forward rule closes at bind time, the backward rule
+    derives from its output on demand (FBRuleInfGraph behavior)."""
+    eng = _lp(
+        f"[f: (?x <{EX}p> ?y) -> (?x <{EX}p2> ?y)]"
+        f"[b: (?x <{EX}r> ?y) <- (?x <{EX}p2> ?y)]"
+    )
+    assert _rows(eng.find(p=f"<{EX}r>")) == {_t("a", "r", "b")}
+    # the full closure includes data + forward + backward derivations
+    assert _rows(eng.closure()) >= {
+        _t("a", "p", "b"), _t("a", "p2", "b"), _t("a", "r", "b")}
+
+
+def test_backward_goal_directed_pruning(ray_session):
+    """Goal-directedness: a find on one predicate must select only the
+    rules reachable from that goal (predicate-level magic sets)."""
+    from jena_ray.stages.rules import parse_rules, relevant_backward_rules
+
+    rules = parse_rules(
+        f"[r1: (?x <{EX}q> ?y) <- (?x <{EX}r> ?y)]"
+        f"[r2: (?x <{EX}r> ?y) <- (?x <{EX}p> ?y)]"
+        f"[r3: (?x <{EX}zzz> ?y) <- (?x <{EX}p> ?y)]"
+    )
+    assert relevant_backward_rules(rules, f"<{EX}q>") == [0, 1]
+    assert relevant_backward_rules(rules, f"<{EX}r>") == [1]
+    assert relevant_backward_rules(rules, f"<{EX}zzz>") == [2]
+    assert relevant_backward_rules(rules, f"<{EX}nosuch>") == []
+    assert relevant_backward_rules(rules, None) == [0, 1, 2]
+    # memoization: two finds on the same goal family share one closure
+    eng = _lp(
+        f"[r1: (?x <{EX}q> ?y) <- (?x <{EX}r> ?y)]"
+        f"[r2: (?x <{EX}r> ?y) <- (?x <{EX}p> ?y)]"
+        f"[r3: (?x <{EX}zzz> ?y) <- (?x <{EX}p> ?y)]"
+    )
+    eng.find(p=f"<{EX}q>").count()
+    eng.find(p=f"<{EX}q>").count()
+    assert set(eng._tables) == {frozenset({0, 1})}
+    # an unrelated goal must not have evaluated r3's closure yet
+    assert frozenset({2}) not in eng._tables
+
+
+def test_backward_with_builtin_body(ray_session):
+    """Builtins inside a backward body (shared _eval_rule machinery)."""
+    eng = _lp(
+        f"[r1: (?x <{EX}big> ?n) <- (?x <{EX}v> ?n) greaterThan(?n 5)]",
+        data=[
+            (f"<{EX}a>", f"<{EX}v>",
+             '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            (f"<{EX}b>", f"<{EX}v>",
+             '"9"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ],
+    )
+    got = _rows(eng.find(p=f"<{EX}big>"))
+    assert got == {(f"<{EX}b>", f"<{EX}big>",
+                    '"9"^^<http://www.w3.org/2001/XMLSchema#integer>')}
+
+
+def test_forward_chain_rejects_backward_rules():
+    with pytest.raises(TermError):
+        forward_chain(None, f"[r1: (?x <{EX}r> ?y) <- (?x <{EX}p> ?y)]")

@@ -50,7 +50,20 @@ CASES = [
         "targetObjectsOf-001", "targetSubjectsOf-001", "targetSubjectsOf-002",
         "multipleTargets-001",
     )
+] + [
+    # round-5: sh:qualifiedValueShape family
+    ("property", n)
+    for n in (
+        "qualifiedValueShape-001", "qualifiedMinCountDisjoint-001",
+        "qualifiedValueShapesDisjoint-001",
+    )
 ]
+
+# round-5: SHACL-SPARQL constraints (std/sparql — sibling dir of std/core)
+SPARQL_CASES = [
+    ("node", n) for n in ("sparql-001", "sparql-002", "sparql-003",
+                          "prefixes-001")
+] + [("property", "sparql-001")]
 
 
 def _expected(g: Graph):
@@ -79,6 +92,22 @@ def test_shacl_wg(sub, name):
         text = f.read().decode("utf-8")
     base = "urn:x-base:default"
     triples = parse_turtle(text, base=base)
+    g = Graph(triples)
+    exp_conforms, exp_results = _expected(g)
+    got_conforms, got = validate(triples)
+    got_set = {(f, p, c) for f, p, c, _ in got}
+    assert got_conforms == exp_conforms, f"conforms mismatch: got {got_set}"
+    assert got_set == exp_results
+
+
+@pytest.mark.parametrize(
+    "sub,name", SPARQL_CASES, ids=[f"sparql/{s}/{n}" for s, n in SPARQL_CASES]
+)
+def test_shacl_sparql_wg(sub, name):
+    path = os.path.join(os.path.dirname(STD), "sparql", sub, name + ".ttl")
+    with open(path, "rb") as f:
+        text = f.read().decode("utf-8")
+    triples = parse_turtle(text, base="urn:x-base:default")
     g = Graph(triples)
     exp_conforms, exp_results = _expected(g)
     got_conforms, got = validate(triples)
