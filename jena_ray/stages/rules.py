@@ -288,9 +288,9 @@ def parse_rules(text: str, prefixes: dict[str, str] | None = None) -> list[Rule]
 
 # ---------------------------------------------------------------- evaluation
 
-def _scan(ds, pattern: tuple[str, str, str]):
-    """Vectorized pattern scan over a (subj,pred,obj) Dataset → binding
-    Dataset of string columns named by the pattern's variables."""
+def _scan_fn(pattern: tuple[str, str, str]):
+    """The per-batch kernel of :func:`_scan` — shared by the distributed
+    map_batches path and the driver-local fast path (one table)."""
     consts = [(c, t) for c, t in zip(TRIPLE_COLS, pattern) if not t.startswith("?")]
     var_cols: dict[str, str] = {}
     dupes: list[tuple[str, str]] = []
@@ -312,9 +312,16 @@ def _scan(ds, pattern: tuple[str, str, str]):
             mask = m if mask is None else pc.and_(mask, m)
         if mask is not None:
             tb = tb.filter(pc.fill_null(mask, False))
-        return pa.table({v: tb.column(c) for v, c in var_cols.items()})
+        return pa.table({v: pc.cast(tb.column(c), pa.string())
+                         for v, c in var_cols.items()})
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return f
+
+
+def _scan(ds, pattern: tuple[str, str, str]):
+    """Vectorized pattern scan over a (subj,pred,obj) Dataset → binding
+    Dataset of string columns named by the pattern's variables."""
+    return ds.map_batches(_scan_fn(pattern), batch_format="pyarrow")
 
 
 def _num(col):
@@ -382,10 +389,9 @@ def _num_term(val, is_int):
     return pc.if_else(is_int, int_term, dbl_term)
 
 
-def _apply_filters(ds, filters: list[tuple]):
-    """Apply test + value builtins IN ORDER per batch: tests mask rows,
-    value builtins append the bound output column (visible to later
-    builtins and the head)."""
+def _filters_fn(filters: list[tuple]):
+    """The per-batch kernel of :func:`_apply_filters` — shared by the
+    distributed path and the driver-local fast path."""
 
     def f(tb: pa.Table) -> pa.Table:
         for flt in filters:
@@ -515,20 +521,18 @@ def _apply_filters(ds, filters: list[tuple]):
                 raise ValueError(fn)
         return tb
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return f
 
 
-def _apply_novalue(res, res_vars: set[str], guard: tuple, full,
-                   *, num_buckets: int):
-    """``noValue(s, p[, o])`` guard: drop binding rows for which the
-    round-start graph ``full`` holds a matching triple (negation as
-    failure — nonmonotonic, evaluated per round like the reference's
-    rulesys/builtins/NoValue.java fires against the current graph). A
-    two-argument form matches any object (wildcard)."""
-    import pandas as pd  # noqa: F401  (bucketed_group_apply group fns)
+def _apply_filters(ds, filters: list[tuple]):
+    """Apply test + value builtins IN ORDER per batch: tests mask rows,
+    value builtins append the bound output column (visible to later
+    builtins and the head)."""
+    return ds.map_batches(_filters_fn(filters), batch_format="pyarrow")
 
-    from jena_ray.stages.dedup import bucketed_group_apply, dedup_batch
 
+def _novalue_pattern(guard: tuple, res_vars: set[str]):
+    """Normalize a noValue guard to (scan pattern, shared key vars)."""
     args = list(guard[1:])
     if len(args) == 2:
         args.append("?__nv_obj")
@@ -542,6 +546,21 @@ def _apply_novalue(res, res_vars: set[str], guard: tuple, full,
             pat.append(f"?__nv_{slot}")  # wildcard slot
         else:
             pat.append(a)
+    return tuple(pat), keys
+
+
+def _apply_novalue(res, res_vars: set[str], guard: tuple, full,
+                   *, num_buckets: int):
+    """``noValue(s, p[, o])`` guard: drop binding rows for which the
+    round-start graph ``full`` holds a matching triple (negation as
+    failure — nonmonotonic, evaluated per round like the reference's
+    rulesys/builtins/NoValue.java fires against the current graph). A
+    two-argument form matches any object (wildcard)."""
+    import pandas as pd  # noqa: F401  (bucketed_group_apply group fns)
+
+    from jena_ray.stages.dedup import bucketed_group_apply, dedup_batch
+
+    pat, keys = _novalue_pattern(guard, res_vars)
     if not keys:
         # ground/wildcard-only guard: one existence probe decides the rule
         # (_scan would project to a zero-column — hence zero-row — table)
@@ -617,6 +636,24 @@ def _order_patterns(body: list, delta_idx: int) -> list[tuple[int, tuple]]:
     return ordered
 
 
+def _emit_fn(head: tuple):
+    """Per-batch head emission (bindings table → derived triples)."""
+
+    def emit(tb: pa.Table, _head=tuple(head)) -> pa.Table:
+        parts = []
+        for trip in _head:
+            cols = {}
+            for c, t in zip(TRIPLE_COLS, trip):
+                if t.startswith("?"):
+                    cols[c] = pc.cast(tb.column(t[1:]), pa.string())
+                else:
+                    cols[c] = pa.array([t] * tb.num_rows, type=pa.string())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return emit
+
+
 def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
     """Semi-naive: union over i of (pattern_i over DELTA ⋈ others over
     FULL). Returns the derived (subj,pred,obj) Dataset (pre-dedup)."""
@@ -657,24 +694,130 @@ def _eval_rule(rule: Rule, full, delta, *, num_buckets: int):
             res = _apply_novalue(res, res_vars, guard, full,
                                  num_buckets=num_buckets)
 
-        def emit(tb: pa.Table, _head=tuple(rule.head)) -> pa.Table:
-            parts = []
-            for trip in _head:
-                cols = {}
-                for c, t in zip(TRIPLE_COLS, trip):
-                    if t.startswith("?"):
-                        cols[c] = pc.cast(tb.column(t[1:]), pa.string())
-                    else:
-                        cols[c] = pa.array([t] * tb.num_rows, type=pa.string())
-                parts.append(pa.table(cols))
-            return pa.concat_tables(parts)
-
-        outs.append(res.map_batches(emit, batch_format="pyarrow"))
+        outs.append(res.map_batches(_emit_fn(rule.head),
+                                    batch_format="pyarrow"))
     # ONE multi-input union, not a chained tree: a 10-rule set × variants
     # × joins builds hundreds of plan operators per round, and a linear
     # union chain makes the plan deep enough to blow Python's recursion
     # limit inside Ray's plan/stats walkers
     return outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
+
+
+# --------------------------------------------- driver-local small-graph path
+
+# Below this many input triples the fixpoint runs DRIVER-LOCAL on in-memory
+# Arrow tables with the SAME per-batch kernels (_scan_fn/_filters_fn/
+# _emit_fn) — semantics identical, zero per-operation cluster overhead.
+# Rule fixpoints iterate (rounds × rules × variants × joins); at
+# vocabulary-scale inputs every one of those steps is a fixed-cost
+# distributed op over a handful of rows, which made a 30-rule OWL preset
+# over 15 triples take minutes. The reference runs entirely in memory;
+# the distributed path remains the ≥budget default (rules_order_chain and
+# the bench stay distributed). Monkeypatchable for tests.
+RULES_LOCAL_BUDGET = 5_000
+
+
+def _eval_rule_local(rule: Rule, full_tb: pa.Table,
+                     delta_tb: pa.Table) -> pa.Table:
+    """_eval_rule on in-memory tables: same kernels, pandas merges for the
+    binding joins, local anti-merge for noValue."""
+    import pandas as pd
+
+    batch_filters = [f for f in rule.filters if f[0] not in _GUARD_BUILTINS]
+    guards = [f for f in rule.filters if f[0] in _GUARD_BUILTINS]
+    outs = []
+    n_variants = 1 if delta_tb is full_tb else len(rule.body)
+    for di in range(n_variants):
+        ordered = _order_patterns(rule.body, di)
+        res_df = None
+        for i, p in ordered:
+            side = _scan_fn(p)(delta_tb if i == di else full_tb).to_pandas()
+            if res_df is None:
+                res_df = side
+                continue
+            shared = sorted(set(res_df.columns) & set(side.columns))
+            res_df = res_df.merge(side, on=shared)
+        tb = pa.table({
+            c: pa.array(res_df[c], type=pa.string()) for c in res_df.columns
+        })
+        if batch_filters:
+            tb = _filters_fn(batch_filters)(tb)
+        for guard in guards:
+            res_vars = set(tb.schema.names)
+            pat, keys = _novalue_pattern(guard, res_vars)
+            if not keys:
+                if _ground_probe_local(full_tb, pat):
+                    tb = tb.slice(0, 0)
+                continue
+            bad = _scan_fn(pat)(full_tb).to_pandas().drop_duplicates()
+            df = tb.to_pandas()
+            merged = df.merge(bad[keys].drop_duplicates(), on=keys,
+                              how="left", indicator=True)
+            df = merged.loc[merged["_merge"] == "left_only",
+                            list(tb.schema.names)]
+            tb = pa.table({
+                c: pa.array(df[c], type=pa.string())
+                for c in tb.schema.names
+            })
+        outs.append(_emit_fn(rule.head)(tb))
+    return pa.concat_tables(outs) if outs else pa.table(
+        {c: pa.array([], type=pa.string()) for c in TRIPLE_COLS})
+
+
+def _ground_probe_local(full_tb: pa.Table, pat: tuple) -> bool:
+    mask = None
+    for c, t in zip(TRIPLE_COLS, pat):
+        if not t.startswith("?"):
+            m = pc.equal(full_tb.column(c), t)
+            mask = m if mask is None else pc.and_(mask, m)
+    if mask is None:
+        return full_tb.num_rows > 0
+    return bool(pc.any(pc.fill_null(mask, False)).as_py())
+
+
+def _collect_triples(ds) -> pa.Table:
+    """Driver-local copy of a bounded triples Dataset (string schema;
+    0-column empty blocks from upstream groupbys dropped)."""
+    parts = [
+        pa.table({c: pc.cast(b.column(c), pa.string())
+                  for c in TRIPLE_COLS})
+        for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not parts:
+        return pa.table({c: pa.array([], type=pa.string())
+                         for c in TRIPLE_COLS})
+    return pa.concat_tables(parts)
+
+
+def _forward_chain_local(rules: list[Rule], full_tb: pa.Table,
+                         max_rounds: int):
+    """Driver-local semi-naive fixpoint. Returns (triples table, rounds)."""
+    def rows_of(tb: pa.Table) -> set:
+        return set(zip(*(tb.column(c).to_pylist() for c in TRIPLE_COLS)))
+
+    def tb_of(rows: set) -> pa.Table:
+        rows = sorted(rows)
+        return pa.table({
+            c: pa.array([r[j] for r in rows], type=pa.string())
+            for j, c in enumerate(TRIPLE_COLS)
+        })
+
+    full_rows = rows_of(full_tb)
+    full_tb = tb_of(full_rows)
+    delta_tb = full_tb
+    rounds = 0
+    for _ in range(max_rounds):
+        derived = pa.concat_tables([
+            _eval_rule_local(r, full_tb, delta_tb) for r in rules
+        ]) if rules else tb_of(set())
+        new_rows = rows_of(derived) - full_rows
+        rounds += 1
+        if not new_rows:
+            return tb_of(full_rows), rounds
+        full_rows |= new_rows
+        full_tb = tb_of(full_rows)
+        delta_tb = tb_of(new_rows)
+    raise RuntimeError(f"rule fixpoint did not converge in {max_rounds} rounds")
 
 
 def _minus(new, old, *, num_buckets: int):
@@ -735,6 +878,13 @@ def forward_chain(
     full = dedup_exact(
         triples.map_batches(three, batch_format="pyarrow"), cols=TRIPLE_COLS
     ).materialize()
+    if full.count() <= RULES_LOCAL_BUDGET:
+        import ray.data as rd
+
+        out_tb, rounds = _forward_chain_local(
+            rules, _collect_triples(full), max_rounds
+        )
+        return rd.from_arrow(out_tb), rounds
     delta = full
     rounds = 0
     # a large preset (owl-micro: 18 rules × semi-naive variants × join
@@ -859,6 +1009,14 @@ class HybridEngine:
         if key not in self._tables:
             if not idxs:
                 self._tables[key] = self.graph
+            elif self.graph.count() <= RULES_LOCAL_BUDGET:
+                import ray.data as rd
+
+                closed_tb, _ = _forward_chain_local(
+                    [self._bwd[i] for i in idxs],
+                    _collect_triples(self.graph), self._max_rounds,
+                )
+                self._tables[key] = rd.from_arrow(closed_tb)
             else:
                 import sys
 
@@ -976,9 +1134,12 @@ def load_ruleset(name: str) -> list[Rule]:
     """Built-in rule presets (the reference ships etc/rdfs.rules etc. for
     GenericRuleReasoner): 'rdfs' (rdfs2/3/5/7/9/11), 'owl-lite'
     (symmetric/transitive/inverse/equivalent/sameAs property semantics),
-    and 'owl-micro' (OWLMicroReasoner scope: RDFS core + owl-lite +
+    'owl-micro' (OWLMicroReasoner scope: RDFS core + owl-lite +
     functional/inverse-functional equality reasoning with sameAs
-    propagation + hasValue restrictions)."""
+    propagation + hasValue restrictions), and 'owl-fb' (round-5 —
+    OWLFBRuleReasoner's functor-free subset with backward recognition
+    rules for someValuesFrom/allValuesFrom/minCardinality; run it through
+    HybridEngine; exclusions documented in the preset file)."""
     import os
 
     path = os.path.join(

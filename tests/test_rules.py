@@ -60,6 +60,20 @@ def test_transitive_closure(ray_session):
     assert rounds <= 6  # doubling, not linear: semi-naive over the delta
 
 
+def test_transitive_closure_distributed_path(ray_session, monkeypatch):
+    """The distributed semi-naive fixpoint (forced past RULES_LOCAL_BUDGET)
+    matches the driver-local fast path bit for bit."""
+    from jena_ray.stages import rules as R
+
+    chain = [anc(f"n{i}", f"n{i+1}") for i in range(10)]
+    src = f"[anc: (?a <{EX}anc> ?b) (?b <{EX}anc> ?c) -> (?a <{EX}anc> ?c)]"
+    local_out, _ = forward_chain(_ds(chain), src, num_buckets=4)
+    local_rows = _rows(local_out)
+    monkeypatch.setattr(R, "RULES_LOCAL_BUDGET", 0)
+    dist_out, _ = forward_chain(_ds(chain), src, num_buckets=4)
+    assert _rows(dist_out) == local_rows
+
+
 def test_symmetric_property_var_predicate(ray_session):
     """Variable in PREDICATE position — the owl:SymmetricProperty rule
     shape the RDFS-only materializer cannot express."""
@@ -509,3 +523,87 @@ def test_backward_with_builtin_body(ray_session):
 def test_forward_chain_rejects_backward_rules():
     with pytest.raises(TermError):
         forward_chain(None, f"[r1: (?x <{EX}r> ?y) <- (?x <{EX}p> ?y)]")
+
+
+# ------------------------------------------------------------------
+# round-5: owl-fb preset over the jena-core OWL WG entailment fixtures
+# (OWLUnitTest.java:127-146 runs these against OWLFBRuleReasoner; the
+# functor/comprehension exclusions are documented in owl-fb.rules)
+# ------------------------------------------------------------------
+
+WG = "/root/reference/jena-core/testing/wg"
+
+
+def _wg_triples(rel):
+    from jena_ray.rdfxml import parse_rdfxml
+
+    with open(f"{WG}/{rel}", "rb") as f:
+        base = "http://www.w3.org/2002/03owlt/" + rel[:-len(".rdf")]
+        return parse_rdfxml(f.read().decode("utf-8"), base=base)
+
+
+def _entails(closure_rows: set, conclusion: list) -> bool:
+    """WG entailment: the conclusion graph, bnodes as existential vars,
+    must match INTO the closure (simple entailment — the same check the
+    reference's TestUtil/WGReasonerTester does on the InfGraph find)."""
+    bvars = sorted({t for trip in conclusion for t in trip
+                    if t.startswith("_:")})
+
+    def match(i, binding):
+        if i == len(conclusion):
+            return True
+        s, p, o = conclusion[i]
+        for cs, cp, co in closure_rows:
+            nb = dict(binding)
+            ok = True
+            for want, got in ((s, cs), (p, cp), (o, co)):
+                if want.startswith("_:"):
+                    if nb.setdefault(want, got) != got:
+                        ok = False
+                        break
+                elif want != got:
+                    ok = False
+                    break
+            if ok and match(i + 1, nb):
+                return True
+        return False
+
+    assert bvars is not None
+    return match(0, {})
+
+
+@pytest.mark.parametrize("sub,prem,conc,positive", [
+    ("someValuesFrom", "premises001.rdf", "conclusions001.rdf", True),
+    ("someValuesFrom", "premises002.rdf", "nonconclusions002.rdf", False),
+    ("allValuesFrom", "premises001.rdf", "conclusions001.rdf", True),
+    ("allValuesFrom", "premises002.rdf", "nonconclusions002.rdf", False),
+], ids=["someValuesFrom-001-pos", "someValuesFrom-002-neg",
+        "allValuesFrom-001-pos", "allValuesFrom-002-neg"])
+def test_owl_fb_wg_entailment(ray_session, sub, prem, conc, positive):
+    from jena_ray.stages.rules import HybridEngine, load_ruleset
+
+    premises = _wg_triples(f"{sub}/{prem}")
+    conclusion = _wg_triples(f"{sub}/{conc}")
+    eng = HybridEngine(_ds(premises), load_ruleset("owl-fb"))
+    rows = _rows(eng.closure())
+    assert _entails(rows, conclusion) == positive
+
+
+def test_owl_fb_max_cardinality_merging(ray_session):
+    """max1: two fillers of a maxCardinality-1 restricted property on one
+    instance merge via owl:sameAs (owl-fb.rules max1 semantics)."""
+    from jena_ray.stages.rules import HybridEngine, load_ruleset
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    xsd_int = "<http://www.w3.org/2001/XMLSchema#nonNegativeInteger>"
+    data = [
+        (f"<{EX}R>", f"<{OWL}onProperty>", f"<{EX}p>"),
+        (f"<{EX}R>", f"<{OWL}maxCardinality>", f'"1"^^{xsd_int}'),
+        (f"<{EX}i>", rdf_type, f"<{EX}R>"),
+        (f"<{EX}i>", f"<{EX}p>", f"<{EX}a>"),
+        (f"<{EX}i>", f"<{EX}p>", f"<{EX}b>"),
+    ]
+    eng = HybridEngine(_ds(data), load_ruleset("owl-fb"))
+    rows = _rows(eng.closure())
+    assert (f"<{EX}a>", f"<{OWL}sameAs>", f"<{EX}b>") in rows
