@@ -118,6 +118,7 @@ def build_text_index(
     min_rows_per_file: int = 500_000,
     analyzer: str = "standard",
     stoplist_df_frac: float | None = None,
+    positions: bool = False,
 ) -> str:
     """documents Dataset (doc_id, text) → ``text/`` postings + ``vocab/`` df
     table + ``_text_meta.json`` (doc count). Idempotent: a completed build
@@ -133,7 +134,12 @@ def build_text_index(
     scoring). The stoplist lands in ``_text_meta.json`` (bounded: at most
     total_postings/(frac·N) tokens can exceed the cap) and search skips
     stopped query terms. Default ``None`` keeps every token — the
-    oracle-comparable build."""
+    oracle-comparable build.
+
+    ``positions=True`` (round-5) additionally stores each posting's token
+    positions as a packed int32 blob — the Lucene positions file —
+    enabling :func:`phrase_search`. Off by default: positions roughly
+    double posting bytes and tf-idf search never reads them."""
     import ray.data as rd
 
     from jena_ray.stages.dedup import add_bucket
@@ -165,12 +171,24 @@ def build_text_index(
         # pure CJK text); explode turns the empty list into one NaN row
         # that str.len counted as 0 — drop it to keep alignment
         flat = ex[ex.notna()].to_numpy()
-        df = (
-            pd.DataFrame({"token": flat, "doc_id": doc_ids})
-            .groupby(["token", "doc_id"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
+        df = pd.DataFrame({"token": flat, "doc_id": doc_ids})
+        if positions:
+            # position = token index within its doc (explode preserves
+            # document order); packed little-endian int32 per posting
+            df["pos"] = df.groupby("doc_id", sort=False).cumcount()
+            g = df.groupby(["token", "doc_id"], sort=False)["pos"].agg(list)
+            df = g.reset_index()
+            df["tf"] = df["pos"].str.len()
+            df["positions"] = [
+                np.asarray(p, dtype="<i4").tobytes() for p in df["pos"]
+            ]
+            df = df[["token", "doc_id", "tf", "positions"]]
+        else:
+            df = (
+                df.groupby(["token", "doc_id"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
         t = pa.Table.from_pandas(df, preserve_index=False)
         if id_kind == "binary16":
             # pandas round-trips fixed_size_binary ids as object bytes →
@@ -178,8 +196,9 @@ def build_text_index(
             # join the fixed_size_binary(16) id space directly
             i = t.schema.get_field_index("doc_id")
             t = t.set_column(i, "doc_id", pc.cast(t.column("doc_id"), id_type))
-        return add_bucket(t, ["token"], num_buckets).rename_columns(
-            ["token", "doc_id", "tf", "bucket"]
+        t = add_bucket(t, ["token"], num_buckets)
+        return t.rename_columns(
+            [("bucket" if c == "_bucket" else c) for c in t.schema.names]
         )
 
     def per_bucket(g: pa.Table) -> pa.Table:
@@ -290,7 +309,8 @@ def build_text_index(
         json.dump(
             {"n_docs": int(n_docs), "num_buckets": num_buckets,
              "id_kind": id_kind, "analyzer": analyzer,
-             "stoplist_df_frac": stoplist_df_frac, "stoplist": stoplist},
+             "stoplist_df_frac": stoplist_df_frac, "stoplist": stoplist,
+             "positions": positions},
             f,
         )
     return out_dir
@@ -470,3 +490,94 @@ def text_search(index_dir: str, terms: list[str], k: int = 20):
 
     out = scored.map_batches(finalize, batch_format="pyarrow")
     return out.sort(["score_micros", "doc_id"], descending=[True, False]).limit(k)
+
+
+def phrase_search(index_dir: str, phrase: str, k: int = 20):
+    """Exact-phrase query (jena-text "quoted phrase" semantics — Lucene
+    PhraseQuery over the positions file): docs where the analyzed phrase
+    tokens occur CONSECUTIVELY, ranked by occurrence count then doc_id.
+
+    Needs an index built with ``positions=True`` (loud error otherwise).
+    Only the phrase terms' hash buckets are read; the per-doc adjacency
+    verification is one vectorized pass inside a doc_id-bucketed groupby
+    (the corpus never shuffles — only the phrase terms' posting slices).
+    Duplicate tokens in the phrase are handled (each token maps to every
+    slot offset it occupies)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jena_ray.stages.dedup import bucketed_group_apply, with_empty_schema
+
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    if not meta.get("positions"):
+        raise ValueError(
+            "phrase_search needs an index built with positions=True "
+            "(this index stores no positions file)"
+        )
+    nb = meta["num_buckets"]
+    id_t = pa.binary(16) if meta.get("id_kind") == "binary16" else pa.int64()
+    empty = pa.table({"doc_id": pa.array([], id_t),
+                      "n_hits": pa.array([], pa.int64())})
+
+    terms = analyze_terms([phrase], meta.get("analyzer", "standard"))
+    if not terms or set(terms) & set(meta.get("stoplist") or []):
+        # a stopped token inside a phrase makes adjacency unverifiable
+        if terms and set(terms) & set(meta.get("stoplist") or []):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "phrase contains stoplisted token(s): no match possible")
+        return rd.from_arrow(empty)
+    # token → the phrase slot offsets it occupies (duplicates allowed)
+    offsets: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        offsets.setdefault(t, []).append(j)
+
+    by_bucket: dict[int, list[str]] = {}
+    for t in offsets:
+        by_bucket.setdefault(_token_bucket(t, nb), []).append(t)
+    datasets = []
+    for b, ts in by_bucket.items():
+        path = os.path.join(index_dir, "text", f"bucket={b}")
+        if not os.path.isdir(path):
+            return rd.from_arrow(empty)  # a phrase term absent → no match
+        datasets.append(rd.read_parquet(
+            path, columns=["token", "doc_id", "positions"],
+            filter=pc.field("token").isin(ts),
+        ))
+    matches = (datasets[0] if len(datasets) == 1
+               else datasets[0].union(*datasets[1:]))
+
+    n_slots = len(terms)
+    distinct_terms = len(offsets)
+
+    def per_doc(df) -> "object":
+        import pandas as pd
+
+        out_ids, out_hits = [], []
+        for doc, grp in df.groupby("doc_id", sort=False):
+            if grp["token"].nunique() < distinct_terms:
+                continue  # some phrase term missing from this doc
+            pos_by_slot: dict[int, np.ndarray] = {}
+            for tok, blob in zip(grp["token"], grp["positions"]):
+                arr = np.frombuffer(blob, dtype="<i4")
+                for j in offsets[tok]:
+                    pos_by_slot[j] = arr
+            starts = pos_by_slot[0]
+            for j in range(1, n_slots):
+                starts = starts[np.isin(starts + j, pos_by_slot[j])]
+                if not len(starts):
+                    break
+            if len(starts):
+                out_ids.append(doc)
+                out_hits.append(len(starts))
+        return pd.DataFrame({"doc_id": out_ids,
+                             "n_hits": pd.array(out_hits, dtype="int64")})
+
+    scored = bucketed_group_apply(matches, ["doc_id"], per_doc,
+                                  num_buckets=min(nb, 16), coalesce=True)
+    scored = with_empty_schema(
+        scored, pa.schema([("doc_id", id_t), ("n_hits", pa.int64())]))
+    return scored.sort(["n_hits", "doc_id"],
+                       descending=[True, False]).limit(k)

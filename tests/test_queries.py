@@ -223,6 +223,48 @@ def test_text_analyzers(ray_session, tmp_path):
         build_text_index(ds, str(tmp_path / "bad"), analyzer="nope")
 
 
+def test_phrase_search(ray_session, tmp_path):
+    """round-5: positions file + exact-phrase query (Lucene PhraseQuery
+    semantics — consecutive analyzed tokens, ranked by occurrence count)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.stages.textindex import build_text_index, phrase_search
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown shoes and a brown fox statue"),
+        (3, "brown quick fox"),                      # words present, not adjacent
+        (4, "a quick brown fox saw a quick brown fox"),  # phrase twice
+        (5, "the the the repeated token phrase the the"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs], type=pa.string()),
+    }))
+    out = str(tmp_path / "pos")
+    build_text_index(ds, out, num_buckets=4, positions=True)
+
+    hits = phrase_search(out, "quick brown fox").to_pandas()
+    assert list(zip(hits["doc_id"], hits["n_hits"])) == [(4, 2), (1, 1)]
+    # duplicate token inside the phrase
+    hits = phrase_search(out, "the the").to_pandas()
+    assert list(zip(hits["doc_id"], hits["n_hits"])) == [(5, 3)]
+    # a term absent from the corpus → empty
+    assert phrase_search(out, "quick silver fox").count() == 0
+    # single-term phrase degenerates to a term query ranked by tf
+    hits = phrase_search(out, "brown").to_pandas()
+    assert hits.iloc[0]["doc_id"] in (2, 4) and hits.iloc[0]["n_hits"] == 2
+
+    # an index without positions refuses loudly
+    out2 = str(tmp_path / "nopos")
+    build_text_index(ds, out2, num_buckets=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positions"):
+        phrase_search(out2, "quick brown")
+
+
 def test_text_index_df_capped_stoplist(ray_session, tmp_path):
     """round-5: a hub token in 90% of docs is dropped from the postings at
     build time (df > frac·N), bounding per-bucket posting volume; a
