@@ -88,6 +88,99 @@ class Graph:
         return out
 
 
+# ---------------------------------------------------------- property paths
+# SHACL property paths (spec §2.3.1; jena-shacl parser/ShaclPaths.java):
+# IRI, sequence (rdf list), sh:inversePath, sh:alternativePath,
+# sh:zeroOrMorePath / sh:oneOrMorePath / sh:zeroOrOnePath. Parsed to a
+# small expression tree; reports print the canonical SPARQL path string
+# (the shapes-graph bnode would not be comparable across graphs).
+
+
+def parse_path(g: Graph, node: str):
+    """Path expression tree from a shapes-graph path node."""
+    if node.startswith("<"):
+        return ("pred", node)
+    inv = g.obj(node, _sh("inversePath"))
+    if inv is not None:
+        return ("inv", parse_path(g, inv))
+    alt = g.obj(node, _sh("alternativePath"))
+    if alt is not None:
+        return ("alt", [parse_path(g, m) for m in g.rdf_list(alt)])
+    for key, tag in (("zeroOrMorePath", "zom"), ("oneOrMorePath", "oom"),
+                     ("zeroOrOnePath", "zoo")):
+        sub = g.obj(node, _sh(key))
+        if sub is not None:
+            return (tag, parse_path(g, sub))
+    members = g.rdf_list(node)
+    if members:
+        return ("seq", [parse_path(g, m) for m in members])
+    raise ValueError(f"unsupported SHACL path structure at {node}")
+
+
+def path_str(expr) -> str:
+    """Canonical SPARQL property-path string for an expression tree."""
+    kind = expr[0]
+    if kind == "pred":
+        return expr[1]
+    if kind == "inv":
+        return "^" + path_str(expr[1])
+    if kind == "alt":
+        return "(" + "|".join(path_str(e) for e in expr[1]) + ")"
+    if kind == "seq":
+        return "(" + "/".join(path_str(e) for e in expr[1]) + ")"
+    return "(" + path_str(expr[1]) + {"zom": "*", "oom": "+", "zoo": "?"}[kind]
+
+
+def eval_path(data: Graph, focus: str, expr) -> list:
+    """Value nodes of ``focus`` under the path (a SET per the spec —
+    deduplicated, first-seen order; a plain predicate path keeps the raw
+    object list, matching the pre-path behavior)."""
+    kind = expr[0]
+    if kind == "pred":
+        return data.objs(focus, expr[1])
+    if kind == "inv":
+        if expr[1][0] != "pred":
+            raise ValueError(
+                "inverse of a non-predicate SHACL path is unsupported")
+        return data.subjects(expr[1][1], focus)
+    if kind == "alt":
+        out = []
+        for e in expr[1]:
+            out.extend(eval_path(data, focus, e))
+        return list(dict.fromkeys(out))
+    if kind == "seq":
+        nodes = [focus]
+        for e in expr[1]:
+            nxt = []
+            for n in nodes:
+                if not n.startswith('"'):
+                    nxt.extend(eval_path(data, n, e))
+            nodes = list(dict.fromkeys(nxt))
+        return nodes
+    if kind in ("zom", "oom"):
+        seen: list = []
+        frontier = [focus]
+        visited = {focus}
+        while frontier:
+            nxt = []
+            for n in frontier:
+                if n.startswith('"'):
+                    continue
+                for v in eval_path(data, n, expr[1]):
+                    if v not in visited:
+                        visited.add(v)
+                        nxt.append(v)
+                    if v not in seen:
+                        seen.append(v)
+            frontier = nxt
+        if kind == "zom":
+            return list(dict.fromkeys([focus] + seen))
+        return list(dict.fromkeys(seen))
+    if kind == "zoo":
+        return list(dict.fromkeys([focus] + eval_path(data, focus, expr[1])))
+    raise ValueError(f"unknown path expression {expr!r}")
+
+
 _CONSTRAINT_PROPS = (
     "minCount", "maxCount", "datatype", "class", "nodeKind", "hasValue",
     "in", "pattern", "flags", "minLength", "maxLength",
@@ -146,6 +239,13 @@ class Shape:
         self.node = node
         self.is_property = is_property
         self.path = g.obj(node, _sh("path")) if is_property else None
+        self.path_expr = None
+        if self.path is not None:
+            self.path_expr = parse_path(g, self.path)
+            if self.path_expr[0] != "pred":
+                # reports carry the canonical path STRING (a shapes-graph
+                # bnode label means nothing outside that graph)
+                self.path = path_str(self.path_expr)
         self.constraints: dict[str, object] = {}
         for c in _CONSTRAINT_PROPS:
             v = g.objs(node, _sh(c))
@@ -203,9 +303,9 @@ def _conforms(data: Graph, node: str, shape: Shape, depth: int = 0) -> bool:
 
 def _value_nodes(data: Graph, focus: str, shape: Shape):
     if shape.is_property:
-        if shape.path is None or not shape.path.startswith("<"):
-            return None  # complex paths unsupported in v1
-        return data.objs(focus, shape.path)
+        if shape.path_expr is None:
+            return None
+        return eval_path(data, focus, shape.path_expr)
     return [focus]
 
 

@@ -57,6 +57,15 @@ CASES = [
         "qualifiedValueShape-001", "qualifiedMinCountDisjoint-001",
         "qualifiedValueShapesDisjoint-001",
     )
+] + [
+    # round-5: property paths beyond plain IRIs
+    ("path", n)
+    for n in (
+        "path-inverse-001", "path-sequence-001", "path-sequence-002",
+        "path-sequence-duplicate-001", "path-alternative-001",
+        "path-zeroOrMore-001", "path-oneOrMore-001", "path-zeroOrOne-001",
+        "path-complex-001",
+    )
 ]
 
 # round-5: SHACL-SPARQL constraints (std/sparql — sibling dir of std/core)
@@ -75,10 +84,17 @@ def _expected(g: Graph):
     conforms = g.obj(rep, f"<{SH}conforms>") == '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
     results = set()
     for r in g.objs(rep, f"<{SH}result>"):
+        rp = g.obj(r, f"<{SH}resultPath>")
+        if rp is not None and rp.startswith("_:"):
+            # complex-path resultPath: compare by the canonical path
+            # string the engine reports (a bnode label is graph-local)
+            from jena_ray.shacl import parse_path, path_str
+
+            rp = path_str(parse_path(g, rp))
         results.add(
             (
                 g.obj(r, f"<{SH}focusNode>"),
-                g.obj(r, f"<{SH}resultPath>"),
+                rp,
                 g.obj(r, f"<{SH}sourceConstraintComponent>"),
             )
         )
