@@ -377,3 +377,107 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9,
         return out.filter(pa.array(keep))
 
     return j2.map_batches(verify, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+
+
+# ---------------------------------------------------------------- IVF index
+# Inverted-file ANN (the classic IVF-Flat coarse quantizer — Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011, minus
+# the PQ compression): k-means partitions the corpus into nlist cells; a
+# query scans only its nprobe nearest cells. The brief names IVF as the
+# ANN scale path next to the LSH variant.
+
+IVF_TRAIN_SAMPLE = 4096
+
+
+def _train_centroids(mat: np.ndarray, nlist: int, iters: int = 10,
+                     seed: int = 13) -> np.ndarray:
+    """Deterministic Lloyd k-means over a normalized sample (fixed seed,
+    fixed iterations; empty cells re-seeded from the sample)."""
+    rng = np.random.RandomState(seed)
+    n = len(mat)
+    idx = rng.choice(n, size=min(nlist, n), replace=False)
+    cent = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on normalized
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:  # empty cell: re-seed deterministically
+                cent[c] = mat[rng.randint(n)]
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 4, k: int = 5, *,
+             nlist: int = 16, nprobe: int = 4, seed: int = 13):
+    """IVF-Flat cosine top-k: train a coarse quantizer on a fixed-seed
+    sample, assign every vector to its nearest centroid per batch (one
+    matmul), and scan only each query's ``nprobe`` nearest cells for
+    candidates. ``nprobe == nlist`` degenerates to exact brute force —
+    the recall/throughput dial is nprobe/nlist. Same output schema as
+    brute_force_topk; centroids are driver-trained (nlist × dim — tiny)
+    and broadcast once."""
+    import heapq
+
+    import ray
+
+    emb = _read_emb(sf_dir)
+
+    # deterministic training sample + query matrix: lowest vec_ids
+    def first_rows(t: pa.Table, _n=max(IVF_TRAIN_SAMPLE, n_queries)) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(ids < _n))
+
+    head = pa.concat_tables(
+        emb.map_batches(first_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")
+    )
+    h_ids, h_mat = _batch_matrix(head)
+    order = np.argsort(h_ids)
+    h_ids, h_mat = h_ids[order], _normalize(h_mat[order].astype(np.float64))
+    cent = _train_centroids(h_mat[:IVF_TRAIN_SAMPLE], nlist, seed=seed)
+
+    q_ids, q_mat = h_ids[:n_queries], h_mat[:n_queries]
+    # per-query probe set: the nprobe nearest centroids
+    sims_qc = q_mat @ cent.T
+    probe = np.argsort(-sims_qc, axis=1)[:, :min(nprobe, len(cent))]
+    ref = ray.put((q_ids, q_mat, cent, probe))
+
+    class CellTopK:
+        def __init__(self, r):
+            self.q_ids, self.q, self.cent, self.probe = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> "object":
+            import pandas as pd
+
+            ids, mat = _batch_matrix(batch)
+            m = _normalize(mat.astype(np.float64))
+            cells = np.argmax(m @ self.cent.T, axis=1)
+            sims = m @ self.q.T  # (batch, nq)
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(cells, self.probe[qi]) & (ids != qid)
+                cids, csims = ids[mask], sims[mask, qi]
+                if len(cids) > k:
+                    top = np.argpartition(-csims, k)[:k]
+                    cids, csims = cids[top], csims[top]
+                out.extend((int(qid), int(c), float(s))
+                           for c, s in zip(cids, csims))
+            return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+
+    partials = emb.map_batches(
+        CellTopK, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 4), num_cpus=1,
+    )
+    df = partials.to_pandas()
+    rows = []
+    for qid, grp in df.groupby("query_id", sort=True):
+        best = heapq.nlargest(k, grp.itertuples(index=False),
+                              key=lambda r: (r.cosine, -r.vec_id))
+        for rank, r in enumerate(
+                sorted(best, key=lambda r: (-r.cosine, r.vec_id)), 1):
+            rows.append((qid, rank, r.vec_id, round(r.cosine, 6)))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])

@@ -492,10 +492,14 @@ def text_search(index_dir: str, terms: list[str], k: int = 20):
     return out.sort(["score_micros", "doc_id"], descending=[True, False]).limit(k)
 
 
-def phrase_search(index_dir: str, phrase: str, k: int = 20):
-    """Exact-phrase query (jena-text "quoted phrase" semantics — Lucene
-    PhraseQuery over the positions file): docs where the analyzed phrase
-    tokens occur CONSECUTIVELY, ranked by occurrence count then doc_id.
+def phrase_search(index_dir: str, phrase: str, k: int = 20, *,
+                  slop: int = 0):
+    """Phrase / proximity query (jena-text "quoted phrase" semantics —
+    Lucene PhraseQuery over the positions file): docs where the analyzed
+    phrase tokens occur consecutively (``slop=0``) or IN ORDER within a
+    window (``slop=n``: total stretch between slots ≤ n — the ordered
+    subset of Lucene's slop edit distance), ranked by occurrence count
+    then doc_id.
 
     Needs an index built with ``positions=True`` (loud error otherwise).
     Only the phrase terms' hash buckets are read; the per-doc adjacency
@@ -564,14 +568,33 @@ def phrase_search(index_dir: str, phrase: str, k: int = 20):
                 arr = np.frombuffer(blob, dtype="<i4")
                 for j in offsets[tok]:
                     pos_by_slot[j] = arr
-            starts = pos_by_slot[0]
-            for j in range(1, n_slots):
-                starts = starts[np.isin(starts + j, pos_by_slot[j])]
-                if not len(starts):
-                    break
-            if len(starts):
+            if slop == 0:
+                starts = pos_by_slot[0]
+                for j in range(1, n_slots):
+                    starts = starts[np.isin(starts + j, pos_by_slot[j])]
+                    if not len(starts):
+                        break
+                n_found = len(starts)
+            else:
+                # ordered-within-window: for each start, greedily pick the
+                # smallest strictly-increasing successor per slot
+                # (searchsorted — minimal span is achieved greedily);
+                # match iff span stretch ≤ slop
+                n_found = 0
+                for p0 in np.sort(pos_by_slot[0]):
+                    prev, ok = p0, True
+                    for j in range(1, n_slots):
+                        arr = pos_by_slot[j]
+                        i = np.searchsorted(arr, prev + 1)
+                        if i == len(arr):
+                            ok = False
+                            break
+                        prev = arr[i]
+                    if ok and (prev - p0 - (n_slots - 1)) <= slop:
+                        n_found += 1
+            if n_found:
                 out_ids.append(doc)
-                out_hits.append(len(starts))
+                out_hits.append(n_found)
         return pd.DataFrame({"doc_id": out_ids,
                              "n_hits": pd.array(out_hits, dtype="int64")})
 

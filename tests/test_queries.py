@@ -223,6 +223,26 @@ def test_text_analyzers(ray_session, tmp_path):
         build_text_index(ds, str(tmp_path / "bad"), analyzer="nope")
 
 
+def test_ivf_topk(ray_session, sf_dir):
+    """round-5 IVF-Flat ANN: nprobe == nlist degenerates to exact brute
+    force (bit-identical ranks); a narrow probe still recalls most of the
+    exact top-k on the fixture."""
+    from jena_ray.functions.ann import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(sf_dir)
+    full = ivf_topk(sf_dir, nlist=8, nprobe=8)
+    assert full.equals(exact)
+
+    narrow = ivf_topk(sf_dir, nlist=8, nprobe=3)
+    hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        g = set(narrow.loc[narrow["query_id"] == qid, "vec_id"])
+        hits += len(e & g)
+    recall = hits / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
 def test_phrase_search(ray_session, tmp_path):
     """round-5: positions file + exact-phrase query (Lucene PhraseQuery
     semantics — consecutive analyzed tokens, ranked by occurrence count)."""
@@ -247,6 +267,12 @@ def test_phrase_search(ray_session, tmp_path):
 
     hits = phrase_search(out, "quick brown fox").to_pandas()
     assert list(zip(hits["doc_id"], hits["n_hits"])) == [(4, 2), (1, 1)]
+    # proximity: "quick fox" — adjacent only in doc 3; slop=1 admits the
+    # one-token gap ("quick brown fox") in docs 1 and 4 too
+    hits = phrase_search(out, "quick fox").to_pandas()
+    assert set(hits["doc_id"]) == {3}
+    hits = phrase_search(out, "quick fox", slop=1).to_pandas()
+    assert set(hits["doc_id"]) == {1, 3, 4}
     # duplicate token inside the phrase
     hits = phrase_search(out, "the the").to_pandas()
     assert list(zip(hits["doc_id"], hits["n_hits"])) == [(5, 3)]
