@@ -604,3 +604,100 @@ def phrase_search(index_dir: str, phrase: str, k: int = 20, *,
         scored, pa.schema([("doc_id", id_t), ("n_hits", pa.int64())]))
     return scored.sort(["n_hits", "doc_id"],
                        descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------------------- fuzzy match
+# Lucene FuzzyQuery analog: a query term expands to every VOCABULARY term
+# within Levenshtein distance ≤ max_edits (optionally sharing a literal
+# prefix, Lucene's prefixLength). The vocabulary is distributed parquet
+# (vocabulary-scale — orders of magnitude below corpus rows); the DP runs
+# vectorized across each batch's candidate words (numpy rows over the
+# query dimension — no per-word Python DP), and only the tiny matching
+# term list crosses to the driver.
+
+
+def _edit_distance_batch(words: list[str], q: str) -> "np.ndarray":
+    """Levenshtein distances of a batch of words vs one query word:
+    one (n × m+1) numpy DP — vectorized across the batch, sequential only
+    in the (short) query dimension."""
+    n, m = len(words), len(q)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(w) for w in words), np.int64, n)
+    L = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(L, 1)), dtype=np.int64)
+    for i, w in enumerate(words):
+        if w:
+            mat[i, :len(w)] = np.fromiter(map(ord, w), np.int64, len(w))
+    qv = np.fromiter(map(ord, q), np.int64, m) if m else np.zeros(0, np.int64)
+    prev = np.broadcast_to(np.arange(m + 1), (n, m + 1)).astype(np.int64)
+    for j in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = j
+        wc = mat[:, j - 1][:, None]
+        sub = prev[:, :-1] + (wc != qv[None, :])
+        dele = prev[:, 1:] + 1
+        for k in range(1, m + 1):
+            cur[:, k] = np.minimum(
+                np.minimum(sub[:, k - 1], dele[:, k - 1]), cur[:, k - 1] + 1)
+        frozen = lens < j  # word already fully consumed: keep its row
+        cur[frozen] = prev[frozen]
+        prev = cur
+    return prev[:, m]
+
+
+def fuzzy_expand(index_dir: str, term: str, *, max_edits: int = 2,
+                 prefix_len: int = 0) -> list[str]:
+    """Vocabulary terms within ``max_edits`` Levenshtein edits of the
+    analyzed query term (sharing its first ``prefix_len`` chars)."""
+    import ray.data as rd
+
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    analyzed = analyze_terms([term], meta.get("analyzer", "standard"))
+    if len(analyzed) != 1:
+        raise ValueError(
+            f"fuzzy term must analyze to exactly one token: {term!r}")
+    q = analyzed[0]
+    vocab_root = os.path.join(index_dir, "vocab")
+    if not os.path.isdir(vocab_root):
+        return []
+    ds = rd.read_parquet(vocab_root, columns=["token"])
+    pre = q[:prefix_len]
+
+    def match(tb: pa.Table, _q=q, _e=max_edits, _p=pre) -> pa.Table:
+        toks = tb.column("token").to_pylist()
+        # cheap bands first: length window + literal prefix
+        cand = [t for t in toks
+                if abs(len(t) - len(_q)) <= _e
+                and (not _p or t.startswith(_p))]
+        d = _edit_distance_batch(cand, _q)
+        keep = [t for t, dd in zip(cand, d) if dd <= _e]
+        return pa.table({"token": pa.array(keep, type=pa.string())})
+
+    out = sorted({
+        t for b in ds.map_batches(match, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        for t in b.column("token").to_pylist()
+    })
+    return out
+
+
+def fuzzy_search(index_dir: str, terms: list[str], k: int = 20, *,
+                 max_edits: int = 2, prefix_len: int = 0):
+    """tf-idf OR search with FUZZY term expansion: each query term is
+    replaced by its vocabulary neighbourhood (fuzzy_expand), then scored
+    by the regular :func:`text_search` machinery."""
+    expanded: list[str] = []
+    for t in terms:
+        expanded.extend(fuzzy_expand(index_dir, t, max_edits=max_edits,
+                                     prefix_len=prefix_len))
+    import ray.data as rd
+
+    if not expanded:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score_micros": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+        }))
+    return text_search(index_dir, sorted(set(expanded)), k)

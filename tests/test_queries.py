@@ -340,3 +340,44 @@ def test_text_index_df_capped_stoplist(ray_session, tmp_path):
     # mixed query: the stopped term is skipped, not an error
     hits = text_search(out, ["the", "rare9"], k=5).to_pandas()
     assert hits["doc_id"].tolist() == [9]
+
+
+def test_fuzzy_search(ray_session, tmp_path):
+    """round-5: FuzzyQuery analog — query terms expand to vocabulary
+    neighbours within max_edits (vectorized batch Levenshtein over the
+    distributed vocab), then score through the regular tf-idf path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.stages.textindex import (
+        build_text_index,
+        fuzzy_expand,
+        fuzzy_search,
+    )
+
+    docs = [
+        (1, "distributed systems need careful shuffles"),
+        (2, "distrubuted typo text here"),
+        (3, "completely unrelated words"),
+        (4, "dist short prefix token"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs], type=pa.string()),
+    }))
+    out = str(tmp_path / "fz")
+    build_text_index(ds, out, num_buckets=4)
+
+    # 'distrubuted' is 2 edits from 'distributed' (transposition = 2 here)
+    exp = fuzzy_expand(out, "distributed", max_edits=2)
+    assert set(exp) == {"distributed", "distrubuted"}
+    # edit budget 0 → exact only
+    assert fuzzy_expand(out, "distributed", max_edits=0) == ["distributed"]
+    # prefix pinning excludes words diverging early
+    assert "distrubuted" not in fuzzy_expand(
+        out, "distributed", max_edits=2, prefix_len=6)
+
+    hits = fuzzy_search(out, ["distributed"], k=5, max_edits=2).to_pandas()
+    assert set(hits["doc_id"]) == {1, 2}
+    # no vocabulary neighbour at all → empty result, not an error
+    assert fuzzy_search(out, ["zzzzzzzz"], k=5, max_edits=1).count() == 0
