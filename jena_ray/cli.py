@@ -73,12 +73,13 @@ def cmd_riot(argv: list[str]) -> int:
     trix_files = [f for f in args.files if f.endswith((".trix",))]
     rj_files = [f for f in args.files if f.endswith((".rj",))]
     jsonld_files = [f for f in args.files if f.endswith((".jsonld",))]
+    trdf_files = [f for f in args.files if f.endswith((".trdf", ".rt"))]
     other = [
         f
         for f in args.files
         if f
         not in nt_files + nq_files + ttl_files + trig_files + rdf_files
-        + trix_files + rj_files + jsonld_files
+        + trix_files + rj_files + jsonld_files + trdf_files
     ]
     if other:
         print(f"unsupported syntax (by extension): {other}", file=sys.stderr)
@@ -106,6 +107,10 @@ def cmd_riot(argv: list[str]) -> int:
         from jena_ray.rdfxml import read_rdfxml
 
         datasets.append(read_rdfxml(rdf_files).drop_columns(["src"]))
+    if trdf_files:
+        from jena_ray.thrift_rdf import read_thrift_files
+
+        datasets.append(read_thrift_files(trdf_files))
     if trix_files or rj_files or jsonld_files:
         import pyarrow as pa
         import ray.data as rd
